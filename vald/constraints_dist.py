@@ -1,0 +1,271 @@
+"""Distributed constraints: uniqueness (B4), referential integrity at
+scale (B5 anti-join path), drift (B9), salting helpers (B8).
+
+All stages emit pipeline.RESULT_SCHEMA rows so they union into the one
+result stream that validate() folds into verdicts.
+
+Shuffle discipline (SURVEY.md "minimize shuffles"): the uniqueness check
+never ships full rows — a vectorized per-batch pre-aggregation
+(pyarrow ``Table.group_by``) reduces each batch to (key, partition_id,
+cnt) partials first, so the ``groupby`` exchange moves one row per
+distinct key per batch, not one per input row. The key
+(repo,path,commit) is fine-grained and naturally balanced, so the
+shuffle keys on it directly; salting (B8) applies to per-*repo*
+rollups, provided by ``salted_group_counts``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from .ir import ConstraintSet, DistCheck
+from . import pipeline as P
+
+__all__ = [
+    "unique_check_results",
+    "refint_anti_join_results",
+    "drift_check_results",
+    "salted_group_counts",
+]
+
+
+def _key_ref(t: pa.Table, cols: list[str], cs: ConstraintSet) -> list[str]:
+    """Canonical row_ref for a key group: the real row_ref template when
+    the key IS the row_ref key, else '|'-joined values."""
+    if set(cols) == set(cs.row_ref_cols) and cs.row_ref_template:
+        return P.build_row_ref(t, cs).to_pylist()
+    joined = [pc.cast(pc.fill_null(t[c], "<null>"), pa.string()) for c in cols]
+    if len(joined) == 1:
+        return joined[0].to_pylist()
+    return pc.binary_join_element_wise(*joined, "|").to_pylist()
+
+
+def unique_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """B4: table-wide uniqueness on ``dist.params['columns']``.
+
+    plan: map_batches pre-agg → groupby(key).aggregate(Sum(cnt),
+    Min(partition_id)) → result rows. One violation row per duplicate
+    group (observed = multiplicity); n_violations counts rows in excess
+    of the first occurrence, so verdicts are parallelism-invariant.
+    """
+    cols = list(dist.params["columns"])
+    cid = dist.constraint_id
+
+    def pre(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=pa.string()) for c in cols},
+                    "partition_id": pa.array([], type=pa.int32()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        pids = P.build_partition_ids(t, cs)
+        # stringify + fill nulls: Ray's sort-based groupby cannot order
+        # None keys, and "<null>" matches build_row_ref's null fill.
+        keys = [
+            pc.fill_null(pc.cast(t[c], pa.string()), "<null>") for c in cols
+        ]
+        small = pa.table({**dict(zip(cols, keys))})
+        small = small.append_column("partition_id", pa.array(pids, type=pa.int32()))
+        small = small.append_column("cnt", pa.array(np.ones(len(t), dtype=np.int64)))
+        agg = small.group_by(cols, use_threads=False).aggregate(
+            [("partition_id", "min"), ("cnt", "sum")]
+        )
+        return agg.rename_columns(cols + ["partition_id", "cnt"])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby(cols).aggregate(
+        Sum("cnt", alias_name="cnt"), Min("partition_id", alias_name="partition_id")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return P._empty_result()
+        cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pids = np.asarray(t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        # verdict partials: per partition present in this batch of keys
+        for pid in np.unique(pids):
+            sel = pids == pid
+            out["partition_id"].append(int(pid))
+            out["constraint_id"].append(cid)
+            out["row_ref"].append("")
+            out["column"].append("")
+            out["observed"].append("")
+            out["detail"].append("")
+            out["is_violation"].append(False)
+            out["n_checked"].append(int(cnt[sel].sum()))
+            out["n_violations"].append(int((cnt[sel] - 1).clip(min=0).sum()))
+        dup_idx = np.flatnonzero(cnt > 1)
+        if len(dup_idx):
+            dup_t = t.take(pa.array(dup_idx, type=pa.int64()))
+            refs = _key_ref(dup_t, cols, cs)
+            dup_cnt = cnt[dup_idx]
+            dup_pid = pids[dup_idx]
+            for i in range(len(dup_idx)):
+                out["partition_id"].append(int(dup_pid[i]))
+                out["constraint_id"].append(cid)
+                out["row_ref"].append(refs[i])
+                out["column"].append(",".join(cols))
+                out["observed"].append(str(int(dup_cnt[i])))
+                out["detail"].append("unique")
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def refint_anti_join_results(
+    child: "ray.data.Dataset",
+    parent: "ray.data.Dataset",
+    cs: ConstraintSet,
+    dist: DistCheck,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """B5 large-parent path: native hash-partitioned ``left_anti`` join
+    (Ray 2.49.2 ``Dataset.join``, JoinType left_anti verified) on
+    pre-aggregated child keys. Used when the parent key set is too big
+    to broadcast; the broadcast path lives in RowValidator.
+
+    Child keys are pre-aggregated per batch (key, partition_id, cnt)
+    before the join, so the exchange moves distinct keys, not rows.
+    """
+    cols = list(dist.params["columns"])
+    pcols = list(dist.params.get("parent_columns", cols))
+    cid = dist.constraint_id
+    P_parts = num_partitions or cs.num_partitions
+
+    def pre(t: pa.Table) -> pa.Table:
+        pids = P.build_partition_ids(t, cs)
+        small = t.select(cols).append_column("partition_id", pa.array(pids, type=pa.int32()))
+        # refint never checks null keys — drop them before the shuffle
+        valid = np.ones(len(t), dtype=bool)
+        for c in cols:
+            valid &= ~np.asarray(pc.is_null(t[c]).to_numpy(zero_copy_only=False), dtype=bool)
+        small = small.filter(pa.array(valid))
+        small = small.append_column("cnt", pa.array(np.ones(len(small), dtype=np.int64)))
+        agg = small.group_by(cols, use_threads=False).aggregate(
+            [("partition_id", "min"), ("cnt", "sum")]
+        )
+        return agg.rename_columns(cols + ["partition_id", "cnt"])
+
+    child_keys = child.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    child_keys = child_keys.groupby(cols).aggregate(
+        Sum("cnt", alias_name="cnt"), Min("partition_id", alias_name="partition_id")
+    )
+    parent_keys = parent.select_columns(pcols)
+    missing = child_keys.join(
+        parent_keys,
+        join_type="left_anti",
+        num_partitions=P_parts,
+        on=tuple(cols),
+        right_on=tuple(pcols) if pcols != cols else None,
+    )
+
+    # total checked = all child non-null keys; computed from child_keys
+    def totals(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return P._empty_result()
+        valid = np.ones(len(t), dtype=bool)
+        for c in cols:
+            valid &= ~np.asarray(pc.is_null(t[c]).to_numpy(zero_copy_only=False), dtype=bool)
+        cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pids = np.asarray(t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        for pid in np.unique(pids):
+            sel = (pids == pid) & valid
+            out["partition_id"].append(int(pid))
+            out["constraint_id"].append(cid)
+            out["row_ref"].append("")
+            out["column"].append("")
+            out["observed"].append("")
+            out["detail"].append("")
+            out["is_violation"].append(False)
+            out["n_checked"].append(int(cnt[sel].sum()))
+            out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    def missing_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return P._empty_result()
+        valid = np.ones(len(t), dtype=bool)
+        for c in cols:
+            valid &= ~np.asarray(pc.is_null(t[c]).to_numpy(zero_copy_only=False), dtype=bool)
+        t = t.filter(pa.array(valid))
+        if len(t) == 0:
+            return P._empty_result()
+        refs = _key_ref(t, cols, cs)
+        cnt = t["cnt"].to_pylist()
+        pids = t["partition_id"].to_pylist()
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        for pid in sorted(set(pids)):
+            nv = sum(c for p, c in zip(pids, cnt) if p == pid)
+            out["partition_id"].append(int(pid))
+            out["constraint_id"].append(cid)
+            out["row_ref"].append("")
+            out["column"].append("")
+            out["observed"].append("")
+            out["detail"].append("")
+            out["is_violation"].append(False)
+            out["n_checked"].append(0)
+            out["n_violations"].append(int(nv))
+        for i in range(len(t)):
+            out["partition_id"].append(int(pids[i]))
+            out["constraint_id"].append(cid)
+            out["row_ref"].append(refs[i])
+            out["column"].append(",".join(cols))
+            out["observed"].append(str(int(cnt[i])))
+            out["detail"].append("refint")
+            out["is_violation"].append(True)
+            out["n_checked"].append(0)
+            out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    return child_keys.map_batches(totals, batch_format="pyarrow").union(
+        missing.map_batches(missing_rows, batch_format="pyarrow")
+    )
+
+
+def drift_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """B9: per-partition KS/PSI drift vs a baseline profile — delegates
+    to vald.drift (needs sketches)."""
+    from . import drift
+
+    return drift.drift_check_results(ds, cs, dist)
+
+
+def salted_group_counts(
+    ds: "ray.data.Dataset",
+    key: str,
+    num_salts: int = 16,
+) -> "ray.data.Dataset":
+    """B8 demonstration primitive: two-phase salted count per hot key.
+
+    Phase 1 groups on (key, salt) — spreading a hot key over
+    ``num_salts`` reducers — phase 2 groups the tiny partials on key.
+    Used by per-repo rollups where a single giant repo would serialize
+    a direct groupby(key).
+    """
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        salt = np.arange(n, dtype=np.int64) % num_salts
+        small = t.select([key]).append_column("salt", pa.array(salt))
+        small = small.append_column("cnt", pa.array(np.ones(n, dtype=np.int64)))
+        return small.group_by([key, "salt"], use_threads=False).aggregate([("cnt", "sum")]).rename_columns([key, "salt", "cnt"])
+
+    phase1 = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    phase1 = phase1.groupby([key, "salt"]).aggregate(Sum("cnt", alias_name="cnt"))
+    return phase1.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
