@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in vald library code.
 """
 
 from __future__ import annotations
@@ -18,27 +15,61 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: validate every
+    testdata table against its bundled ConstraintSet (vald.specs) plus
+    the synthetic code corpus, and return the merged verdict table."""
+    import pandas as pd
+    import ray.data
+
+    from vald import corpus as C
+    from vald import pipeline as P
+    from vald.specs import ALL_SPECS, SPEC_COLUMNS
+
+    verdicts = []
+    parents = {
+        "customer": ray.data.read_parquet(
+            f"{SF_SMOKE}/customer.parquet", columns=["c_custkey"]
+        ),
+        "orders": ray.data.read_parquet(
+            f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey"]
+        ),
+    }
+    for table, spec in ALL_SPECS.items():
+        ds = ray.data.read_parquet(
+            f"{SF_SMOKE}/{table}.parquet", columns=SPEC_COLUMNS[table]
+        )
+        res = P.validate(ds, spec, parents=parents, concurrency=2)
+        df = res.verdicts_table().to_pandas()
+        df.insert(0, "table", table)
+        verdicts.append(df)
+
+    # north-rule corpus (generated input, violations injected)
+    n = 5000
+    res = P.validate(
+        C.corpus_dataset(n, 42, override_num_blocks=4),
+        C.CORPUS_SPEC,
+        parents={"repos": C.repos_table(n, 42)},
+        concurrency=2,
+    )
+    df = res.verdicts_table().to_pandas()
+    df.insert(0, "table", "corpus")
+    verdicts.append(df)
+    return pd.concat(verdicts, ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from vald.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each oracle-checkable query."""
+    from vald.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

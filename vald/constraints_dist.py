@@ -39,7 +39,7 @@ def _key_ref(t: pa.Table, cols: list[str], cs: ConstraintSet) -> list[str]:
     the key IS the row_ref key, else '|'-joined values."""
     if set(cols) == set(cs.row_ref_cols) and cs.row_ref_template:
         return P.build_row_ref(t, cs).to_pylist()
-    joined = [pc.cast(pc.fill_null(t[c], "<null>"), pa.string()) for c in cols]
+    joined = [pc.fill_null(pc.cast(t[c], pa.string()), "<null>") for c in cols]
     if len(joined) == 1:
         return joined[0].to_pylist()
     return pc.binary_join_element_wise(*joined, "|").to_pylist()

@@ -62,7 +62,15 @@ _COLUMN_KEYWORDS = (
 )
 
 # Annotation-only keywords carried but never executed [spec03 §5.20-5.22].
-_ANNOTATIONS = ("title", "description", "default", "severity")
+# exclusiveMinimum/Maximum are modifiers consumed by minimum/maximum.
+_ANNOTATIONS = (
+    "title",
+    "description",
+    "default",
+    "severity",
+    "exclusiveMinimum",
+    "exclusiveMaximum",
+)
 
 
 @dataclass

@@ -121,7 +121,7 @@ def build_row_ref(t: pa.Table, cs: ConstraintSet) -> pa.Array | None:
         pending = parts[0]
         for i in range(1, len(parts), 2):
             colname, lit = parts[i], parts[i + 1]
-            arr = pc.cast(pc.fill_null(t[colname], "<null>"), pa.string())
+            arr = pc.fill_null(pc.cast(t[colname], pa.string()), "<null>")
             if pending:
                 arr = pc.binary_join_element_wise(pa.array([pending] * len(t)), arr, "")
                 pending = ""
@@ -133,7 +133,7 @@ def build_row_ref(t: pa.Table, cs: ConstraintSet) -> pa.Array | None:
         if seps and seps[-1]:
             out = pc.binary_join_element_wise(out, pa.array([seps[-1]] * len(t)), "")
         return out
-    joined = [pc.cast(pc.fill_null(t[c], "<null>"), pa.string()) for c in cols]
+    joined = [pc.fill_null(pc.cast(t[c], pa.string()), "<null>") for c in cols]
     if len(joined) == 1:
         return joined[0]
     return pc.binary_join_element_wise(*joined, "|")

@@ -1,0 +1,472 @@
+"""Driver-harness query catalog (SURVEY.md §2.C) — each query has a
+Ray-Data-first implementation here and a DuckDB oracle in ORACLE_SQL.
+
+Contract (driver __ray_entry__): callable(sf_dir) -> Dataset / pandas /
+Arrow; column NAMES must match the oracle's aliases exactly (the driver
+sorts columns by name and hashes values). Floating aggregates are
+rounded to 6 dp on BOTH sides so IEEE summation-order differences can't
+flip the value hash.
+
+Scale notes: every read prunes columns; every groupby is preceded by a
+vectorized per-batch pre-aggregation where the key cardinality is much
+smaller than the row count; small dimension sides broadcast via
+ray.put instead of shuffling (SURVEY.md 'minimize shuffles').
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _empty(schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in schema], schema=schema
+    )
+
+
+def _ensure_schema(ds: "ray.data.Dataset", schema: pa.Schema) -> pa.Table:
+    """Collect a (small) result; return an empty typed table when the
+    pipeline produced zero rows, so empty results still schema-match."""
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    if len(t) == 0:
+        return _empty(schema)
+    return t.select(schema.names).cast(schema)
+
+
+# ---------------------------------------------------------------------------
+# A2 required — per-column null count via partial aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_required_nulls(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"nulls": [t["o_custkey"].null_count]})
+
+    total = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("nulls", alias_name="n_null")
+    )
+    return pa.table({"n_null": pa.array([total["n_null"] or 0], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# A3 enum — violation rows
+# ---------------------------------------------------------------------------
+
+_ENUM_RF = ("A", "N", "R")
+
+
+def q_enum_violations(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"])
+    bad = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(
+                pc.is_in(t["l_returnflag"], value_set=pa.array(list(_ENUM_RF)))
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _ensure_schema(
+        bad,
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_linenumber", pa.int32()), ("l_returnflag", pa.string())]
+        ),
+    )
+
+
+def q_enum_counts(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("l_returnflag", use_threads=False).aggregate([("l_returnflag", "count")])
+        return agg.rename_columns(["l_returnflag", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(out, pa.schema([("l_returnflag", pa.string()), ("n", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# A4 pattern
+# ---------------------------------------------------------------------------
+
+
+def q_pattern(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    bad = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.match_substring_regex(t["c_name"], "^Customer#[0-9]+$"))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _ensure_schema(bad, pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
+# A5 range
+# ---------------------------------------------------------------------------
+
+
+def q_range(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
+    bad = ds.map_batches(
+        lambda t: t.filter(
+            pc.or_(
+                pc.less(t["l_discount"], pa.scalar(0.0)),
+                pc.greater(t["l_discount"], pa.scalar(0.1)),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _ensure_schema(
+        bad,
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_linenumber", pa.int32()), ("l_discount", pa.float64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 string length
+# ---------------------------------------------------------------------------
+
+
+def q_strlen(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def short(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"])
+        t = t.append_column("text_len", pc.cast(ln, pa.int64()))
+        return t.filter(pc.less(ln, pa.scalar(100))).select(["doc_id", "text_len"])
+
+    return _ensure_schema(
+        ds.map_batches(short, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", pa.int64()), ("text_len", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 list bounds
+# ---------------------------------------------------------------------------
+
+
+def q_list_bounds(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def badlen(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.list_value_length(t["embedding"]), pa.int64())
+        t2 = pa.table({"vec_id": t["vec_id"], "emb_len": ln})
+        return t2.filter(pc.not_equal(ln, pa.scalar(64)))
+
+    return _ensure_schema(
+        ds.map_batches(badlen, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("vec_id", pa.int64()), ("emb_len", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 uniqueness — pre-aggregated groupby (no full-row shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_unique_key(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("o_orderkey", use_threads=False).aggregate([("o_orderkey", "count")])
+        return agg.rename_columns(["o_orderkey", "cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], pa.scalar(1))), batch_format="pyarrow"
+    )
+    return _ensure_schema(dups, pa.schema([("o_orderkey", pa.int64()), ("cnt", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# B5 referential integrity — broadcast anti-semi-join (dimension is small)
+# ---------------------------------------------------------------------------
+
+
+def q_ref_integrity(sf_dir: str):
+    cust_keys = set(
+        pa.Table.from_pandas(
+            _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+        )["c_custkey"].to_pylist()
+    )
+    keys_ref = ray.put(cust_keys)
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t["o_custkey"].to_pylist()
+            mask = np.fromiter(
+                (v is not None and v not in self.keys for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            return t.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    bad = ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    return _ensure_schema(bad, pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# B6 exact profile
+# ---------------------------------------------------------------------------
+
+
+def q_profile_exact(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    res = ds.aggregate(
+        Count(alias_name="n"),
+        Count("l_quantity", ignore_nulls=True, alias_name="n_nonnull"),
+        Min("l_quantity", alias_name="min_q"),
+        Max("l_quantity", alias_name="max_q"),
+        Mean("l_quantity", alias_name="avg_q"),
+    )
+    n_distinct = len(ds.unique("l_quantity"))
+    return pa.table(
+        {
+            "n": pa.array([res["n"]], type=pa.int64()),
+            "n_null": pa.array([res["n"] - res["n_nonnull"]], type=pa.int64()),
+            "min_q": pa.array([round(res["min_q"], 6)], type=pa.float64()),
+            "max_q": pa.array([round(res["max_q"], 6)], type=pa.float64()),
+            "avg_q": pa.array([round(res["avg_q"], 6)], type=pa.float64()),
+            "n_distinct": pa.array([n_distinct], type=pa.int64()),
+        }
+    )
+
+
+def q_quantiles_exact(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    res = ds.aggregate(
+        Quantile("l_extendedprice", q=0.5, alias_name="median_price"),
+        Quantile("l_extendedprice", q=0.9, alias_name="p90_price"),
+    )
+    return pa.table(
+        {
+            "median_price": pa.array([round(res["median_price"], 6)], type=pa.float64()),
+            "p90_price": pa.array([round(res["p90_price"], 6)], type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 dynamic / B15 json — parse events.props per row (batched)
+# ---------------------------------------------------------------------------
+
+
+def q_json_props(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = []
+        for v in t["props"].to_pylist():
+            if v is None:
+                ks.append(None)
+                continue
+            try:
+                k = json.loads(v).get("k")
+                ks.append(int(k) if isinstance(k, (int, float)) and not isinstance(k, bool) else None)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                ks.append(None)
+        out = pa.table({"event_id": t["event_id"], "k": pa.array(ks, type=pa.int64())})
+        return out.filter(pc.greater_equal(out["k"], pa.scalar(90)))
+
+    return _ensure_schema(
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("event_id", pa.int64()), ("k", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 dependencies — cross-field consistency
+# ---------------------------------------------------------------------------
+
+
+def q_dependencies(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    bad = ds.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(pc.cast(pc.utf8_length(t["text"]), pa.int64()), t["n_chars"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _ensure_schema(bad, pa.schema([("doc_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# B12 top-k
+# ---------------------------------------------------------------------------
+
+
+def q_topk_offenders(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("event_type", use_threads=False).aggregate([("event_type", "count")])
+        return agg.rename_columns(["event_type", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "event_type"], descending=[True, False]).limit(5)
+    return _ensure_schema(top, pa.schema([("event_type", pa.string()), ("n", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# B11 dedup (distinct pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"], use_threads=False).aggregate([])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="cnt"))
+        .drop_columns(["cnt"])
+    )
+    return _ensure_schema(pairs, pa.schema([("user_id", pa.int64()), ("event_type", pa.string())]))
+
+
+# ---------------------------------------------------------------------------
+# flagship corpus pipeline (rows-only check: no SQL oracle — the corpus
+# is generated, not a driver table)
+# ---------------------------------------------------------------------------
+
+_CORPUS_N = 20000
+
+
+def q_corpus_verdicts(sf_dir: str):
+    from . import corpus as C
+    from . import pipeline as P
+
+    ds = C.corpus_dataset(_CORPUS_N, 42, override_num_blocks=16)
+    res = P.validate(
+        ds, C.CORPUS_SPEC, parents={"repos": C.repos_table(_CORPUS_N, 42)}, concurrency=4
+    )
+    return res.verdicts_table()
+
+
+def q_corpus_violations(sf_dir: str):
+    from . import corpus as C
+    from . import pipeline as P
+
+    ds = C.corpus_dataset(_CORPUS_N, 42, override_num_blocks=16)
+    res = P.validate(
+        ds, C.CORPUS_SPEC, parents={"repos": C.repos_table(_CORPUS_N, 42)}, concurrency=4
+    )
+    return res.violations_table()
+
+
+QUERIES = {
+    "q_required_nulls": q_required_nulls,
+    "q_enum_violations": q_enum_violations,
+    "q_enum_counts": q_enum_counts,
+    "q_pattern": q_pattern,
+    "q_range": q_range,
+    "q_strlen": q_strlen,
+    "q_list_bounds": q_list_bounds,
+    "q_unique_key": q_unique_key,
+    "q_ref_integrity": q_ref_integrity,
+    "q_profile_exact": q_profile_exact,
+    "q_quantiles_exact": q_quantiles_exact,
+    "q_json_props": q_json_props,
+    "q_dependencies": q_dependencies,
+    "q_topk_offenders": q_topk_offenders,
+    "q_dedup": q_dedup,
+    "q_corpus_verdicts": q_corpus_verdicts,
+    "q_corpus_violations": q_corpus_violations,
+}
+
+ORACLE_SQL = {
+    "q_required_nulls": "SELECT count(*) - count(o_custkey) AS n_null FROM orders",
+    "q_enum_violations": (
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+        "WHERE l_returnflag NOT IN ('A','N','R')"
+    ),
+    "q_enum_counts": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q_pattern": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT regexp_matches(c_name, '^Customer#[0-9]+$')"
+    ),
+    "q_range": (
+        "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem "
+        "WHERE l_discount < 0.0 OR l_discount > 0.1"
+    ),
+    "q_strlen": (
+        "SELECT doc_id, length(text) AS text_len FROM documents WHERE length(text) < 100"
+    ),
+    "q_list_bounds": (
+        "SELECT vec_id, len(embedding)::BIGINT AS emb_len FROM embeddings "
+        "WHERE len(embedding) <> 64"
+    ),
+    "q_unique_key": (
+        "SELECT o_orderkey, count(*) AS cnt FROM orders "
+        "GROUP BY o_orderkey HAVING count(*) > 1"
+    ),
+    "q_ref_integrity": (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"
+    ),
+    "q_profile_exact": (
+        "SELECT count(*) AS n, count(*) - count(l_quantity) AS n_null, "
+        "round(min(l_quantity), 6) AS min_q, round(max(l_quantity), 6) AS max_q, "
+        "round(avg(l_quantity), 6) AS avg_q, count(DISTINCT l_quantity) AS n_distinct "
+        "FROM lineitem"
+    ),
+    "q_quantiles_exact": (
+        "SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price, "
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price FROM lineitem"
+    ),
+    "q_json_props": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90"
+    ),
+    "q_dependencies": "SELECT doc_id FROM documents WHERE length(text) <> n_chars",
+    "q_topk_offenders": (
+        "SELECT event_type, count(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
+    ),
+    "q_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    # q_corpus_verdicts / q_corpus_violations: generated input → rows-only
+}
