@@ -1,0 +1,353 @@
+"""Distribution-drift checks (SURVEY.md B9): per-partition KS / PSI vs
+a frozen baseline profile.
+
+Plan shape (no data shuffle — only sketch rows move):
+
+1. per-batch partial sketches per (partition, column) — numeric columns
+   (or string columns viewed as lengths) feed a t-digest; categorical
+   columns feed a value-count dict (enum-ish cardinality assumed).
+2. ``groupby(partition_id, column)`` merges partials into one sketch
+   per partition-column.
+3. a stateless map over the merged sketch rows computes, vs the
+   actor-held baseline:
+   - **KS** = max |CDF_part − CDF_base| on a merged t-digest quantile
+     grid (numeric),
+   - **PSI** (numeric) over 10 bins frozen at the BASELINE's deciles
+     (so bins always align, FIXTURES.md §4),
+   - **PSI** (categorical) over the baseline's value probabilities with
+     ε-floored bins,
+   and emits RESULT_SCHEMA rows: a violation when the statistic
+   exceeds its threshold, plus per-partition verdict partials.
+
+Baseline artifact (FIXTURES.md §4): Parquet rows
+``(column, kind, n, payload, values_json)`` where payload is a
+serialized t-digest and values_json holds categorical probabilities.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from . import pipeline as P
+from .ir import ConstraintSet, DistCheck
+from .sketches import TDigest, ks_statistic
+
+__all__ = [
+    "build_baseline",
+    "save_baseline",
+    "load_baseline",
+    "drift_check_results",
+    "psi_numeric",
+    "psi_categorical",
+]
+
+BASELINE_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("kind", pa.string()),  # "numeric" | "categorical"
+        ("n", pa.int64()),
+        ("payload", pa.binary()),  # serialized t-digest (numeric)
+        ("values_json", pa.string()),  # {"value": prob} (categorical)
+    ]
+)
+
+_EPS = 1e-6
+
+
+def psi_numeric(part: TDigest, base: TDigest, nbins: int = 10) -> float:
+    """PSI over bins frozen at the baseline's quantile edges: expected
+    mass per bin is 1/nbins by construction; observed mass from the
+    partition CDF evaluated at those edges."""
+    if part.total_weight == 0 or base.total_weight == 0:
+        return 0.0
+    edges = [base.quantile(i / nbins) for i in range(1, nbins)]
+    cdfs = [0.0] + [part.cdf(e) for e in edges] + [1.0]
+    obs = np.clip(np.diff(cdfs), _EPS, None)
+    exp = np.full(nbins, 1.0 / nbins)
+    obs = obs / obs.sum()
+    return float(np.sum((obs - exp) * np.log(obs / exp)))
+
+
+def psi_categorical(part_counts: dict, base_probs: dict) -> float:
+    total = sum(part_counts.values())
+    if total == 0:
+        return 0.0
+    cats = set(part_counts) | set(base_probs)
+    p = np.array([max(part_counts.get(c, 0) / total, _EPS) for c in sorted(cats)])
+    q = np.array([max(base_probs.get(c, 0.0), _EPS) for c in sorted(cats)])
+    p, q = p / p.sum(), q / q.sum()
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+# ---------------------------------------------------------------------------
+# partial / merge stages (shared by baseline build + drift check)
+# ---------------------------------------------------------------------------
+
+_SKETCH_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("column", pa.string()),
+        ("kind", pa.string()),
+        ("n", pa.int64()),
+        ("payload", pa.binary()),
+        ("values_json", pa.string()),
+    ]
+)
+
+
+def _sketch_partials(
+    numeric_cols: list[str], cat_cols: list[str], cs: ConstraintSet | None
+):
+    """Returns a map_batches fn emitting one sketch row per
+    (partition, column) per batch."""
+    from .aggregates import _numeric_view
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _SKETCH_SCHEMA.empty_table()
+        pids = (
+            P.build_partition_ids(t, cs)
+            if cs is not None
+            else np.zeros(len(t), dtype=np.int32)
+        )
+        rows = {f.name: [] for f in _SKETCH_SCHEMA}
+        for pid in np.unique(pids):
+            sub = t.filter(pa.array(pids == pid))
+            for c in numeric_cols:
+                nv = _numeric_view(sub[c])
+                vals = nv[~np.isnan(nv)] if nv is not None else np.empty(0)
+                rows["partition_id"].append(int(pid))
+                rows["column"].append(c)
+                rows["kind"].append("numeric")
+                rows["n"].append(int(len(vals)))
+                rows["payload"].append(TDigest().update(vals).serialize())
+                rows["values_json"].append("")
+            for c in cat_cols:
+                vc = pc.value_counts(sub[c].drop_null())
+                counts = {
+                    str(x["values"]): int(x["counts"]) for x in vc.to_pylist()
+                }
+                rows["partition_id"].append(int(pid))
+                rows["column"].append(c)
+                rows["kind"].append("categorical")
+                rows["n"].append(int(sum(counts.values())))
+                rows["payload"].append(b"")
+                rows["values_json"].append(json.dumps(counts, sort_keys=True))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], type=f.type) for f in _SKETCH_SCHEMA],
+            schema=_SKETCH_SCHEMA,
+        )
+
+    return fn
+
+
+def _merge_sketch_group(g: pa.Table) -> pa.Table:
+    kind = g["kind"][0].as_py()
+    n = int(pc.sum(g["n"]).as_py() or 0)
+    if kind == "numeric":
+        td = TDigest()
+        for b in g["payload"].to_pylist():
+            td.merge(TDigest.deserialize(b))
+        payload, values_json = td.serialize(), ""
+    else:
+        counts: dict[str, int] = {}
+        for s in g["values_json"].to_pylist():
+            for k, v in json.loads(s or "{}").items():
+                counts[k] = counts.get(k, 0) + v
+        payload, values_json = b"", json.dumps(counts, sort_keys=True)
+    return pa.Table.from_arrays(
+        [
+            pa.array([g["partition_id"][0].as_py()], type=pa.int32()),
+            pa.array([g["column"][0].as_py()]),
+            pa.array([kind]),
+            pa.array([n], type=pa.int64()),
+            pa.array([payload], type=pa.binary()),
+            pa.array([values_json]),
+        ],
+        schema=_SKETCH_SCHEMA,
+    )
+
+
+def _merged_sketches(
+    ds: "ray.data.Dataset",
+    numeric_cols: list[str],
+    cat_cols: list[str],
+    cs: ConstraintSet | None,
+) -> "ray.data.Dataset":
+    partials = ds.map_batches(
+        _sketch_partials(numeric_cols, cat_cols, cs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby(["partition_id", "column"]).map_groups(
+        _merge_sketch_group, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# baseline build / io
+# ---------------------------------------------------------------------------
+
+
+def build_baseline(
+    ds: "ray.data.Dataset", numeric_cols: list[str], cat_cols: list[str] | None = None
+) -> pa.Table:
+    """Whole-table baseline profile from a (clean) reference dataset."""
+    merged = _merged_sketches(ds, numeric_cols, cat_cols or [], cs=None)
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    out = {f.name: [] for f in BASELINE_SCHEMA}
+    for i in range(len(t)):
+        kind = t["kind"][i].as_py()
+        out["column"].append(t["column"][i].as_py())
+        out["kind"].append(kind)
+        n = t["n"][i].as_py()
+        out["n"].append(n)
+        if kind == "numeric":
+            out["payload"].append(t["payload"][i].as_py())
+            out["values_json"].append("")
+        else:
+            counts = json.loads(t["values_json"][i].as_py() or "{}")
+            probs = {k: v / n for k, v in counts.items()} if n else {}
+            out["payload"].append(b"")
+            out["values_json"].append(json.dumps(probs, sort_keys=True))
+    return pa.Table.from_arrays(
+        [pa.array(out[f.name], type=f.type) for f in BASELINE_SCHEMA],
+        schema=BASELINE_SCHEMA,
+    )
+
+
+def save_baseline(baseline: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(baseline, path)
+
+
+def load_baseline(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+# ---------------------------------------------------------------------------
+# drift check (plugs into pipeline.validate via constraints_dist)
+# ---------------------------------------------------------------------------
+
+
+class _DriftCompare:
+    """Actor-held baseline (B7): loaded once per actor, compared against
+    each merged partition sketch row."""
+
+    def __init__(
+        self,
+        baseline_path: str | None,
+        baseline_table: bytes | None,
+        cid: str,
+        ks_threshold: float,
+        psi_threshold: float,
+    ):
+        if baseline_table is not None:
+            import io
+
+            import pyarrow.ipc as ipc
+
+            t = ipc.open_stream(io.BytesIO(baseline_table)).read_all()
+        else:
+            t = load_baseline(baseline_path)
+        self.base: dict[str, tuple[str, object]] = {}
+        for i in range(len(t)):
+            col = t["column"][i].as_py()
+            kind = t["kind"][i].as_py()
+            if kind == "numeric":
+                self.base[col] = (kind, TDigest.deserialize(t["payload"][i].as_py()))
+            else:
+                self.base[col] = (kind, json.loads(t["values_json"][i].as_py() or "{}"))
+        self.cid = cid
+        self.ks_t = ks_threshold
+        self.psi_t = psi_threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {f.name: [] for f in P.RESULT_SCHEMA}
+        for i in range(len(t)):
+            col = t["column"][i].as_py()
+            if col not in self.base:
+                continue
+            kind, base = self.base[col]
+            pid = t["partition_id"][i].as_py()
+            n = t["n"][i].as_py()
+            cid = f"{self.cid}.{col}"
+            if kind == "numeric":
+                td = TDigest.deserialize(t["payload"][i].as_py())
+                ks = ks_statistic(td, base)
+                psi = psi_numeric(td, base)
+                bad = ks > self.ks_t or psi > self.psi_t
+                observed = f"ks={ks:.4f},psi={psi:.4f}"
+            else:
+                counts = json.loads(t["values_json"][i].as_py() or "{}")
+                psi = psi_categorical(counts, base)
+                bad = psi > self.psi_t
+                observed = f"psi={psi:.4f}"
+            out["partition_id"].append(pid)
+            out["constraint_id"].append(cid)
+            out["row_ref"].append("")
+            out["column"].append("")
+            out["observed"].append("")
+            out["detail"].append("")
+            out["is_violation"].append(False)
+            out["n_checked"].append(int(n))
+            out["n_violations"].append(1 if bad else 0)
+            if bad:
+                out["partition_id"].append(pid)
+                out["constraint_id"].append(cid)
+                out["row_ref"].append(f"partition={pid}")
+                out["column"].append(col)
+                out["observed"].append(observed)
+                out["detail"].append("drift")
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+
+def drift_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """B9 entry called from pipeline.validate for ``kind: drift`` checks.
+
+    params: columns (numeric view), cat_columns, baseline (path) OR
+    baseline_table (pa.Table), ks_threshold (default 0.15),
+    psi_threshold (default 0.25)."""
+    numeric_cols = list(dist.params.get("columns", []))
+    cat_cols = list(dist.params.get("cat_columns", []))
+    merged = _merged_sketches(ds, numeric_cols, cat_cols, cs)
+
+    baseline_path = dist.params.get("baseline")
+    baseline_bytes = None
+    bt = dist.params.get("baseline_table")
+    if bt is not None:
+        import io
+
+        import pyarrow.ipc as ipc
+
+        buf = io.BytesIO()
+        with ipc.new_stream(buf, bt.schema) as w:
+            w.write_table(bt)
+        baseline_bytes = buf.getvalue()
+
+    return merged.map_batches(
+        _DriftCompare,
+        fn_constructor_kwargs={
+            "baseline_path": baseline_path,
+            "baseline_table": baseline_bytes,
+            "cid": dist.constraint_id,
+            "ks_threshold": float(dist.params.get("ks_threshold", 0.15)),
+            "psi_threshold": float(dist.params.get("psi_threshold", 0.25)),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
