@@ -1,0 +1,109 @@
+"""Checkpoint/resume (B16, SURVEY §5.2.7) + CLI smoke."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from vald import corpus as C
+from vald.checkpoint import CheckpointManager, run_resumable
+
+N = 3000
+SEED = 42
+
+
+def _partitions(n_shards=4):
+    per = N // n_shards
+    return {
+        f"shard{i}": (
+            lambda i=i: ray.data.range(per).map_batches(
+                lambda b, i=i: C.gen_batch(
+                    b["id"].to_numpy() + i * per, N, SEED
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        for i in range(n_shards)
+    }
+
+
+def test_resume_skips_completed_and_outputs_identical(tmp_path, ray_session):
+    parents = {"repos": C.repos_table(N, SEED)}
+    out_full = str(tmp_path / "full")
+    s1 = run_resumable(_partitions(), C.CORPUS_SPEC, out_full, parents=parents, concurrency=2)
+    assert len(s1.completed) == 4 and not s1.skipped
+    assert s1.total_violations > 0
+
+    # interrupted run: only 2 of 4 partitions, then resume with all 4
+    out_resume = str(tmp_path / "resumed")
+    parts = _partitions()
+    first_two = {k: parts[k] for k in list(sorted(parts))[:2]}
+    run_resumable(first_two, C.CORPUS_SPEC, out_resume, parents=parents, concurrency=2)
+    mgr = CheckpointManager(out_resume)
+    assert mgr.completed() == {"shard0", "shard1"}
+    mtimes = {
+        p: os.path.getmtime(os.path.join(mgr.ckpt_dir, p + ".json"))
+        for p in mgr.completed()
+    }
+    s2 = run_resumable(parts, C.CORPUS_SPEC, out_resume, parents=parents, concurrency=2)
+    assert sorted(s2.skipped) == ["shard0", "shard1"]
+    assert sorted(s2.completed) == ["shard2", "shard3"]
+    # completed partitions were NOT recomputed (manifest mtimes unchanged)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(mgr.ckpt_dir, p + ".json")) == m
+
+    # outputs byte-identical to the uninterrupted run
+    for kind in ("violations", "verdicts"):
+        for shard in ("shard0", "shard1", "shard2", "shard3"):
+            a = pq.read_table(f"{out_full}/{kind}/partition={shard}/part-0.parquet")
+            b = pq.read_table(f"{out_resume}/{kind}/partition={shard}/part-0.parquet")
+            assert a.equals(b), (kind, shard)
+
+    # lineage content
+    man = mgr.manifest("shard2")
+    assert man["constraint_ids"] and man["code_version"] and man["rows"] > 0
+
+
+def test_cli_end_to_end(tmp_path):
+    """CLI drives gen-corpus → run --checkpoint → resume, in a fresh
+    process (the CLI owns its own Ray session)."""
+    env = dict(os.environ)
+    corpus_dir = str(tmp_path / "corpus")
+    r = subprocess.run(
+        [sys.executable, "-m", "vald", "--num-cpus", "2", "gen-corpus",
+         "--rows", "2000", "--out", corpus_dir],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 2000
+
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(C.CORPUS_SPEC, f)
+    out_dir = str(tmp_path / "out")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "vald", "--num-cpus", "2", "run",
+         "--input", f"{corpus_dir}/corpus/*.parquet", "--spec", spec_path,
+         "--parent", f"repos={corpus_dir}/repos.parquet",
+         "--out", out_dir, "--checkpoint"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr
+    res = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res["completed"] >= 1 and res["violations"] > 0
+
+    # resume: everything skipped
+    r3 = subprocess.run(
+        [sys.executable, "-m", "vald", "--num-cpus", "2", "run",
+         "--input", f"{corpus_dir}/corpus/*.parquet", "--spec", spec_path,
+         "--parent", f"repos={corpus_dir}/repos.parquet",
+         "--out", out_dir, "--checkpoint"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    res3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert res3["completed"] == 0 and res3["skipped"] == res["completed"] + res["skipped"]

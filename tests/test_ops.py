@@ -1,0 +1,186 @@
+"""Training-data ops tests: dedup (exact + MinHash + SimHash),
+similarity search (brute + IVF recall), text analysis, multimodal
+plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from vald.ops import dedup as DD
+from vald.ops import multimodal as MM
+from vald.ops import similarity as SIM
+from vald.ops import text as TX
+
+
+def _docs(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "the quick brown fox jumps over the lazy dog " * 8,  # exact dup of 0
+        "the quick brown fox jumps over the lazy cat " * 8,  # near dup of 0
+        "completely different content about databases and distributed systems " * 6,
+        "der schnelle braune fuchs springt und die hunde sind nicht da " * 6,
+        "el zorro marron rapido salta sobre el perro perezoso que es muy lento " * 6,
+        "le renard brun rapide saute par dessus le chien paresseux dans les bois " * 6,
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    return ray.data.from_arrow(t), texts
+
+
+def test_exact_dedup_and_distinct(ray_session):
+    ds, texts = _docs(ray_session)
+    out = DD.exact_dedup(ds, "text", id_col="doc_id").to_pandas()
+    assert len(out) == len(set(texts))
+    assert 0 in set(out.doc_id) and 1 not in set(out.doc_id)  # keeps min id
+    assert DD.distinct_count(ds, "text") == len(set(texts))
+
+
+def test_minhash_accuracy_vs_exact_jaccard():
+    mh = DD.MinHasher(num_perm=256, shingle_k=5)
+    a = "the quick brown fox jumps over the lazy dog " * 8
+    b = "the quick brown fox jumps over the lazy cat " * 8
+    est = float((mh.signature(a) == mh.signature(b)).mean())
+    exact = DD.ngram_jaccard(a, b, k=5)
+    assert abs(est - exact) < 0.1
+    assert float((mh.signature(a) == mh.signature(a)).mean()) == 1.0
+
+
+def test_minhash_lsh_pipeline(ray_session):
+    ds, _ = _docs(ray_session)
+    pairs = DD.minhash_dedup_pairs(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in got  # exact dup found
+    assert (0, 2) in got and (1, 2) in got  # near dup found
+    assert not any(3 in p for p in got)  # unrelated doc clean
+    groups = DD.near_dup_groups(pairs)
+    assert groups.get(1) == 0 and groups.get(2) == 0
+
+
+def test_simhash_pipeline(ray_session):
+    ds, _ = _docs(ray_session)
+    pairs = DD.simhash_dedup_pairs(ds, "text", "doc_id", max_hamming=6)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in got
+    assert not any(3 in p and (0 in p or 1 in p) for p in got)
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": list(range(200)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), type=pa.float32()), 16
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = emb[[3, 77]] + rng.standard_normal((2, 16)).astype(np.float32) * 0.01
+    out = SIM.knn_brute(ds, q, k=5).to_pandas()
+    # reference: full numpy
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    scores = en @ qn.T
+    for qi in (0, 1):
+        expect = set(np.argsort(-scores[:, qi])[:5].tolist())
+        got = set(out[out.query_id == qi].vec_id)
+        assert got == expect
+    assert out[out.query_id == 0].iloc[0].vec_id == 3  # nearest is the seed
+
+
+def test_knn_ivf_recall(ray_session):
+    rng = np.random.default_rng(9)
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 4
+    emb = np.vstack([c + rng.standard_normal((50, 16)).astype(np.float32) for c in centers])
+    t = pa.table(
+        {
+            "vec_id": list(range(len(emb))),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), type=pa.float32()), 16
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    idx = SIM.IvfIndex.train(ds, num_cells=8, sample_frac=0.5)
+    q = emb[[10, 260]]
+    brute = SIM.knn_brute(ds, q, k=10).to_pandas()
+    ivf = SIM.knn_ivf(ds, q, idx, k=10, nprobe=3).to_pandas()
+    for qi in (0, 1):
+        b = set(brute[brute.query_id == qi].vec_id)
+        a = set(ivf[ivf.query_id == qi].vec_id)
+        assert len(a & b) / len(b) >= 0.8  # recall@10 >= 0.8
+
+
+def test_language_id(ray_session):
+    ds, _ = _docs(ray_session)
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog are in the house with the mouse",
+                "der hund und die katze sind nicht im haus von dem mann",
+                "el perro y el gato en la casa es un animal por la noche",
+                "这是一个中文测试文档里面有很多汉字用于语言识别",
+            ],
+        }
+    )
+    out = TX.language_id(ray.data.from_arrow(t), concurrency=1).to_pandas()
+    assert list(out.sort_values("doc_id").lang_pred) == ["en", "de", "es", "zh"]
+
+
+def test_quality_and_tokens(ray_session):
+    t = pa.table(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "The quick brown fox jumps over the lazy dog. " * 15,
+                "0101010101 0101010101 0101010101 0101010101",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    q = TX.quality_scores(ds, concurrency=1).to_pandas().sort_values("doc_id")
+    assert q.iloc[0].quality_score > q.iloc[1].quality_score
+    tk = TX.token_counts(ds, concurrency=1).to_pandas().sort_values("doc_id")
+    assert tk.iloc[0].n_tokens_ws == 9 * 15
+    assert tk.iloc[0].n_tokens_bpeish >= tk.iloc[0].n_tokens_ws  # punct splits add
+    fp = TX.fingerprints(ds, concurrency=1).to_pandas()
+    assert fp.fingerprint.str.len().eq(8 * 16).all()
+    # identical text → identical fingerprint
+    t2 = pa.table({"doc_id": [0, 1], "text": [t["text"][0].as_py()] * 2})
+    fp2 = TX.fingerprints(ray.data.from_arrow(t2), concurrency=1).to_pandas()
+    assert fp2.fingerprint.nunique() == 1
+
+
+def test_multimodal_pipeline(ray_session):
+    ds = MM.fake_media_dataset(40, kind="video")
+    dec = MM.decode_media(ds, concurrency=1).to_pandas()
+    assert dec.decode_error.isna().all()
+    assert (dec.height >= 32).all() and "payload" not in dec.columns
+    emb = MM.embed_media(MM.fake_media_dataset(10), dim=16, concurrency=1).to_pandas()
+    assert len(emb.iloc[0].media_embedding) == 16
+    # determinism: same seed → same embedding
+    emb2 = MM.embed_media(MM.fake_media_dataset(10), dim=16, concurrency=1).to_pandas()
+    assert np.allclose(
+        np.stack(emb.sort_values("media_id").media_embedding.values),
+        np.stack(emb2.sort_values("media_id").media_embedding.values),
+    )
+    frames = MM.sample_frames(MM.fake_media_dataset(20, kind="video"), stride=4, concurrency=1).to_pandas()
+    assert (frames.frame_idx % 4 == 0).all() and len(frames) > 20 / 2
+
+    # poison pill: corrupt payload → decode_error row, not a crash
+    bad = pa.table(
+        {
+            "media_id": [99],
+            "kind": ["image"],
+            "payload": [b"NOTAMEDIAFILE"],
+            "meta_json": ["{}"],
+        }
+    )
+    out = MM.decode_media(ray.data.from_arrow(bad), concurrency=1).to_pandas()
+    assert out.decode_error.notna().all()

@@ -1,0 +1,180 @@
+"""CLI entry point (SURVEY.md §3.3): ``python -m vald <cmd>`` — also the
+payload one would hand to ``ray job submit`` on a real cluster.
+
+The CLI owns the Ray session (guarded init); library code never does.
+
+Commands:
+  run         validate parquet input against a JSON spec, checkpointed
+  gen-corpus  write the deterministic synthetic corpus + repos + truth
+  baseline    build & save a drift baseline profile
+  profile     per-column profile of a parquet input
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    import ray.data
+
+    from .checkpoint import run_resumable
+    from .pipeline import validate
+
+    _ray_init(args.num_cpus)
+    with open(args.spec) as f:
+        spec = json.load(f)
+    parents = {}
+    for p in args.parent or []:
+        name, path = p.split("=", 1)
+        parents[name] = ray.data.read_parquet(path)
+
+    files = sorted(globmod.glob(args.input))
+    if not files:
+        print(f"no input matches {args.input!r}", file=sys.stderr)
+        return 2
+    if args.out and args.checkpoint:
+        partitions = {
+            f"shard{i:05d}": (lambda f=f: ray.data.read_parquet(f))
+            for i, f in enumerate(files)
+        }
+        summary = run_resumable(
+            partitions, spec, args.out, parents=parents, resume=not args.no_resume
+        )
+        print(
+            json.dumps(
+                {
+                    "completed": len(summary.completed),
+                    "skipped": len(summary.skipped),
+                    "rows": summary.total_rows,
+                    "violations": summary.total_violations,
+                    "out": args.out,
+                }
+            )
+        )
+    else:
+        ds = ray.data.read_parquet(files)
+        res = validate(ds, spec, parents=parents)
+        verd = res.verdicts_table()
+        if args.out:
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(res.violations_table(), os.path.join(args.out, "violations.parquet"))
+            pq.write_table(verd, os.path.join(args.out, "verdicts.parquet"))
+        import pyarrow.compute as pc
+
+        print(
+            json.dumps(
+                {
+                    "pass": bool(res.passed()),
+                    "constraints": verd.num_rows,
+                    "violations": int(pc.sum(verd["n_violations"]).as_py() or 0),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_gen_corpus(args) -> int:
+    from .corpus import write_corpus
+
+    _ray_init(args.num_cpus)
+    write_corpus(args.out, args.rows, args.seed)
+    print(json.dumps({"out": args.out, "rows": args.rows, "seed": args.seed}))
+    return 0
+
+
+def cmd_baseline(args) -> int:
+    import ray.data
+
+    from .drift import build_baseline, save_baseline
+
+    _ray_init(args.num_cpus)
+    ds = ray.data.read_parquet(sorted(globmod.glob(args.input)))
+    baseline = build_baseline(
+        ds, numeric_cols=args.numeric or [], cat_cols=args.categorical or []
+    )
+    save_baseline(baseline, args.out)
+    print(json.dumps({"out": args.out, "columns": baseline.num_rows}))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    import ray.data
+
+    from .aggregates import profile
+
+    _ray_init(args.num_cpus)
+    ds = ray.data.read_parquet(sorted(globmod.glob(args.input)), columns=args.columns)
+    out = profile(ds, args.columns, partition_col=args.partition_by)
+    df = out.to_pandas().drop(columns=["tdigest", "hll"])
+    print(df.to_string(index=False))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="vald", description="Ray-Data-native table validator")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="validate parquet input against a spec")
+    p.add_argument("--input", required=True, help="parquet glob")
+    p.add_argument("--spec", required=True, help="JSON table-spec path")
+    p.add_argument("--out", default=None, help="output dir")
+    p.add_argument("--parent", action="append", help="name=parquet_path (refint parents)")
+    p.add_argument("--checkpoint", action="store_true", help="per-shard checkpointed run")
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("gen-corpus", help="write synthetic corpus")
+    p.add_argument("--rows", type=int, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_gen_corpus)
+
+    p = sub.add_parser("baseline", help="build drift baseline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--numeric", nargs="*", default=[])
+    p.add_argument("--categorical", nargs="*", default=[])
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_baseline)
+
+    p = sub.add_parser("profile", help="profile parquet columns")
+    p.add_argument("--input", required=True)
+    p.add_argument("--columns", nargs="+", required=True)
+    p.add_argument("--partition-by", default=None)
+    p.set_defaults(fn=cmd_profile)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

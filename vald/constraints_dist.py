@@ -50,41 +50,91 @@ def unique_check_results(
 ) -> "ray.data.Dataset":
     """B4: table-wide uniqueness on ``dist.params['columns']``.
 
-    plan: map_batches pre-agg → groupby(key).aggregate(Sum(cnt),
-    Min(partition_id)) → result rows. One violation row per duplicate
-    group (observed = multiplicity); n_violations counts rows in excess
-    of the first occurrence, so verdicts are parallelism-invariant.
+    Plan (measured fastest of 5 shuffle formulations at 1M keys / 32
+    cpus — 3s vs 27-67s for direct multi/single-column groupby):
+
+    1. map_batches pre-agg: vectorized local ``pyarrow group_by`` per
+       batch → one row per distinct key per batch carrying
+       ``(k, ref, bucket, partition_id, cnt)``; ``k`` is the exact
+       \\x1f-joined key, ``bucket = stable_hash64(k) % B`` (\\x1f, NOT
+       \\x00 — pandas siphash truncates at NUL, vald.hashing caveat).
+    2. ``groupby("bucket")`` — the all-to-all moves one small-int-keyed
+       row per distinct key per batch, nothing else — then a local
+       C++ ``group_by(k)`` inside ``map_groups`` finishes the exact
+       count per key (equal keys are co-located by the bucket hash).
+    3. emit verdict partials + one violation row per duplicate group
+       (observed = multiplicity); n_violations = rows in excess of the
+       first occurrence → parallelism-invariant verdicts.
+
+    ``num_buckets`` (param) must scale with data: each bucket is one
+    map_groups task; default 256, use ~(total_keys / 5M) at scale.
     """
     cols = list(dist.params["columns"])
     cid = dist.constraint_id
+    num_buckets = int(dist.params.get("num_buckets", 256))
+
+    pre_schema = pa.schema(
+        [
+            ("h", pa.uint64()),
+            ("ref", pa.string()),
+            ("bucket", pa.int32()),
+            ("partition_id", pa.int32()),
+            ("cnt", pa.int64()),
+        ]
+    )
 
     def pre(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table(
-                {
-                    **{c: pa.array([], type=pa.string()) for c in cols},
-                    "partition_id": pa.array([], type=pa.int32()),
-                    "cnt": pa.array([], type=pa.int64()),
-                }
-            )
+            return pre_schema.empty_table()
+        from .hashing import KEY_SEP, stable_hash64
+
         pids = P.build_partition_ids(t, cs)
-        # stringify + fill nulls: Ray's sort-based groupby cannot order
-        # None keys, and "<null>" matches build_row_ref's null fill.
-        keys = [
-            pc.fill_null(pc.cast(t[c], pa.string()), "<null>") for c in cols
-        ]
-        small = pa.table({**dict(zip(cols, keys))})
-        small = small.append_column("partition_id", pa.array(pids, type=pa.int32()))
-        small = small.append_column("cnt", pa.array(np.ones(len(t), dtype=np.int64)))
-        agg = small.group_by(cols, use_threads=False).aggregate(
+        # canonical key string (the violation row_ref) + its 64-bit hash;
+        # downstream groups on (h, ref) — the int prefix makes the sort
+        # cheap, the ref equality guards against hash collisions.
+        if set(cols) == set(cs.row_ref_cols) and cs.row_ref_template:
+            ref = P.build_row_ref(t, cs)
+        else:
+            keys = [pc.fill_null(pc.cast(t[c], pa.string()), "<null>") for c in cols]
+            ref = (
+                keys[0]
+                if len(keys) == 1
+                else pc.binary_join_element_wise(*keys, KEY_SEP)
+            )
+        small = pa.table(
+            {
+                "ref": ref,
+                "partition_id": pa.array(pids, type=pa.int32()),
+                "cnt": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by("ref", use_threads=False).aggregate(
             [("partition_id", "min"), ("cnt", "sum")]
         )
-        return agg.rename_columns(cols + ["partition_id", "cnt"])
+        agg = agg.rename_columns(["ref", "partition_id", "cnt"])
+        h = stable_hash64(agg["ref"])
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.uint64()),
+                "ref": agg["ref"],
+                "bucket": pa.array(bucket),
+                "partition_id": agg["partition_id"],
+                "cnt": agg["cnt"],
+            }
+        )
 
-    partials = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-    counts = partials.groupby(cols).aggregate(
-        Sum("cnt", alias_name="cnt"), Min("partition_id", alias_name="partition_id")
+    partials = ds.map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
     )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["h", "ref"], use_threads=False).aggregate(
+            [("partition_id", "min"), ("cnt", "sum")]
+        )
+        return agg.rename_columns(["h", "ref", "partition_id", "cnt"])
+
+    counts = partials.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
     def finish(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -92,22 +142,25 @@ def unique_check_results(
         cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
         pids = np.asarray(t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
-        # verdict partials: per partition present in this batch of keys
-        for pid in np.unique(pids):
-            sel = pids == pid
-            out["partition_id"].append(int(pid))
-            out["constraint_id"].append(cid)
-            out["row_ref"].append("")
-            out["column"].append("")
-            out["observed"].append("")
-            out["detail"].append("")
-            out["is_violation"].append(False)
-            out["n_checked"].append(int(cnt[sel].sum()))
-            out["n_violations"].append(int((cnt[sel] - 1).clip(min=0).sum()))
+        # verdict partials, vectorized per partition via bincount
+        Pmax = int(pids.max()) + 1 if len(pids) else 1
+        n_checked = np.bincount(pids, weights=cnt, minlength=Pmax)
+        excess = np.bincount(pids, weights=(cnt - 1).clip(min=0), minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([""] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend(excess[present].astype(np.int64).tolist())
         dup_idx = np.flatnonzero(cnt > 1)
         if len(dup_idx):
             dup_t = t.take(pa.array(dup_idx, type=pa.int64()))
-            refs = _key_ref(dup_t, cols, cs)
+            refs = dup_t["ref"].to_pylist()
             dup_cnt = cnt[dup_idx]
             dup_pid = pids[dup_idx]
             for i in range(len(dup_idx)):
@@ -123,6 +176,77 @@ def unique_check_results(
         return P.result_rows(out)
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def fused_unique_results(
+    raw: "ray.data.Dataset", cs: ConstraintSet, dists: list[DistCheck]
+) -> "ray.data.Dataset":
+    """B4, single-input-pass variant: consumes the key-partial rows
+    (``rec == "key"``) that RowValidator emitted inline (pipeline
+    EXT_SCHEMA), so uniqueness never re-reads the input. ``raw`` must be
+    materialized by the caller (validate does) — the pinned bytes are
+    the same order the shuffle would pin anyway.
+
+    groupby(ubucket) → local C++ group_by((constraint_id, uh, row_ref))
+    → verdict partials + one violation row per duplicate group."""
+
+    def project_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["rec"], pa.scalar("key")))
+        return t.select(
+            ["constraint_id", "row_ref", "partition_id", "uh", "ubucket", "ucnt"]
+        )
+
+    keys = raw.map_batches(project_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["constraint_id", "uh", "row_ref"], use_threads=False).aggregate(
+            [("partition_id", "min"), ("ucnt", "sum")]
+        )
+        agg = agg.rename_columns(
+            ["constraint_id", "uh", "row_ref", "partition_id", "cnt"]
+        )
+        if len(agg) == 0:
+            return P._empty_result()
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        cids = agg["constraint_id"].to_numpy(zero_copy_only=False)
+        cnt = np.asarray(agg["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pids = np.asarray(
+            agg["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        refs = agg["row_ref"]
+        for cid in np.unique(cids):
+            sel = cids == cid
+            scnt, spids = cnt[sel], pids[sel]
+            Pmax = int(spids.max()) + 1 if len(spids) else 1
+            n_checked = np.bincount(spids, weights=scnt, minlength=Pmax)
+            excess = np.bincount(spids, weights=(scnt - 1).clip(min=0), minlength=Pmax)
+            present = np.flatnonzero(n_checked > 0)
+            kp = len(present)
+            out["partition_id"].extend(present.tolist())
+            out["constraint_id"].extend([str(cid)] * kp)
+            out["row_ref"].extend([""] * kp)
+            out["column"].extend([""] * kp)
+            out["observed"].extend([""] * kp)
+            out["detail"].extend([""] * kp)
+            out["is_violation"].extend([False] * kp)
+            out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+            out["n_violations"].extend(excess[present].astype(np.int64).tolist())
+        dup_idx = np.flatnonzero(cnt > 1)
+        if len(dup_idx):
+            dup_refs = refs.take(pa.array(dup_idx, type=pa.int64())).to_pylist()
+            for j, i in enumerate(dup_idx):
+                out["partition_id"].append(int(pids[i]))
+                out["constraint_id"].append(str(cids[i]))
+                out["row_ref"].append(dup_refs[j])
+                out["column"].append("")
+                out["observed"].append(str(int(cnt[i])))
+                out["detail"].append("unique")
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    return keys.groupby("ubucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def refint_anti_join_results(
@@ -159,7 +283,9 @@ def refint_anti_join_results(
         )
         return agg.rename_columns(cols + ["partition_id", "cnt"])
 
-    child_keys = child.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    child_keys = child.map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=16384
+    )
     child_keys = child_keys.groupby(cols).aggregate(
         Sum("cnt", alias_name="cnt"), Min("partition_id", alias_name="partition_id")
     )

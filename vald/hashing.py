@@ -25,9 +25,18 @@ def _as_object_array(values) -> np.ndarray:
 
 def stable_hash64(values) -> np.ndarray:
     """uint64 hash of a string column — pandas' fixed-key siphash
-    (``pd.util.hash_array``), deterministic across processes, vectorized."""
+    (``pd.util.hash_array``), deterministic across processes, vectorized.
+
+    CAVEAT (verified in sandbox): pandas hashes strings as C strings —
+    the value is TRUNCATED at the first NUL byte, so "a\\x00b" and
+    "a\\x00c" collide. Never join composite keys with "\\x00" before
+    hashing; use "\\x1f" (KEY_SEP) instead."""
     arr = _as_object_array(values)
     return pd.util.hash_array(arr, categorize=False)
+
+
+# composite-key join separator, safe for stable_hash64 (see caveat above)
+KEY_SEP = "\x1f"
 
 
 def partition_ids(values, num_partitions: int) -> np.ndarray:

@@ -54,18 +54,20 @@ def _pass_nulls(col: pa.ChunkedArray | pa.Array, ok: np.ndarray) -> np.ndarray:
 
 
 def observed_strings(col: pa.ChunkedArray | pa.Array, idx: np.ndarray) -> list[str]:
-    """Stringify the failing values for violation rows (cold path)."""
+    """Stringify the failing values for violation rows (cold path).
+    Always truncated to 120 chars so a 64 KiB document body never lands
+    in the violation stream."""
     if len(idx) == 0:
         return []
     taken = col.take(pa.array(idx, type=pa.int64()))
     try:
-        return [s if s is not None else "<null>" for s in pc.cast(taken, pa.string()).to_pylist()]
+        vals = pc.cast(taken, pa.string()).to_pylist()
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-        out = []
-        for v in taken.to_pylist():
-            s = "<null>" if v is None else str(v)
-            out.append(s if len(s) <= 120 else s[:117] + "...")
-        return out
+        vals = [None if v is None else str(v) for v in taken.to_pylist()]
+    return [
+        "<null>" if s is None else (s if len(s) <= 120 else s[:117] + "...")
+        for s in vals
+    ]
 
 
 # ---------------------------------------------------------------------------

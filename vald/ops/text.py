@@ -1,0 +1,231 @@
+"""Text-analysis operators for training-data pipelines: language id,
+quality scoring, token counting, document fingerprinting.
+
+All stages are actor-pool ``map_batches`` classes: regexes, stopword
+tables and n-gram profiles compile once per actor (B7 pattern); the
+per-batch body works on Python strings (inherent for tokenization) but
+amortizes all setup and emits compact Arrow columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+__all__ = [
+    "LangId",
+    "language_id",
+    "QualityScore",
+    "quality_scores",
+    "TokenCount",
+    "token_counts",
+    "Fingerprint",
+    "fingerprints",
+]
+
+# Tiny per-language marker tables (top function words; zh detected by
+# CJK codepoint ratio). Heuristic n-gram/stopword language id in the
+# spirit of the classic Cavnar-Trenkle n-gram approach.
+_LANG_MARKERS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was", "on", "as"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "von", "mit", "den", "ein", "zu", "im"},
+    "es": {"el", "la", "los", "las", "de", "que", "es", "en", "un", "una", "por", "con"},
+    "fr": {"le", "la", "les", "des", "de", "est", "et", "un", "une", "dans", "que", "pour"},
+}
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_CJK_RE = re.compile(r"[一-鿿㐀-䶿]")
+
+
+class LangId:
+    """Actor: predict language per row from marker-word hits + CJK ratio."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.word = _WORD_RE
+        self.cjk = _CJK_RE
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def predict(self, text: str | None) -> str:
+        if not text:
+            return "und"
+        if len(self.cjk.findall(text)) / max(1, len(text)) > 0.05:
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text)]
+        if not words:
+            return "und"
+        scores = {
+            lang: sum(w in marks for w in words) / len(words)
+            for lang, marks in self.markers.items()
+        }
+        best = max(scores, key=lambda l: (scores[l], l))
+        return best if scores[best] > 0.01 else "und"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = [self.predict(v) for v in t[self.text_col].to_pylist()]
+        return t.append_column(self.out_col, pa.array(preds, type=pa.string()))
+
+
+def language_id(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class QualityScore:
+    """Actor: heuristic document-quality features + composite score —
+    length, alpha/punct/digit ratios, stopword ratio, mean word length,
+    line-repetition ratio. Score in [0, 1]."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word = _WORD_RE
+        self.stop = _LANG_MARKERS["en"]
+        self.punct = re.compile(r"[.,;:!?()\[\]{}\"'`]")
+
+    def features(self, text: str | None) -> tuple[float, ...]:
+        if not text:
+            return (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        n = len(text)
+        words = self.word.findall(text)
+        n_words = len(words)
+        alpha = sum(c.isalpha() for c in text) / n
+        digit = sum(c.isdigit() for c in text) / n
+        punct = len(self.punct.findall(text)) / n
+        stop = (
+            sum(w.lower() in self.stop for w in words) / n_words if n_words else 0.0
+        )
+        mean_wl = float(np.mean([len(w) for w in words])) if words else 0.0
+        lines = text.splitlines() or [text]
+        uniq_lines = len(set(lines)) / len(lines)
+        return (n, alpha, digit, punct, stop, mean_wl, uniq_lines)
+
+    @staticmethod
+    def score(f: tuple[float, ...]) -> float:
+        n, alpha, digit, punct, stop, mean_wl, uniq_lines = f
+        s = 0.0
+        s += 0.2 * min(1.0, n / 500)              # enough text
+        s += 0.25 * alpha                          # mostly letters
+        s += 0.15 * (1.0 - min(1.0, digit * 5))    # not digit soup
+        s += 0.15 * min(1.0, stop * 5)             # natural-language-ish
+        s += 0.1 * (1.0 if 3 <= mean_wl <= 10 else 0.0)
+        s += 0.15 * uniq_lines                     # not boilerplate
+        return round(min(1.0, s), 4)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self.features(v) for v in t[self.text_col].to_pylist()]
+        cols = list(zip(*feats))
+        t = t.append_column("n_chars_obs", pa.array(cols[0], type=pa.int64()))
+        t = t.append_column("alpha_ratio", pa.array(cols[1], type=pa.float64()))
+        t = t.append_column("digit_ratio", pa.array(cols[2], type=pa.float64()))
+        t = t.append_column("punct_ratio", pa.array(cols[3], type=pa.float64()))
+        t = t.append_column("stopword_ratio", pa.array(cols[4], type=pa.float64()))
+        t = t.append_column("mean_word_len", pa.array(cols[5], type=pa.float64()))
+        t = t.append_column("line_uniq_ratio", pa.array(cols[6], type=pa.float64()))
+        t = t.append_column(
+            "quality_score", pa.array([self.score(f) for f in feats], type=pa.float64())
+        )
+        return t
+
+
+def quality_scores(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        QualityScore,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# GPT2-style pretokenizer regex (public pattern family): contractions,
+# words, numbers, punctuation runs, whitespace runs.
+_BPEISH_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    re.UNICODE,
+)
+
+
+class TokenCount:
+    """Actor: whitespace token count + BPE-ish pretoken count per row."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.bpeish = _BPEISH_RE
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, bp = [], []
+        for v in t[self.text_col].to_pylist():
+            if not v:
+                ws.append(0)
+                bp.append(0)
+                continue
+            ws.append(len(v.split()))
+            bp.append(len(self.bpeish.findall(v)))
+        t = t.append_column("n_tokens_ws", pa.array(ws, type=pa.int64()))
+        return t.append_column("n_tokens_bpeish", pa.array(bp, type=pa.int64()))
+
+
+def token_counts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        TokenCount,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class Fingerprint:
+    """Actor: winnowing-style document fingerprint — min-wise sample of
+    rolling-window hashes (Rabin-Karp base-257 over bytes), hex string.
+    Equal texts → equal fingerprints; near-equal texts share most
+    fingerprint parts."""
+
+    def __init__(self, text_col: str = "text", window: int = 16, num_mins: int = 8):
+        self.text_col = text_col
+        self.window = window
+        self.num_mins = num_mins
+
+    def fingerprint(self, text: str | None) -> str:
+        from .dedup import _shingle_hashes
+
+        if not text:
+            return ""
+        h = _shingle_hashes(text, self.window)
+        mins = np.sort(h)[: self.num_mins]
+        return "".join(f"{int(x):016x}" for x in mins)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(v) for v in t[self.text_col].to_pylist()]
+        return t.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+def fingerprints(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        Fingerprint,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

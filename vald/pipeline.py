@@ -104,6 +104,56 @@ def _empty_result() -> pa.Table:
     return result_rows({"constraint_id": []})
 
 
+# Extended (internal) schema emitted by RowValidator: result rows plus
+# uniqueness key-partial rows ("rec" == "key") so the unique check
+# shares the SAME input pass as the row checks — the input (and its
+# wide content column) is read and decoded exactly once. Key rows
+# carry (uh = stable hash of the key, ubucket = uh % B, ucnt =
+# within-batch multiplicity); the canonical key string rides in
+# row_ref. _project_res() strips key rows back to RESULT_SCHEMA.
+EXT_SCHEMA = pa.schema(
+    list(RESULT_SCHEMA)
+    + [
+        ("rec", pa.string()),
+        ("uh", pa.uint64()),
+        ("ubucket", pa.int32()),
+        ("ucnt", pa.int64()),
+    ]
+)
+
+
+def ext_rows(rows: dict[str, list]) -> pa.Table:
+    n = len(rows.get("constraint_id", []))
+    defaults: dict[str, Any] = {
+        "partition_id": [0] * n,
+        "row_ref": [""] * n,
+        "column": [""] * n,
+        "observed": [""] * n,
+        "detail": [""] * n,
+        "is_violation": [False] * n,
+        "n_checked": [0] * n,
+        "n_violations": [0] * n,
+        "rec": ["res"] * n,
+        "uh": [0] * n,
+        "ubucket": [0] * n,
+        "ucnt": [0] * n,
+    }
+    cols = []
+    for f in EXT_SCHEMA:
+        data = rows.get(f.name, defaults.get(f.name))
+        cols.append(pa.array(data, type=f.type))
+    return pa.Table.from_arrays(cols, schema=EXT_SCHEMA)
+
+
+def _empty_ext() -> pa.Table:
+    return ext_rows({"constraint_id": []})
+
+
+def _project_res(t: pa.Table) -> pa.Table:
+    t = t.filter(pc.equal(t["rec"], pa.scalar("res")))
+    return t.select(RESULT_SCHEMA.names)
+
+
 def build_row_ref(t: pa.Table, cs: ConstraintSet) -> pa.Array | None:
     """Vectorized canonical row_ref string (FIXTURES.md §5):
     template '{repo}@{commit}:{path}' or '|'-joined key columns."""
@@ -160,17 +210,25 @@ class RowValidator:
         self.cs = cset if cset is not None else compile_table_spec(spec)
         self.max_v = max_violations_per_batch
         # broadcast small-side key sets for refint (B5 broadcast fallback):
-        # ray.put once on the driver, ray.get once per actor here.
-        self.key_sets: dict[str, frozenset] = {}
+        # ray.put once on the driver, ray.get once per actor/worker here.
+        # Keys are prebuilt as Arrow arrays so the per-batch membership
+        # test is a vectorized pc.is_in — no per-row Python objects
+        # (this VM's allocator makes object churn very expensive).
+        self.key_arrays: dict[str, pa.Array] = {}
+        from .hashing import KEY_SEP
+
         for cid, ref in (broadcast_refs or {}).items():
             obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.key_sets[cid] = frozenset(obj)
+            vals = list(obj)
+            if vals and isinstance(vals[0], tuple):
+                vals = [KEY_SEP.join(map(str, v)) for v in vals]
+            self.key_arrays[cid] = pa.array(vals)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cs = self.cs
         n = len(batch)
         if n == 0:
-            return _empty_result()
+            return _empty_ext()
         pids = build_partition_ids(batch, cs)
         refs = build_row_ref(batch, cs)
         ref_list: list[str] | None = None
@@ -185,21 +243,39 @@ class RowValidator:
             "is_violation": [],
             "n_checked": [],
             "n_violations": [],
+            "rec": [],
+            "uh": [],
+            "ubucket": [],
+            "ucnt": [],
         }
 
+        def pad_ext(k: int):
+            out["rec"].extend(["res"] * k)
+            out["uh"].extend([0] * k)
+            out["ubucket"].extend([0] * k)
+            out["ucnt"].extend([0] * k)
+
+        P = max(int(pids.max()) + 1, 1) if n else 1
+
         def emit_partials(cid: str, checked: np.ndarray, bad: np.ndarray):
-            # one verdict-partial row per (partition, constraint) per batch
-            for pid in np.unique(pids):
-                sel = pids == pid
-                out["partition_id"].append(int(pid))
-                out["constraint_id"].append(cid)
-                out["row_ref"].append("")
-                out["column"].append("")
-                out["observed"].append("")
-                out["detail"].append("")
-                out["is_violation"].append(False)
-                out["n_checked"].append(int(np.count_nonzero(checked & sel)))
-                out["n_violations"].append(int(np.count_nonzero(bad & sel)))
+            # one verdict-partial row per (partition, constraint) per
+            # batch — vectorized (np.bincount), no per-partition loop
+            n_checked = np.bincount(pids, weights=checked, minlength=P)
+            n_bad = np.bincount(pids, weights=bad, minlength=P)
+            present = np.flatnonzero((n_checked > 0) | (n_bad > 0))
+            if len(present) == 0:
+                present = np.array([0])
+            k = len(present)
+            out["partition_id"].extend(present.tolist())
+            out["constraint_id"].extend([cid] * k)
+            out["row_ref"].extend([""] * k)
+            out["column"].extend([""] * k)
+            out["observed"].extend([""] * k)
+            out["detail"].extend([""] * k)
+            out["is_violation"].extend([False] * k)
+            out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+            out["n_violations"].extend(n_bad[present].astype(np.int64).tolist())
+            pad_ext(k)
 
         for check in cs.row_checks:
             ok = check.eval(batch)
@@ -224,38 +300,104 @@ class RowValidator:
                 out["is_violation"].append(True)
                 out["n_checked"].append(0)
                 out["n_violations"].append(0)
+                pad_ext(1)
 
-        # broadcast refint (B5): membership test against actor-held set
+        # broadcast refint (B5): vectorized membership (pc.is_in)
+        # against the actor-held Arrow key array — zero Python objects
         for dist in cs.dist_checks:
-            if dist.kind != "refint" or dist.constraint_id not in self.key_sets:
+            if dist.kind != "refint" or dist.constraint_id not in self.key_arrays:
                 continue
             cols = dist.params["columns"]
-            keyset = self.key_sets[dist.constraint_id]
             if len(cols) == 1:
-                vals = batch[cols[0]].to_pylist()
+                keycol = batch[cols[0]]
             else:
-                vals = list(zip(*(batch[c].to_pylist() for c in cols)))
-            checked = np.fromiter((v is not None for v in vals), dtype=bool, count=n)
-            bad = np.fromiter(
-                (v is not None and v not in keyset for v in vals), dtype=bool, count=n
+                from .hashing import KEY_SEP as _SEP
+
+                joined = [pc.cast(batch[c], pa.string()) for c in cols]
+                keycol = pc.binary_join_element_wise(*joined, _SEP)
+            value_set = self.key_arrays[dist.constraint_id]
+            if value_set.type != keycol.type:
+                value_set = value_set.cast(keycol.type)
+            checked_pa = pc.is_valid(keycol)
+            ok_pa = pc.is_in(keycol, value_set=value_set)
+            checked = np.asarray(
+                checked_pa.to_numpy(zero_copy_only=False), dtype=bool
+            )
+            bad = checked & ~np.asarray(
+                pc.fill_null(ok_pa, False).to_numpy(zero_copy_only=False), dtype=bool
             )
             emit_partials(dist.constraint_id, checked, bad)
             idx = np.flatnonzero(bad)[: self.max_v]
             if len(idx):
                 if ref_list is None:
                     ref_list = refs.to_pylist() if refs is not None else [""] * n
-                for i in idx:
+                from .kernels import observed_strings as _obs
+
+                observed = _obs(keycol, idx)
+                for j, i in enumerate(idx):
                     out["partition_id"].append(int(pids[i]))
                     out["constraint_id"].append(dist.constraint_id)
                     out["row_ref"].append(ref_list[i])
                     out["column"].append(",".join(cols))
-                    out["observed"].append(str(vals[i]))
+                    out["observed"].append(observed[j])
                     out["detail"].append("refint")
                     out["is_violation"].append(True)
                     out["n_checked"].append(0)
                     out["n_violations"].append(0)
+                    pad_ext(1)
 
-        return result_rows(out)
+        # fused uniqueness key partials (B4): within-batch local
+        # group-by of the key, emitted as "key" records — the unique
+        # check shares THIS pass instead of re-reading the input.
+        import pyarrow.compute as _pc2
+
+        from .hashing import KEY_SEP, stable_hash64
+
+        for dist in cs.dist_checks:
+            if dist.kind != "unique":
+                continue
+            cols = list(dist.params["columns"])
+            num_buckets = int(dist.params.get("num_buckets", 256))
+            if set(cols) == set(cs.row_ref_cols) and cs.row_ref_template:
+                kref = refs
+            else:
+                keys = [
+                    _pc2.fill_null(_pc2.cast(batch[c], pa.string()), "<null>")
+                    for c in cols
+                ]
+                kref = (
+                    keys[0]
+                    if len(keys) == 1
+                    else _pc2.binary_join_element_wise(*keys, KEY_SEP)
+                )
+            small = pa.table(
+                {
+                    "ref": kref,
+                    "pid": pa.array(pids, type=pa.int32()),
+                    "cnt": pa.array(np.ones(n, dtype=np.int64)),
+                }
+            )
+            agg = small.group_by("ref", use_threads=False).aggregate(
+                [("pid", "min"), ("cnt", "sum")]
+            )
+            agg = agg.rename_columns(["ref", "pid", "cnt"])
+            h = stable_hash64(agg["ref"])
+            k = len(agg)
+            out["partition_id"].extend(agg["pid"].to_pylist())
+            out["constraint_id"].extend([dist.constraint_id] * k)
+            out["row_ref"].extend(agg["ref"].to_pylist())
+            out["column"].extend([""] * k)
+            out["observed"].extend([""] * k)
+            out["detail"].extend([""] * k)
+            out["is_violation"].extend([False] * k)
+            out["n_checked"].extend([0] * k)
+            out["n_violations"].extend([0] * k)
+            out["rec"].extend(["key"] * k)
+            out["uh"].extend(h.tolist())
+            out["ubucket"].extend((h % np.uint64(num_buckets)).astype(np.int32).tolist())
+            out["ucnt"].extend(agg["cnt"].to_pylist())
+
+        return ext_rows(out)
 
 
 def stamp(
@@ -289,13 +431,70 @@ def stamp(
     return ds.map_batches(_stamp, batch_format="pyarrow")
 
 
+# Above this many result rows the fold stays distributed (groupby on
+# the cluster); below it the result stream is pulled to the driver and
+# folded with pyarrow (milliseconds vs a full shuffle round-trip).
+LOCAL_FOLD_MAX_ROWS = 2_000_000
+
+
+def _fold_verdicts_local(t: pa.Table) -> pa.Table:
+    partials = t.filter(pc.invert(t["is_violation"]))
+    agg = (
+        partials.select(["partition_id", "constraint_id", "n_checked", "n_violations"])
+        .group_by(["partition_id", "constraint_id"], use_threads=False)
+        .aggregate([("n_checked", "sum"), ("n_violations", "sum")])
+        .rename_columns(["partition_id", "constraint_id", "n_checked", "n_violations"])
+    )
+    nv = agg["n_violations"]
+    metrics = [
+        json.dumps({"n_checked": c, "n_violations": v})
+        for c, v in zip(agg["n_checked"].to_pylist(), nv.to_pylist())
+    ]
+    return pa.Table.from_arrays(
+        [
+            pc.cast(agg["partition_id"], pa.int32()),
+            agg["constraint_id"].combine_chunks()
+            if isinstance(agg["constraint_id"], pa.ChunkedArray)
+            else agg["constraint_id"],
+            pc.equal(nv, pa.scalar(0)),
+            pc.cast(agg["n_checked"], pa.int64()),
+            pc.cast(nv, pa.int64()),
+            pa.array(metrics, type=pa.string()),
+        ],
+        schema=VERDICT_SCHEMA,
+    )
+
+
 @dataclass
 class ValidationResult:
-    """Both outputs derive from one materialized (small) result stream."""
+    """Both outputs derive from one (small) result stream.
+
+    The stream is bounded by design: O(batches × constraints ×
+    partitions-per-batch) verdict partials plus per-batch-capped
+    violation exemplars — it is NOT proportional to input rows. Small
+    streams fold on the driver; huge ones fold distributed."""
 
     combined: "ray.data.Dataset"
+    _local: pa.Table | None = None
 
+    def _local_table(self) -> pa.Table | None:
+        if self._local is None:
+            cnt = self.combined.count()
+            if cnt <= LOCAL_FOLD_MAX_ROWS:
+                parts = ray.get(self.combined.to_arrow_refs())
+                parts = [p for p in parts if len(p)]
+                self._local = (
+                    pa.concat_tables(parts).combine_chunks()
+                    if parts
+                    else _empty_result()
+                )
+        return self._local
+
+    # --- Dataset-returning API (distributed path) ---
     def violations(self) -> "ray.data.Dataset":
+        local = self._local_table()
+        if local is not None:
+            return ray.data.from_arrow(self._violations_of(local))
         return self.combined.map_batches(
             lambda t: t.filter(t["is_violation"]).select(
                 ["partition_id", "constraint_id", "row_ref", "column", "observed", "detail"]
@@ -304,6 +503,9 @@ class ValidationResult:
         )
 
     def verdicts(self) -> "ray.data.Dataset":
+        local = self._local_table()
+        if local is not None:
+            return ray.data.from_arrow(_fold_verdicts_local(local))
         partials = self.combined.map_batches(
             lambda t: t.filter(pc.invert(t["is_violation"])).select(
                 ["partition_id", "constraint_id", "n_checked", "n_violations"]
@@ -317,7 +519,6 @@ class ValidationResult:
 
         def _finish(t: pa.Table) -> pa.Table:
             nv = t["n_violations"]
-            passed = pc.equal(nv, pa.scalar(0))
             metrics = [
                 json.dumps({"n_checked": c, "n_violations": v})
                 for c, v in zip(t["n_checked"].to_pylist(), nv.to_pylist())
@@ -326,7 +527,7 @@ class ValidationResult:
                 [
                     pc.cast(t["partition_id"], pa.int32()),
                     t["constraint_id"],
-                    passed,
+                    pc.equal(nv, pa.scalar(0)),
                     pc.cast(t["n_checked"], pa.int64()),
                     pc.cast(nv, pa.int64()),
                     pa.array(metrics, type=pa.string()),
@@ -336,11 +537,20 @@ class ValidationResult:
 
         return agg.map_batches(_finish, batch_format="pyarrow")
 
+    # --- local (Arrow table) API ---
+    @staticmethod
+    def _violations_of(t: pa.Table) -> pa.Table:
+        return t.filter(t["is_violation"]).select(
+            ["partition_id", "constraint_id", "row_ref", "column", "observed", "detail"]
+        )
+
     def violations_table(self) -> pa.Table:
         """Deterministically sorted violations (small result)."""
-        t = pa.Table.from_pandas(
-            self.violations().to_pandas(), preserve_index=False
-        )
+        local = self._local_table()
+        if local is not None:
+            t = self._violations_of(local)
+        else:
+            t = pa.Table.from_pandas(self.violations().to_pandas(), preserve_index=False)
         if len(t) == 0:
             return t
         return t.sort_by(
@@ -348,7 +558,11 @@ class ValidationResult:
         )
 
     def verdicts_table(self) -> pa.Table:
-        t = pa.Table.from_pandas(self.verdicts().to_pandas(), preserve_index=False)
+        local = self._local_table()
+        if local is not None:
+            t = _fold_verdicts_local(local)
+        else:
+            t = pa.Table.from_pandas(self.verdicts().to_pandas(), preserve_index=False)
         if len(t) == 0:
             return t
         return t.sort_by(
@@ -362,15 +576,46 @@ class ValidationResult:
         return bool(pc.all(v["pass"]).as_py())
 
 
+# None = one batch per block: parquet-sized blocks are already right,
+# and per-block tasks pipeline better than bundled 16k batches
+# (measured: 2.8s vs 5.1s for read+validate of 1M rows at 8 cpus).
+DEFAULT_BATCH_SIZE = None
+
+# Per-worker-process validator cache for the stateless-task path: the
+# first batch a worker sees compiles the spec / fetches broadcast sets,
+# later batches reuse it — actor-style state amortization WITHOUT actor
+# pools (tasks schedule elastically on any free CPU; measured ~7x
+# better utilization than a cold actor pool on short jobs).
+_VALIDATOR_CACHE: dict[str, "RowValidator"] = {}
+
+
+class _TaskValidator:
+    """Picklable map_batches callable wrapping the cached RowValidator."""
+
+    def __init__(self, token: str, cset: ConstraintSet, broadcast_refs: dict):
+        self.token = token
+        self.cset = cset
+        self.broadcast_refs = broadcast_refs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _VALIDATOR_CACHE.get(self.token)
+        if v is None:
+            v = RowValidator(cset=self.cset, broadcast_refs=self.broadcast_refs)
+            _VALIDATOR_CACHE.clear()  # one live spec per worker is enough
+            _VALIDATOR_CACHE[self.token] = v
+        return v(batch)
+
+
 def validate(
     ds: "ray.data.Dataset",
     spec: dict | ConstraintSet,
     *,
     parents: dict[str, "ray.data.Dataset | pa.Table | list"] | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
-    batch_size: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = DEFAULT_BATCH_SIZE,
     materialize: bool = True,
     out_dir: str | None = None,
+    use_actors: bool = False,
 ) -> ValidationResult:
     """Run the full ConstraintSet against a Dataset.
 
@@ -414,24 +659,49 @@ def validate(
             keys = set(zip(*(keys_t[c].to_pylist() for c in pcols)))
         broadcast_refs[dist.constraint_id] = ray.put(keys)
 
-    combined = ds.map_batches(
-        RowValidator,
-        fn_constructor_kwargs={"cset": cs, "broadcast_refs": broadcast_refs},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        zero_copy_batch=True,
-    )
+    if use_actors:
+        # actor-pool path (B7): for expensive per-actor state (huge
+        # schemas, model weights); pays pool-startup latency.
+        combined = ds.map_batches(
+            RowValidator,
+            fn_constructor_kwargs={"cset": cs, "broadcast_refs": broadcast_refs},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 8),
+            zero_copy_batch=True,
+        )
+    else:
+        # stateless-task path (default): elastic scheduling, state
+        # amortized via the per-process _VALIDATOR_CACHE.
+        import uuid
 
-    # --- shuffled checks (unique) union into the same result stream ---
+        combined = ds.map_batches(
+            _TaskValidator(uuid.uuid4().hex, cs, broadcast_refs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+
+    # --- distributed checks union into the same result stream ---
+    # uniqueness consumes the key partials the validator emitted inline
+    # (EXT_SCHEMA), so the input is read exactly once; the raw stream is
+    # materialized first (its key rows are the shuffle's input and would
+    # be pinned by the exchange anyway).
     from . import constraints_dist as cd
 
+    raw = combined
+    unique_dists = [d for d in cs.dist_checks if d.kind == "unique"]
+    if unique_dists:
+        raw = raw.materialize()
+    combined = raw.map_batches(
+        _project_res, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if unique_dists:
+        combined = combined.union(cd.fused_unique_results(raw, cs, unique_dists))
     for dist in cs.dist_checks:
-        if dist.kind == "unique":
-            combined = combined.union(cd.unique_check_results(ds, cs, dist))
-        elif dist.kind == "refint" and dist.constraint_id not in broadcast_refs:
-            pass  # no parent supplied → skipped (recorded nowhere; caller error)
-        elif dist.kind == "drift":
+        if dist.kind == "drift":
+            # drift re-reads the input for its sketch partials (its own
+            # column-pruned pass); fine — sketch columns are narrow
             combined = combined.union(cd.drift_check_results(ds, cs, dist))
 
     if out_dir is not None:

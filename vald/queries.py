@@ -221,21 +221,21 @@ def q_ref_integrity(sf_dir: str):
     )
     keys_ref = ray.put(cust_keys)
 
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vals = t["o_custkey"].to_pylist()
-            mask = np.fromiter(
-                (v is not None and v not in self.keys for v in vals),
-                dtype=bool,
-                count=len(vals),
-            )
-            return t.filter(pa.array(mask))
+    # plain function (stateless tasks): an actor pool sized == num_cpus
+    # starves the read stage at low CPU counts; ray.get of the broadcast
+    # set is shared-memory-cheap per task
+    def anti_join(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        vals = t["o_custkey"].to_pylist()
+        mask = np.fromiter(
+            (v is not None and v not in keys for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        return t.filter(pa.array(mask))
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    bad = ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    bad = ds.map_batches(anti_join, batch_format="pyarrow")
     return _ensure_schema(bad, pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
 
 
@@ -367,6 +367,192 @@ def q_dedup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# B3 content hash — the per-row invariant, oracle-checked via DuckDB sha256
+# ---------------------------------------------------------------------------
+
+
+def q_content_sha(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sha(t: pa.Table) -> pa.Table:
+        from .hashing import sha256_hex_column
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_sha": pa.array(sha256_hex_column(t["text"]), type=pa.string()),
+            }
+        )
+
+    return _ensure_schema(
+        ds.map_batches(sha, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", pa.int64()), ("text_sha", pa.string())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 exact dedup by content — keep min doc_id per distinct text
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    from .ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, "text", id_col="doc_id")
+    return _ensure_schema(
+        out.select_columns(["doc_id"]), pa.schema([("doc_id", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ops: token counts (oracle via string_split_regex)
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    from .ops.text import TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        TokenCount, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).select_columns(["doc_id", "n_tokens_ws"])
+    return _ensure_schema(
+        out, pa.schema([("doc_id", pa.int64()), ("n_tokens_ws", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity: exact cosine top-k (oracle via list_cosine_similarity)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .ops.similarity import knn_brute
+
+    # query vector = embedding of vec_id 0 (driver-side point lookup)
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = None
+    for i, v in enumerate(emb_t["vec_id"].to_pylist()):
+        if v == 0:
+            q = np.asarray(emb_t["embedding"][i].as_py(), dtype=np.float64)
+            break
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute(ds, q[None, :], k=10, dtype=np.float64)
+    t = pa.table(
+        {
+            "vec_id": out["vec_id"],
+            "sim": pa.array(
+                [round(s, 6) for s in out["score"].to_pylist()], type=pa.float64()
+            ),
+        }
+    )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# rows-only ops queries (no SQL equivalent)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_pairs(sf_dir: str):
+    from .ops.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5, concurrency=(1, 2)
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    from .ops.dedup import simhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def q_langid(sf_dir: str):
+    from .ops.text import language_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = language_id(ds, concurrency=(1, 2)).select_columns(["doc_id", "lang_pred"])
+    return _ensure_schema(
+        out, pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string())])
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    from .ops.text import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = quality_scores(ds, concurrency=(1, 2)).select_columns(["doc_id", "quality_score"])
+    return _ensure_schema(
+        out, pa.schema([("doc_id", pa.int64()), ("quality_score", pa.float64())])
+    )
+
+
+def q_profile_sketch(sf_dir: str):
+    from .aggregates import profile
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    out = profile(ds, ["l_quantity", "l_extendedprice"], concurrency=(1, 2))
+    return out.drop_columns(["tdigest", "hll"])
+
+
+def q_drift_corpus(sf_dir: str):
+    """Drift check null test + fire test in one result (rows-only)."""
+    from . import corpus as C
+    from . import drift as D
+    from . import pipeline as P
+
+    n = 4000
+    clean = C.corpus_dataset(n, 42, override_num_blocks=4)
+    baseline = D.build_baseline(clean, numeric_cols=["content"], cat_cols=["lang"])
+    spec = {
+        "table": "corpus",
+        "row_ref": ["repo", "commit", "path"],
+        "row_ref_template": "{repo}@{commit}:{path}",
+        "partition_by": "repo",
+        "num_partitions": 4,
+        "columns": {},
+        "checks": [
+            {
+                "kind": "drift",
+                "constraint_id": "corpus.drift",
+                "columns": ["content"],
+                "cat_columns": ["lang"],
+                "baseline_table": baseline,
+                "ks_threshold": 0.15,
+                "psi_threshold": 0.2,
+            }
+        ],
+    }
+    res = P.validate(clean, spec)
+    return res.verdicts_table()
+
+
+def q_media_decode(sf_dir: str):
+    from .ops.multimodal import decode_media, fake_media_dataset
+
+    return decode_media(fake_media_dataset(200, kind="video"), concurrency=(1, 2))
+
+
+def q_knn_ivf(sf_dir: str):
+    from .ops.similarity import IvfIndex, knn_ivf
+
+    import pyarrow.parquet as pq
+
+    emb_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb_t["embedding"][0].as_py(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = IvfIndex.train(ds, num_cells=8, sample_frac=0.2)
+    return knn_ivf(ds, q[None, :], idx, k=10, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
 # flagship corpus pipeline (rows-only check: no SQL oracle — the corpus
 # is generated, not a driver table)
 # ---------------------------------------------------------------------------
@@ -412,6 +598,18 @@ QUERIES = {
     "q_dependencies": q_dependencies,
     "q_topk_offenders": q_topk_offenders,
     "q_dedup": q_dedup,
+    "q_content_sha": q_content_sha,
+    "q_exact_dedup": q_exact_dedup,
+    "q_token_counts": q_token_counts,
+    "q_knn_cosine": q_knn_cosine,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_langid": q_langid,
+    "q_quality_scores": q_quality_scores,
+    "q_profile_sketch": q_profile_sketch,
+    "q_drift_corpus": q_drift_corpus,
+    "q_media_decode": q_media_decode,
+    "q_knn_ivf": q_knn_ivf,
     "q_corpus_verdicts": q_corpus_verdicts,
     "q_corpus_violations": q_corpus_violations,
 }
@@ -468,5 +666,18 @@ ORACLE_SQL = {
         "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
     ),
     "q_dedup": "SELECT DISTINCT user_id, event_type FROM events",
-    # q_corpus_verdicts / q_corpus_violations: generated input → rows-only
+    "q_content_sha": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+    "q_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_token_counts": (
+        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens_ws "
+        "FROM documents"
+    ),
+    "q_knn_cosine": (
+        "SELECT vec_id, round(list_cosine_similarity(embedding, "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS sim "
+        "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
+    ),
+    # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
+    # q_langid q_quality_scores q_profile_sketch q_drift_corpus
+    # q_media_decode q_knn_ivf q_corpus_verdicts q_corpus_violations
 }
