@@ -1,0 +1,54 @@
+"""B5 anti-join refint path + B8 salted rollups — the alternate
+distributed strategies not exercised by the flagship (which uses the
+broadcast path)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from vald import constraints_dist as cd
+from vald import corpus as C
+from vald.ir import compile_table_spec
+
+
+def test_refint_anti_join_matches_broadcast_counts(ray_session):
+    n = 4000
+    cs = compile_table_spec(C.CORPUS_SPEC)
+    dist = [d for d in cs.dist_checks if d.kind == "refint"][0]
+    child = C.corpus_dataset(n, 42, override_num_blocks=4)
+    parent = ray.data.from_arrow(C.repos_table(n, 42))
+    out = cd.refint_anti_join_results(child, parent, cs, dist).to_pandas()
+
+    partials = out[~out.is_violation]
+    viols = out[out.is_violation]
+    # ghost repos injected at slot 6 (~0.1%): violations exist and the
+    # violation count equals the number of slot-6 rows
+    idx = np.arange(n, dtype=np.uint64)
+    slots = C._slots(idx, 42)
+    n_ghost_rows = int((slots == 6).sum())
+    assert partials.n_violations.sum() == n_ghost_rows
+    assert (viols.observed.astype(int).sum()) == n_ghost_rows
+    assert all(r.startswith("ghost/") for r in viols.row_ref)
+    # n_checked covers every non-null child key
+    assert partials.n_checked.sum() == n
+
+
+def test_salted_group_counts(ray_session):
+    n = 5000
+    ds = C.corpus_dataset(n, 42, override_num_blocks=4)
+    out = cd.salted_group_counts(ds, "repo", num_salts=8).to_pandas()
+    assert out.cnt.sum() == n
+    # matches a direct pandas count
+    import pyarrow.parquet  # noqa: F401
+
+    direct = (
+        C.gen_batch(np.arange(n, dtype=np.uint64), n, 42)
+        .to_pandas()
+        .groupby("repo")
+        .size()
+    )
+    merged = out.set_index("repo").cnt.sort_index()
+    assert (merged == direct.sort_index()).all()
+    # the corpus is Zipf-skewed: hot repo holds a large share
+    assert merged.max() > n * 0.05

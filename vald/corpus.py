@@ -9,12 +9,15 @@ streams, no RandomState — so generation is (a) distributed via
 ground truth (``truth_table``) and the per-row ``sha256(content)``
 invariant can be recomputed independently of the corpus Dataset.
 
-Injected violation classes (slot = h % 1000, rate 0.1% each; FIXTURES §2):
+Injected violation classes (slot = h % 1000, rate 0.1% each; FIXTURES §2
+plus a 9th class for the B3 invariant):
   0 corpus.commit.pattern   1 corpus.lang.enum       2 corpus.path.required
   3 corpus.content.minLength  4 corpus.content.maxLength
   5 corpus.key.unique (duplicates a CLEAN earlier row's key)
   6 corpus.repo.refint (ghost repo)  7 corpus.lang_ext.dependency
-Rows with slot >= 8 are clean. Duplicate targets skip injected rows so
+  8 corpus.content_sha.sha_equal (stored sha corrupted — the per-row
+    content-sha256-equality invariant, BASELINE.json:16)
+Rows with slot >= 9 are clean. Duplicate targets skip injected rows so
 violation classes never overlap on one row (keeps the
 injection-totality test exact, SURVEY.md §5.2.6a).
 """
@@ -39,7 +42,7 @@ __all__ = [
 
 LANGS = ["py", "js", "java", "go", "rs", "c", "md"]
 _MAXLEN = 65536  # maxLength bound; clean rows stay <= 32768
-_CLEAN_SLOT = 8  # slots >= this are clean
+_CLEAN_SLOT = 9  # slots >= this are clean
 _DUP_MIN_IDX = 10
 
 CORPUS_SPEC: dict = {
@@ -56,6 +59,14 @@ CORPUS_SPEC: dict = {
         "content": {"required": True, "minLength": 1, "maxLength": _MAXLEN},
     },
     "checks": [
+        {
+            # B3 per-row invariant: engine-computed sha256(content) must
+            # equal the stored hash (BASELINE.json:16)
+            "kind": "sha_equal",
+            "column": "content",
+            "expected": "content_sha",
+            "constraint_id": "corpus.content_sha.sha_equal",
+        },
         {
             "kind": "pair_in_set",
             "id": "lang_ext",
@@ -216,6 +227,7 @@ def gen_batch(idx: np.ndarray, n_rows: int, seed: int = 42) -> pa.Table:
         elif slot == 7:  # corpus.lang_ext.dependency — mismatched extension
             wrong = LANGS[(f["lang_i"][i] + 1) % len(LANGS)]
             path = f"src/d{f['dir_i'][i]}/f{iv}.{wrong}"
+        # slot 8 (sha corruption) is applied after content is built
 
         header = f"// {repo} {path} {commit[:8] if commit else ''}\n"
         if length == 0:
@@ -237,6 +249,15 @@ def gen_batch(idx: np.ndarray, n_rows: int, seed: int = 42) -> pa.Table:
             content,
         )
 
+    import hashlib
+
+    shas: list[str] = [
+        hashlib.sha256((c or "").encode()).hexdigest() for c in contents
+    ]
+    for i in range(n):
+        if int(slots[i]) == 8:  # corpus.content_sha.sha_equal violation
+            shas[i] = "0" * 64
+
     return pa.table(
         {
             "repo": pa.array(repos, type=pa.string()),
@@ -244,6 +265,7 @@ def gen_batch(idx: np.ndarray, n_rows: int, seed: int = 42) -> pa.Table:
             "commit": pa.array(commits, type=pa.string()),
             "lang": pa.array(langs, type=pa.string()),
             "content": pa.array(contents, type=pa.string()),
+            "content_sha": pa.array(shas, type=pa.string()),
         }
     )
 
@@ -301,6 +323,7 @@ def truth_table(n_rows: int, seed: int = 42) -> pa.Table:
         4: "corpus.content.maxLength",
         6: "corpus.repo.refint",
         7: "corpus.lang_ext.dependency",
+        8: "corpus.content_sha.sha_equal",
     }
     seen_dup: set[str] = set()
     for i in inj:

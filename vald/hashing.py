@@ -47,10 +47,51 @@ def partition_ids(values, num_partitions: int) -> np.ndarray:
 def sha256_hex_column(values) -> list[str]:
     """Per-row sha256 hex of a string/binary column — the per-row
     invariant vs the reference (BASELINE.json:16 "content sha256
-    equality"). ~1 µs/row; runs inside map_batches workers (B3)."""
-    out = []
-    if isinstance(values, (pa.ChunkedArray, pa.Array)):
+    equality"). Runs inside map_batches workers (B3).
+
+    Arrow string/binary columns are hashed STRAIGHT FROM THE ARROW
+    BUFFERS (offsets + data memoryview) — no per-row Python string
+    materialization, no utf-8 re-encode; on wide content columns this
+    halves the stage's memory traffic."""
+    if isinstance(values, pa.ChunkedArray):
+        out: list[str | None] = []
+        for chunk in values.chunks:
+            out.extend(sha256_hex_column(chunk))
+        return out
+    if isinstance(values, pa.Array) and (
+        pa.types.is_string(values.type)
+        or pa.types.is_binary(values.type)
+        or pa.types.is_large_string(values.type)
+        or pa.types.is_large_binary(values.type)
+    ):
+        large = pa.types.is_large_string(values.type) or pa.types.is_large_binary(
+            values.type
+        )
+        validity, offsets_buf, data_buf = values.buffers()
+        odtype = np.int64 if large else np.int32
+        offsets = np.frombuffer(offsets_buf, dtype=odtype)[
+            values.offset : values.offset + len(values) + 1
+        ]
+        data = memoryview(data_buf)
+        sha256 = hashlib.sha256
+        valid = np.ones(len(values), dtype=bool)
+        if values.null_count:
+            import pyarrow.compute as pc
+
+            valid = np.asarray(
+                pc.is_valid(values).to_numpy(zero_copy_only=False), dtype=bool
+            )
+        out = [
+            sha256(data[offsets[i] : offsets[i + 1]]).hexdigest()
+            if valid[i]
+            else None
+            for i in range(len(values))
+        ]
+        return out
+    # generic fallback (python values)
+    if isinstance(values, pa.Array):
         values = values.to_pylist()
+    out = []
     for v in values:
         if v is None:
             out.append(None)

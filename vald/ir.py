@@ -59,6 +59,7 @@ _COLUMN_KEYWORDS = (
     "divisibleBy",
     "multipleOf",
     "jsonSchema",
+    "elements",
 )
 
 # Annotation-only keywords carried but never executed [spec03 §5.20-5.22].
@@ -89,7 +90,11 @@ class CompiledCheck:
             return self._eval_expr(t)
         if self.keyword == "value_schema":
             return self._eval_value_schema(t)
-        col = t[self.column]
+        if self.keyword == "elements":
+            return self._eval_elements(t)
+        if self.keyword == "sha_equal":
+            return self._eval_sha_equal(t)
+        col = K.get_column(t, self.column)
         return K.eval_kernel(self.keyword, col, self.params)
 
     def checked_mask(self, t: pa.Table) -> np.ndarray:
@@ -97,7 +102,40 @@ class CompiledCheck:
         value_schema / expr checks, non-null rows otherwise."""
         if self.keyword in ("required", "value_schema", "compare", "implies", "pair_in_set"):
             return np.ones(len(t), dtype=bool)
-        return ~K.null_mask(t[self.column])
+        return ~K.null_mask(K.get_column(t, self.column))
+
+    def _eval_sha_equal(self, t: pa.Table) -> np.ndarray:
+        """B3 per-row invariant (BASELINE.json:16): engine-computed
+        sha256(column) must equal the stored ``expected`` column."""
+        import pyarrow.compute as pc
+
+        from .hashing import sha256_hex_column
+
+        col = K.get_column(t, self.column)
+        exp = K.get_column(t, self.params["expected"])
+        got = pa.array(sha256_hex_column(col), type=pa.string())
+        ok = K._to_np(pc.equal(got, pc.cast(exp, pa.string())))
+        return ok | K._to_np(pc.is_null(col)) | K._to_np(pc.is_null(exp))
+
+    def _eval_elements(self, t: pa.Table) -> np.ndarray:
+        """A10 array-element constraints: flatten the list column, run
+        the sub-checks vectorized over the child array, fold verdicts
+        back to parents — no per-row recursion."""
+        import pyarrow.compute as pc
+
+        col = K.get_column(t, self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        ok = np.ones(len(t), dtype=bool)
+        ft = pa.table({"__elem__": flat})
+        for sub in self.params["_subchecks"]:
+            sub_ok = sub.eval(ft)
+            bad = np.unique(parents[~sub_ok])
+            if len(bad):
+                ok[bad] = False
+        return ok
 
     # --- expression checks (A12 dependencies / cross-field) ---
     def _eval_expr(self, t: pa.Table) -> np.ndarray:
@@ -148,10 +186,13 @@ class CompiledCheck:
         return out
 
     def observed(self, t: pa.Table, idx: np.ndarray) -> list[str]:
-        col = self.column if self.column in (t.column_names or []) else None
-        if col is None:
+        if self.column is None:
             return [""] * len(idx)
-        return K.observed_strings(t[col], idx)
+        try:
+            col = K.get_column(t, self.column)
+        except KeyError:
+            return [""] * len(idx)
+        return K.observed_strings(col, idx)
 
 
 @dataclass
@@ -175,12 +216,20 @@ class ConstraintSet:
     partition_by: str | None = None  # column whose hash scopes partitions
     num_partitions: int = 8
     annotations: dict = field(default_factory=dict)
+    # A11 schema congruence: declared physical schema (column -> type
+    # category string) checked against the observed Dataset schema at
+    # plan time; closed_world forbids undeclared columns
+    declared_schema: dict | None = None
+    closed_world: bool = False
 
     @property
     def constraint_ids(self) -> list[str]:
-        return [c.constraint_id for c in self.row_checks] + [
+        ids = [c.constraint_id for c in self.row_checks] + [
             d.constraint_id for d in self.dist_checks
         ]
+        if self.declared_schema is not None:
+            ids.append(f"{self.table}.__schema__.congruence")
+        return ids
 
 
 # --- user-extension surface (B17): registry keyed by keyword name,
@@ -251,6 +300,10 @@ def _compile_column(table: str, col: str, colspec: dict) -> list[CompiledCheck]:
             add(kw, {"value": v})
         elif kw == "jsonSchema":
             add("jsonSchema", {"schema": v})
+        elif kw == "elements":
+            # sub-spec applied to every array element [spec03 §5.5 items]
+            subs = _compile_column(table, "__elem__", v)
+            add("elements", {"spec": v, "_subchecks": subs})
     for kw in _CUSTOM_CHECKS:
         if kw in colspec:
             add(kw, colspec[kw] if isinstance(colspec[kw], dict) else {"value": colspec[kw]})
@@ -287,6 +340,8 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
         partition_by=spec.get("partition_by"),
         num_partitions=int(spec.get("num_partitions", 8)),
         annotations={k: spec[k] for k in _ANNOTATIONS if k in spec},
+        declared_schema=spec.get("declared_schema"),
+        closed_world=bool(spec.get("closed_world", False)),
     )
     for col, colspec in spec.get("columns", {}).items():
         cs.row_checks.extend(_compile_column(table, col, colspec))
@@ -294,7 +349,20 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
     counters: dict[str, int] = {}
     for chk in spec.get("checks", []):
         kind = chk.get("kind")
-        if kind in ("compare", "implies", "pair_in_set"):
+        if kind == "sha_equal":
+            col = chk["column"]
+            cs.row_checks.append(
+                CompiledCheck(
+                    constraint_id=chk.get(
+                        "constraint_id", f"{table}.{col}.sha_equal"
+                    ),
+                    keyword="sha_equal",
+                    column=col,
+                    params={"expected": chk["expected"]},
+                    severity=chk.get("severity", "error"),
+                )
+            )
+        elif kind in ("compare", "implies", "pair_in_set"):
             col = chk.get("column") or chk.get("id") or kind
             base = f"{table}.{col}.{kind}"
             n = counters.get(base, 0)

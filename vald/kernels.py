@@ -30,7 +30,22 @@ import pyarrow.compute as pc
 
 from . import jsonschema as js
 
-__all__ = ["KERNELS", "eval_kernel", "observed_strings", "null_mask"]
+__all__ = ["KERNELS", "eval_kernel", "observed_strings", "null_mask", "get_column"]
+
+
+def get_column(t: pa.Table, name: str):
+    """Column access with dotted nested paths (A10): ``a.b.c`` resolves
+    through struct fields via pc.struct_field — plan-time flattening of
+    the reference's recursive ``properties`` descent."""
+    if name in t.column_names:
+        return t[name]
+    if "." in name:
+        root, *rest = name.split(".")
+        col = t[root]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.struct_field(col, rest)
+    raise KeyError(name)
 
 
 def _to_np(mask: pa.ChunkedArray | pa.Array) -> np.ndarray:

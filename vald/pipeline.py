@@ -189,6 +189,81 @@ def build_row_ref(t: pa.Table, cs: ConstraintSet) -> pa.Array | None:
     return pc.binary_join_element_wise(*joined, "|")
 
 
+_TYPE_CATEGORY_CHECKS = [
+    ("string", lambda t: pa.types.is_string(t) or pa.types.is_large_string(t)),
+    ("integer", pa.types.is_integer),
+    ("number", lambda t: pa.types.is_floating(t) or pa.types.is_decimal(t)),
+    ("boolean", pa.types.is_boolean),
+    ("timestamp", pa.types.is_timestamp),
+    ("binary", lambda t: pa.types.is_binary(t) or pa.types.is_large_binary(t)),
+    (
+        "array",
+        lambda t: pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t),
+    ),
+    ("object", pa.types.is_struct),
+]
+
+
+def _type_category(t: pa.DataType) -> str:
+    for name, check in _TYPE_CATEGORY_CHECKS:
+        if check(t):
+            return name
+    return str(t)
+
+
+def schema_congruence_rows(observed: pa.Schema, cs: ConstraintSet) -> pa.Table:
+    """A11 (additionalProperties, table-level): observed schema fields
+    vs the declared physical schema — a PLAN-TIME check producing
+    result rows (one verdict + violations per offending column).
+    'number' accepts integer columns (integers are numbers, spec03 §5.1)."""
+    declared = cs.declared_schema or {}
+    cid = f"{cs.table}.__schema__.congruence"
+    out: dict[str, list] = {k.name: [] for k in RESULT_SCHEMA}
+
+    def violation(colname: str, observed_desc: str, detail: str):
+        out["partition_id"].append(0)
+        out["constraint_id"].append(cid)
+        out["row_ref"].append(colname)
+        out["column"].append(colname)
+        out["observed"].append(observed_desc)
+        out["detail"].append(detail)
+        out["is_violation"].append(True)
+        out["n_checked"].append(0)
+        out["n_violations"].append(0)
+
+    obs = {f.name: f.type for f in observed}
+    n_bad = 0
+    for colname, want in declared.items():
+        if colname not in obs:
+            violation(colname, "<missing>", "schema.missing_column")
+            n_bad += 1
+            continue
+        got = _type_category(obs[colname])
+        ok = got == want or (want == "number" and got == "integer")
+        if not ok:
+            violation(colname, got, "schema.type_mismatch")
+            n_bad += 1
+    if cs.closed_world:
+        for colname in obs:
+            if colname not in declared:
+                violation(colname, _type_category(obs[colname]), "schema.undeclared_column")
+                n_bad += 1
+    # one verdict partial: n_checked = number of declared columns (+
+    # observed ones under closed_world)
+    out["partition_id"].append(0)
+    out["constraint_id"].append(cid)
+    out["row_ref"].append("")
+    out["column"].append("")
+    out["observed"].append("")
+    out["detail"].append("")
+    out["is_violation"].append(False)
+    out["n_checked"].append(len(declared) + (len(obs) if cs.closed_world else 0))
+    out["n_violations"].append(n_bad)
+    return result_rows(out)
+
+
 def build_partition_ids(t: pa.Table, cs: ConstraintSet) -> np.ndarray:
     if cs.partition_by is None:
         return np.zeros(len(t), dtype=np.int32)
@@ -420,8 +495,11 @@ def stamp(
                 "partition_id", pa.array(build_partition_ids(t, cs), type=pa.int32())
             )
         if sha_of is not None:
+            name = f"{sha_of}_sha"
+            if name in t.column_names:  # engine-computed value wins
+                t = t.drop_columns([name])
             t = t.append_column(
-                f"{sha_of}_sha",
+                name,
                 pa.array(hashing.sha256_hex_column(t[sha_of]), type=pa.string()),
             )
         if drop:
@@ -703,6 +781,14 @@ def validate(
             # drift re-reads the input for its sketch partials (its own
             # column-pruned pass); fine — sketch columns are narrow
             combined = combined.union(cd.drift_check_results(ds, cs, dist))
+
+    # A11 schema congruence: plan-time, driver-side (ds.schema() is
+    # metadata — no data pass)
+    if cs.declared_schema is not None:
+        observed = ds.schema().base_schema
+        combined = combined.union(
+            ray.data.from_arrow(schema_congruence_rows(observed, cs))
+        )
 
     if out_dir is not None:
         combined.write_parquet(out_dir + "/_results")
