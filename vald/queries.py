@@ -367,6 +367,162 @@ def q_dedup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# analytical breadth: TPC-H Q1-style pricing summary (grouped aggregate
+# with computed expressions, fully pre-aggregated per batch)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "price": t["l_extendedprice"],
+                "disc_price": disc_price,
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = t2.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("n", "sum")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "sum_disc_price", "n"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    cols = {
+        "l_returnflag": t["l_returnflag"],
+        "l_linestatus": t["l_linestatus"],
+        "sum_qty": pa.array([round(v, 2) for v in t["sum_qty"].to_pylist()]),
+        "sum_price": pa.array([round(v, 2) for v in t["sum_price"].to_pylist()]),
+        "sum_disc_price": pa.array(
+            [round(v, 2) for v in t["sum_disc_price"].to_pylist()]
+        ),
+        "avg_qty": pa.array(
+            [
+                round(q / n, 6)
+                for q, n in zip(t["sum_qty"].to_pylist(), t["n"].to_pylist())
+            ]
+        ),
+        "n": pc.cast(t["n"], pa.int64()),
+    }
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate over the events stream: tumbling 1-hour windows
+# expressed as groupby on the truncated timestamp (B18 note)
+# ---------------------------------------------------------------------------
+
+
+def q_window_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        t2 = pa.table(
+            {
+                "window_start": hour,
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = t2.group_by(["window_start", "event_type"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return agg.rename_columns(["window_start", "event_type", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 set ops: semi / anti join via broadcast key membership
+# ---------------------------------------------------------------------------
+
+
+def _mkt_keys(sf_dir: str, segment: str) -> set:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    mask = pc.equal(t["c_mktsegment"], pa.scalar(segment))
+    return set(t.filter(mask)["c_custkey"].to_pylist())
+
+
+def q_semi_join(sf_dir: str):
+    """Orders of BUILDING-segment customers (left-semi via broadcast)."""
+    keys_ref = ray.put(_mkt_keys(sf_dir, "BUILDING"))
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(ray.get(keys_ref)), type=pa.int64())
+        return t.filter(pc.is_in(t["o_custkey"], value_set=keys))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return _ensure_schema(
+        ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no orders (anti join, pre-aggregated key side)."""
+    import pyarrow.parquet as pq
+
+    okeys = set(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
+            "o_custkey"
+        ].to_pylist()
+    )
+    keys_ref = ray.put(okeys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(ray.get(keys_ref)), type=pa.int64())
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return _ensure_schema(
+        ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B3 content hash — the per-row invariant, oracle-checked via DuckDB sha256
 # ---------------------------------------------------------------------------
 
@@ -598,6 +754,10 @@ QUERIES = {
     "q_dependencies": q_dependencies,
     "q_topk_offenders": q_topk_offenders,
     "q_dedup": q_dedup,
+    "q_pricing_summary": q_pricing_summary,
+    "q_window_hourly": q_window_hourly,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
     "q_content_sha": q_content_sha,
     "q_exact_dedup": q_exact_dedup,
     "q_token_counts": q_token_counts,
@@ -666,6 +826,25 @@ ORACLE_SQL = {
         "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
     ),
     "q_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "q_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_quantity) / count(*), 6) AS avg_qty, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q_window_hourly": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "q_semi_join": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    ),
+    "q_anti_join": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders)"
+    ),
     "q_content_sha": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "q_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_token_counts": (
