@@ -52,3 +52,44 @@ def test_salted_group_counts(ray_session):
     assert (merged == direct.sort_index()).all()
     # the corpus is Zipf-skewed: hot repo holds a large share
     assert merged.max() > n * 0.05
+
+
+def test_validate_routes_refint_through_anti_join(ray_session):
+    """VERDICT r1 item 3: validate() must reach the fused anti-join path
+    (strategy forced AND auto-threshold), with verdicts identical to the
+    broadcast path."""
+    import copy
+
+    from vald import pipeline as P
+
+    n = 6000
+    parents_tbl = C.repos_table(n, 42)
+
+    def run(spec, parents):
+        res = P.validate(
+            C.corpus_dataset(n, 42, override_num_blocks=4), spec, parents=parents
+        )
+        return (
+            res.verdicts_table()
+            .to_pandas()
+            .sort_values(["constraint_id", "partition_id"])
+            .reset_index(drop=True)
+        )
+
+    base = run(C.CORPUS_SPEC, {"repos": parents_tbl})
+
+    # forced strategy on a Dataset parent
+    spec_forced = copy.deepcopy(C.CORPUS_SPEC)
+    for ch in spec_forced["checks"]:
+        if ch.get("kind") == "refint":
+            ch["strategy"] = "anti_join"
+    forced = run(spec_forced, {"repos": ray.data.from_arrow(parents_tbl)})
+    assert base.equals(forced)
+
+    # auto routing: threshold below the parent row count
+    spec_auto = copy.deepcopy(C.CORPUS_SPEC)
+    for ch in spec_auto["checks"]:
+        if ch.get("kind") == "refint":
+            ch["max_broadcast_keys"] = 1  # any real parent exceeds this
+    auto = run(spec_auto, {"repos": ray.data.from_arrow(parents_tbl)})
+    assert base.equals(auto)

@@ -184,3 +184,80 @@ def test_multimodal_pipeline(ray_session):
     )
     out = MM.decode_media(ray.data.from_arrow(bad), concurrency=1).to_pandas()
     assert out.decode_error.notna().all()
+
+
+def test_near_dup_groups_distributed_matches_union_find(ray_session):
+    """Distributed large-star/small-star CC == driver union-find on a
+    seeded graph with chains, a star, a clique and random sparse edges
+    (VERDICT r1 item 2)."""
+    rng = np.random.RandomState(7)
+    edges = [(i, i + 1) for i in range(99)]  # long chain (diameter test)
+    edges += [(1000, 1000 + i) for i in range(1, 50)]  # star
+    edges += [(2000 + i, 2000 + j) for i in range(10) for j in range(i + 1, 10)]
+    for _ in range(300):
+        a, b = rng.randint(3000, 4000, 2)
+        if a != b:
+            edges.append((int(a), int(b)))
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], type=pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], type=pa.int64()),
+            "jaccard_est": pa.array([1.0] * len(edges)),
+        }
+    )
+    ref = DD.near_dup_groups(t)
+    all_nodes = set(t["id_a"].to_pylist()) | set(t["id_b"].to_pylist())
+    out = DD.near_dup_groups_ds(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out["id"], out["group_id"]))
+    assert set(got) == all_nodes
+    assert all(got[k] == ref.get(k, k) for k in all_nodes)
+
+
+def test_near_dup_groups_ds_from_minhash(ray_session):
+    """End-to-end: minhash pair Dataset → distributed groups; the dup
+    cluster {0,1,2} lands in one group, doc 3 is untouched."""
+    ds, _ = _docs(ray_session)
+    pairs = DD.minhash_dedup_pairs_ds(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+    out = DD.near_dup_groups_ds(pairs).to_pandas()
+    got = dict(zip(out["id"], out["group_id"]))
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0
+    assert 3 not in got
+
+
+def test_near_dup_groups_ds_empty(ray_session):
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+    )
+    out = DD.near_dup_groups_ds(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_chunked_signature_equals_unchunked():
+    """Permutation-axis chunking (bounded transient memory) must not
+    change signatures — checked on a 64 KiB document (VERDICT r1 item 6)."""
+    mh = DD.MinHasher(num_perm=64, shingle_k=5)
+    text = ("abcdefgh" * 8192) + "tail text for entropy 12345"
+    sh = DD._shingle_hashes(text, 5)
+    with np.errstate(over="ignore"):
+        ref = (sh[:, None] * mh.a[None, :] + mh.b[None, :]).min(axis=0)
+    assert (mh.signature(text) == ref).all()
+
+
+def test_exact_dedup_null_and_value_guard(ray_session):
+    """Equal-hash runs break on actual values (collision guard) and
+    nulls dedupe together (ADVICE r1)."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "text": pa.array(["x", "y", "x", "z", "y", "x", "w", None, None, "z"]),
+        }
+    )
+    out = DD.exact_dedup(
+        ray.data.from_arrow(docs), "text", id_col="doc_id"
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3, 6, 7]

@@ -29,6 +29,7 @@ from . import pipeline as P
 __all__ = [
     "unique_check_results",
     "refint_anti_join_results",
+    "fused_refint_anti_results",
     "drift_check_results",
     "salted_group_counts",
 ]
@@ -360,6 +361,133 @@ def refint_anti_join_results(
     return child_keys.map_batches(totals, batch_format="pyarrow").union(
         missing.map_batches(missing_rows, batch_format="pyarrow")
     )
+
+
+def fused_refint_anti_results(
+    raw: "ray.data.Dataset",
+    parent: "ray.data.Dataset",
+    cs: ConstraintSet,
+    dist: DistCheck,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """B5 large-parent path, single-input-pass variant: consumes the
+    pre-aggregated child-key partials (``rec == "rkey"``) that
+    RowValidator emitted inline, so the anti-join NEVER re-reads the
+    child input (Ray 2.49 has no projection pushdown — a second consumer
+    of the read would re-decode every column, including the wide content
+    column). Chosen automatically by ``validate()`` when the parent
+    exceeds ``max_broadcast_keys``.
+
+    Plan: rkey partials → totals (verdict n_checked, no shuffle) and, in
+    parallel, bucket groupby → per-bucket distinct child keys →
+    hash-partitioned ``left_anti`` join against the parent's canonical
+    key strings → violation rows. The join moves distinct KEYS on both
+    sides, never child rows; skew on hot parents is bounded because the
+    child side is already reduced to one row per distinct key.
+    """
+    cid = dist.constraint_id
+    cols = list(dist.params["columns"])
+    pcols = list(dist.params.get("parent_columns", cols))
+    P_parts = num_partitions or cs.num_partitions
+    from .hashing import KEY_SEP
+
+    def project_rkey(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["rec"], pa.scalar("rkey")),
+            pc.equal(t["constraint_id"], pa.scalar(cid)),
+        )
+        return t.filter(m).select(
+            ["row_ref", "partition_id", "uh", "ubucket", "ucnt"]
+        )
+
+    keys = raw.map_batches(project_rkey, batch_format="pyarrow", zero_copy_batch=True)
+
+    def totals(t: pa.Table) -> pa.Table:
+        # verdict n_checked partials straight from the (pre-distinct)
+        # partials — sums are exact, no shuffle needed
+        if len(t) == 0:
+            return P._empty_result()
+        pids = np.asarray(t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnt = np.asarray(t["ucnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        Pmax = int(pids.max()) + 1 if len(pids) else 1
+        n_checked = np.bincount(pids, weights=cnt, minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        kp = len(present)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([""] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend([0] * kp)
+        return P.result_rows(out)
+
+    totals_ds = keys.map_batches(totals, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["uh", "row_ref"], use_threads=False).aggregate(
+            [("partition_id", "min"), ("ucnt", "sum")]
+        )
+        agg = agg.rename_columns(["uh", "ref", "partition_id", "cnt"])
+        return agg.select(["ref", "partition_id", "cnt"])
+
+    child_keys = keys.groupby("ubucket").map_groups(per_bucket, batch_format="pyarrow")
+
+    def parent_pre(t: pa.Table) -> pa.Table:
+        # canonical parent key string, local distinct — the join's right
+        # side moves one row per distinct parent key per block
+        joined = [pc.cast(t[c], pa.string()) for c in pcols]
+        ref = joined[0] if len(joined) == 1 else pc.binary_join_element_wise(*joined, KEY_SEP)
+        small = pa.table({"ref": ref}).drop_null()
+        return small.group_by("ref", use_threads=False).aggregate([])
+
+    parent_keys = parent.map_batches(
+        parent_pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    missing = child_keys.join(
+        parent_keys,
+        join_type="left_anti",
+        num_partitions=P_parts,
+        on=("ref",),
+    )
+
+    def missing_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return P._empty_result()
+        pids = np.asarray(t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        refs = t["ref"].to_pylist()
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        Pmax = int(pids.max()) + 1 if len(pids) else 1
+        n_bad = np.bincount(pids, weights=cnt, minlength=Pmax)
+        present = np.flatnonzero(n_bad > 0)
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([""] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend([0] * kp)
+        out["n_violations"].extend(n_bad[present].astype(np.int64).tolist())
+        for i in range(len(t)):
+            out["partition_id"].append(int(pids[i]))
+            out["constraint_id"].append(cid)
+            out["row_ref"].append(refs[i])
+            out["column"].append(",".join(cols))
+            out["observed"].append(str(int(cnt[i])))
+            out["detail"].append("refint")
+            out["is_violation"].append(True)
+            out["n_checked"].append(0)
+            out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    return totals_ds.union(missing.map_batches(missing_rows, batch_format="pyarrow"))
 
 
 def drift_check_results(

@@ -4,16 +4,22 @@ Jaccard) — Ray-Data-first.
 Shuffle discipline: nothing here ever moves document bodies through an
 all-to-all. Exact dedup shuffles (hash, id) pairs; MinHash shuffles
 (band_hash, id, signature) rows; SimHash shuffles (chunk_value, id,
-simhash). Candidate pairs are verified where they are grouped; only the
-(tiny) verified pair list reaches the driver for the union-find.
+simhash). Candidate pairs are verified where they are grouped; pair
+dedup across bands is a distributed groupby on (id_a, id_b).
 
-Partitioning assumption (documented per SURVEY.md "custom operators"):
-near-dup clustering runs union-find on the driver over VERIFIED pairs —
-correct while the verified-pair count is driver-sized (pairs ≈
-duplicates, not corpus size). For corpora where near-dup pairs
-themselves exceed driver memory, raise `bands`' selectivity (higher
-threshold) or switch `components_distributed=True` (iterative min-label
-propagation, bounded rounds).
+Near-dup grouping has two paths (documented per SURVEY.md "custom
+operators"):
+
+- ``near_dup_groups(pairs_table)`` — driver union-find over VERIFIED
+  pairs; correct while the verified-pair count is driver-sized
+  (pairs ≈ duplicates, not corpus size).
+- ``near_dup_groups_ds(pairs_dataset)`` — fully distributed connected
+  components via alternating large-star / small-star rounds
+  (the MapReduce CC formulation of Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14 — public algorithm),
+  expressed as map_batches + bucket-groupby; edges never touch the
+  driver. Use this when pairs may exceed driver memory (hot
+  boilerplate clusters make pairs quadratic in cluster size).
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from ray.data.aggregate import Max, Min
 
 from ..hashing import stable_hash64
 
@@ -33,9 +40,12 @@ __all__ = [
     "distinct_count",
     "minhash_signatures",
     "minhash_dedup_pairs",
+    "minhash_dedup_pairs_ds",
     "near_dup_groups",
+    "near_dup_groups_ds",
     "simhash_column",
     "simhash_dedup_pairs",
+    "simhash_dedup_pairs_ds",
     "ngram_jaccard",
 ]
 
@@ -60,8 +70,10 @@ def exact_dedup(
     arbitrary-but-single row per value.
 
     Plan: map_batches adds (h, bucket) → groupby(bucket) →
-    local group-by-hash keep-min inside map_groups. Document bodies move
-    once (with their row), never in the aggregate."""
+    local keep-min inside map_groups. Document bodies move once (with
+    their row), never in the aggregate. TRULY exact: equal-hash runs
+    are broken by comparing the actual ``on`` values, so a 64-bit hash
+    collision between distinct values cannot drop a live row."""
 
     def stamp(t: pa.Table) -> pa.Table:
         h = stable_hash64(t[on])
@@ -71,15 +83,28 @@ def exact_dedup(
         )
 
     def keep_first(g: pa.Table) -> pa.Table:
+        # sort by (h, value, id): equal values are adjacent within a
+        # hash run, and the min id leads each value group
+        order = [("__h", "ascending"), (on, "ascending")]
         if id_col is not None:
-            order = [(id_col, "ascending")]
-            g = g.sort_by([("__h", "ascending")] + order)
-        else:
-            g = g.sort_by([("__h", "ascending")])
-        # first row per __h run
+            order.append((id_col, "ascending"))
+        g = g.sort_by(order)
+        n = len(g)
         h = g["__h"].to_numpy(zero_copy_only=False)
-        first = np.ones(len(g), dtype=bool)
-        first[1:] = h[1:] != h[:-1]
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            h_diff = h[1:] != h[:-1]
+            vals = g[on]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            a, b = vals.slice(1), vals.slice(0, n - 1)
+            # value difference with null-safe semantics: null == null
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            one_null = pc.xor(pc.is_null(a), pc.is_null(b))
+            v_diff = np.asarray(
+                pc.or_(neq, one_null).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            first[1:] = h_diff | v_diff
         return g.filter(pa.array(first)).drop_columns(["__h", "__bucket"])
 
     return (
@@ -90,8 +115,13 @@ def exact_dedup(
 
 
 def distinct_count(ds: "ray.data.Dataset", on: str, num_buckets: int = 64) -> int:
-    """Exact COUNT(DISTINCT on) via per-batch local distinct →
-    bucket groupby → per-bucket distinct count. Only hashes shuffle."""
+    """COUNT(DISTINCT on) via per-batch local distinct → bucket groupby
+    → per-bucket distinct count. Only hashes shuffle.
+
+    Collision bound (documented, not guarded): counts distinct 64-bit
+    ``stable_hash64`` values, so two distinct inputs colliding under-count
+    by 1; expected error ≈ n²/2⁶⁵ (< 0.003 at n = 10M). Use
+    ``exact_dedup(...).count()`` when exactness beats the extra bytes."""
 
     def pre(t: pa.Table) -> pa.Table:
         h = np.unique(stable_hash64(t[on].drop_null()))
@@ -150,12 +180,21 @@ class MinHasher:
         self.num_perm = num_perm
         self.k = shingle_k
 
+    # shingle-axis chunk size: bounds the (chunk × num_perm) transient
+    # to ~4 MB at 128 perms regardless of document size (a 64 KiB doc
+    # would otherwise allocate a ~65 MB matrix per row)
+    _CHUNK = 4096
+
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k)  # (S,)
+        out = np.full(self.num_perm, _M64, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (S, P) universal hashing; min over shingles
-            vals = sh[:, None] * self.a[None, :] + self.b[None, :]
-        return vals.min(axis=0)
+            for s in range(0, len(sh), self._CHUNK):
+                chunk = sh[s : s + self._CHUNK]
+                # (S_chunk, P) universal hashing; running min over chunks
+                vals = chunk[:, None] * self.a[None, :] + self.b[None, :]
+                np.minimum(out, vals.min(axis=0), out=out)
+        return out
 
     def batch_signatures(self, texts: list[str | None]) -> np.ndarray:
         out = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
@@ -202,7 +241,7 @@ def _sig_matrix(t: pa.Table, num_perm: int) -> np.ndarray:
     return flat.reshape(-1, num_perm).astype(np.uint64)
 
 
-def minhash_dedup_pairs(
+def minhash_dedup_pairs_ds(
     ds: "ray.data.Dataset",
     text_col: str,
     id_col: str,
@@ -212,12 +251,17 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     concurrency: int | tuple[int, int] = (1, 8),
-) -> pa.Table:
-    """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs with estimated Jaccard ≥ threshold, as a
+    DISTRIBUTED Dataset (id_a, id_b, jaccard_est) — nothing reaches the
+    driver; at scale, write the result to parquet or feed it to
+    ``near_dup_groups_ds``.
 
     shingle → minhash (actor pool) → explode to one (band_hash, id, sig)
     row per band → groupby(band_hash-bucket) → verify INSIDE the group
-    by signature agreement → deduped (id_a, id_b, jaccard_est) table."""
+    by signature agreement → distributed pair dedup (same pair surfacing
+    from multiple bands): per-batch local ``group_by`` max →
+    ``groupby(id_a, id_b)`` max."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
@@ -288,22 +332,73 @@ def minhash_dedup_pairs(
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
+    return _dedup_pairs_ds(pairs, "jaccard_est", "max")
+
+
+def _dedup_pairs_ds(
+    pairs: "ray.data.Dataset", score_col: str, how: str
+) -> "ray.data.Dataset":
+    """Distributed (id_a, id_b) dedup keeping max/min score: per-batch
+    local group_by first, so the exchange moves one row per distinct
+    pair per batch."""
+
+    def local(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([(score_col, how)])
+            .rename_columns(["id_a", "id_b", score_col])
+        )
+
+    agg = Max(score_col, alias_name=score_col) if how == "max" else Min(
+        score_col, alias_name=score_col
+    )
+    return (
+        pairs.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .aggregate(agg)
+    )
+
+
+def _pairs_table(pairs: "ray.data.Dataset", score_col: str, score_type) -> pa.Table:
+    """Driver-side collect + deterministic sort (small-result wrapper)."""
     t = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
     if len(t) == 0:
         return pa.table(
             {
                 "id_a": pa.array([], type=pa.int64()),
                 "id_b": pa.array([], type=pa.int64()),
-                "jaccard_est": pa.array([], type=pa.float64()),
+                score_col: pa.array([], type=score_type),
             }
         )
-    # same pair can surface from multiple bands → keep max estimate
-    agg = (
-        t.group_by(["id_a", "id_b"], use_threads=False)
-        .aggregate([("jaccard_est", "max")])
-        .rename_columns(["id_a", "id_b", "jaccard_est"])
+    t = t.select(["id_a", "id_b", score_col])
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def minhash_dedup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """Driver-sized wrapper around ``minhash_dedup_pairs_ds``: collects
+    the (already distributed-deduped) pair Dataset into a sorted Arrow
+    table. Use the ``_ds`` variant when pairs may be large."""
+    pairs = minhash_dedup_pairs_ds(
+        ds,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        concurrency=concurrency,
     )
-    return agg.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    return _pairs_table(pairs, "jaccard_est", pa.float64())
 
 
 def near_dup_groups(pairs: pa.Table) -> dict[int, int]:
@@ -324,6 +419,155 @@ def near_dup_groups(pairs: pa.Table) -> dict[int, int]:
             lo, hi = sorted((ra, rb))
             parent[hi] = lo
     return {x: find(x) for x in list(parent)}
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (alternating large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _star_round(
+    edges: "ray.data.Dataset", *, large: bool, num_buckets: int
+) -> "ray.data.Dataset":
+    """One large-star or small-star round (Kiveris et al. SoCC'14):
+    map symmetrize/orient → bucket-groupby on src → vectorized
+    per-segment min inside map_groups. Edges are (id_a=lo, id_b=hi)."""
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if large:
+            # both directions: each node sees its full neighborhood
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
+        else:
+            # point down: src = hi, dst = lo
+            src = np.maximum(a, b)
+            dst = np.minimum(a, b)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(num_buckets)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def star(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        changed = np.r_[True, src[1:] != src[:-1]]
+        bounds = np.flatnonzero(changed)
+        seg_min = np.minimum.reduceat(dst, bounds)
+        seg_src = src[bounds]
+        m_seg = np.minimum(seg_min, seg_src)
+        seg_id = np.cumsum(changed) - 1
+        m_row = m_seg[seg_id]
+        if large:
+            # emit (dst, m) for dst > src; m <= src < dst so no self-loop
+            keep = dst > src
+            lo, hi = m_row[keep], dst[keep]
+        else:
+            # emit (dst, m) for every dst != m, plus (src, m) per segment
+            keep = dst != m_row
+            lo = np.concatenate([m_row[keep], m_seg])
+            hi = np.concatenate([dst[keep], seg_src])
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
+
+    return (
+        edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(star, batch_format="pyarrow")
+    )
+
+
+def _edge_dedup(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    from ray.data.aggregate import Count
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_a", "id_b"], use_threads=False).aggregate([])
+
+    return (
+        edges.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+    )
+
+
+def near_dup_groups_ds(
+    pairs: "ray.data.Dataset",
+    *,
+    max_rounds: int = 16,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Fully DISTRIBUTED connected components over a pair Dataset —
+    the scale path for near-dup grouping (pairs never touch the driver).
+
+    Alternating large-star / small-star rounds (public MapReduce CC
+    algorithm, Kiveris et al. SoCC'14) expressed as map_batches +
+    bucket-groupby; converges in O(log n) rounds to star graphs rooted
+    at each component's minimum id. Convergence is detected by a stable
+    (count, sum(id_a), sum(id_b)) signature; ``max_rounds`` bounds
+    pathological inputs.
+
+    Returns a Dataset (id, group_id) with one row per node that appears
+    in ``pairs`` — identical assignments to the driver union-find
+    ``near_dup_groups`` (tested on seeded clusters).
+
+    Partitioning assumption: a single star root's neighborhood must fit
+    one map_groups task (true once components collapse; a component with
+    10^9 members would need the root's bucket to hold 10^9 edges —
+    at that point dedup the inputs first)."""
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "group_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True, num_buckets=num_buckets)
+        edges = _edge_dedup(edges)
+        edges = _star_round(edges, large=False, num_buckets=num_buckets)
+        edges = _edge_dedup(edges).materialize()
+        agg = edges.aggregate(
+            ray.data.aggregate.Count(alias_name="n"),
+            ray.data.aggregate.Sum("id_a", alias_name="sa"),
+            ray.data.aggregate.Sum("id_b", alias_name="sb"),
+        )
+        sig = (agg["n"], agg["sa"], agg["sb"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def labels(t: pa.Table) -> pa.Table:
+        lo = t["id_a"].to_numpy(zero_copy_only=False)
+        hi = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([hi, lo])),
+                "group_id": pa.array(np.concatenate([lo, lo])),
+            }
+        )
+
+    return (
+        edges.map_batches(labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("id")
+        .aggregate(Min("group_id", alias_name="group_id"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -360,17 +604,19 @@ def simhash_column(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_dedup_pairs(
+def simhash_dedup_pairs_ds(
     ds: "ray.data.Dataset",
     text_col: str,
     id_col: str,
     *,
     max_hamming: int = 3,
     ngram: int = 3,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """Pairs with Hamming(simhash) <= max_hamming via pigeonhole
     banding: split 64 bits into (max_hamming+1) chunks; any pair within
-    distance shares at least one exact chunk → groupby(chunk, value)."""
+    distance shares at least one exact chunk → groupby(chunk, value).
+    Returns a DISTRIBUTED Dataset (id_a, id_b, hamming), deduped across
+    chunks by a distributed min-groupby."""
     sh = simhash_column(ds, text_col, id_col, ngram)
     nchunks = max_hamming + 1
     width = 64 // nchunks
@@ -421,21 +667,22 @@ def simhash_dedup_pairs(
         .groupby(["chunk", "value"])
         .map_groups(pairs_in_group, batch_format="pyarrow")
     )
-    t = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
-    if len(t) == 0:
-        return pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "hamming": pa.array([], type=pa.int64()),
-            }
-        )
-    agg = (
-        t.group_by(["id_a", "id_b"], use_threads=False)
-        .aggregate([("hamming", "min")])
-        .rename_columns(["id_a", "id_b", "hamming"])
+    return _dedup_pairs_ds(pairs, "hamming", "min")
+
+
+def simhash_dedup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    ngram: int = 3,
+) -> pa.Table:
+    """Driver-sized wrapper around ``simhash_dedup_pairs_ds``."""
+    pairs = simhash_dedup_pairs_ds(
+        ds, text_col, id_col, max_hamming=max_hamming, ngram=ngram
     )
-    return agg.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    return _pairs_table(pairs, "hamming", pa.int64())
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:

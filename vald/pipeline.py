@@ -154,6 +154,54 @@ def _project_res(t: pa.Table) -> pa.Table:
     return t.select(RESULT_SCHEMA.names)
 
 
+def _key_partial_table(
+    cid: str,
+    rec: str,
+    ref_arr,
+    pid_arr,
+    h: np.ndarray,
+    bucket: np.ndarray,
+    cnt_arr,
+) -> pa.Table:
+    """Arrow-native EXT_SCHEMA key-partial rows — no Python lists.
+
+    The key partials are ~one row per DISTINCT key per batch (≈ batch
+    size for fine-grained keys like (repo,path,commit)), so this path
+    must stay entirely in Arrow/numpy: the ref strings ride zero-copy
+    from the per-batch ``group_by``, constants come from ``pa.repeat``
+    (C++-level, no per-row Python objects). Measured: the previous
+    list-based emission (`to_pylist()` of n refs + list rebuild) was the
+    single largest allocation source in the fused pass on this VM's
+    ~45 MB/s/stream allocator."""
+    k = len(ref_arr)
+    if isinstance(ref_arr, pa.ChunkedArray):
+        ref_arr = ref_arr.combine_chunks()
+    if isinstance(pid_arr, pa.ChunkedArray):
+        pid_arr = pid_arr.combine_chunks()
+    if isinstance(cnt_arr, pa.ChunkedArray):
+        cnt_arr = cnt_arr.combine_chunks()
+    zero64 = pa.repeat(pa.scalar(0, pa.int64()), k)
+    empty = pa.repeat("", k)
+    return pa.Table.from_arrays(
+        [
+            pid_arr.cast(pa.int32()),
+            pa.repeat(cid, k),
+            ref_arr.cast(pa.string()),
+            empty,
+            empty,
+            empty,
+            pa.repeat(False, k),
+            zero64,
+            zero64,
+            pa.repeat(rec, k),
+            pa.array(h, type=pa.uint64()),
+            pa.array(bucket, type=pa.int32()),
+            cnt_arr.cast(pa.int64()),
+        ],
+        schema=EXT_SCHEMA,
+    )
+
+
 def build_row_ref(t: pa.Table, cs: ConstraintSet) -> pa.Array | None:
     """Vectorized canonical row_ref string (FIXTURES.md §5):
     template '{repo}@{commit}:{path}' or '|'-joined key columns."""
@@ -281,9 +329,14 @@ class RowValidator:
         cset: ConstraintSet | None = None,
         broadcast_refs: dict[str, "ray.ObjectRef"] | None = None,
         max_violations_per_batch: int = DEFAULT_MAX_VIOLATIONS_PER_BATCH,
+        refint_fused: dict[str, list[str]] | None = None,
     ):
         self.cs = cset if cset is not None else compile_table_spec(spec)
         self.max_v = max_violations_per_batch
+        # refint checks routed through the large-parent anti-join path:
+        # this validator emits their child-key partials inline
+        # (rec == "rkey") so the anti-join never re-reads the input.
+        self.refint_fused = refint_fused or {}
         # broadcast small-side key sets for refint (B5 broadcast fallback):
         # ray.put once on the driver, ray.get once per actor/worker here.
         # Keys are prebuilt as Arrow arrays so the per-batch membership
@@ -378,7 +431,9 @@ class RowValidator:
                 pad_ext(1)
 
         # broadcast refint (B5): vectorized membership (pc.is_in)
-        # against the actor-held Arrow key array — zero Python objects
+        # against the actor-held Arrow key array — zero Python objects.
+        # Large-parent refint checks (self.refint_fused) skip this and
+        # emit key partials below instead.
         for dist in cs.dist_checks:
             if dist.kind != "refint" or dist.constraint_id not in self.key_arrays:
                 continue
@@ -424,15 +479,19 @@ class RowValidator:
         # fused uniqueness key partials (B4): within-batch local
         # group-by of the key, emitted as "key" records — the unique
         # check shares THIS pass instead of re-reading the input.
+        # Entirely Arrow-native (see _key_partial_table).
         import pyarrow.compute as _pc2
 
         from .hashing import KEY_SEP, stable_hash64
 
+        key_tables: list[pa.Table] = []
+        pids_arr = pa.array(pids, type=pa.int32())
+        ones = pa.array(np.ones(n, dtype=np.int64))
         for dist in cs.dist_checks:
             if dist.kind != "unique":
                 continue
-            cols = list(dist.params["columns"])
             num_buckets = int(dist.params.get("num_buckets", 256))
+            cols = list(dist.params["columns"])
             if set(cols) == set(cs.row_ref_cols) and cs.row_ref_template:
                 kref = refs
             else:
@@ -445,34 +504,70 @@ class RowValidator:
                     if len(keys) == 1
                     else _pc2.binary_join_element_wise(*keys, KEY_SEP)
                 )
-            small = pa.table(
-                {
-                    "ref": kref,
-                    "pid": pa.array(pids, type=pa.int32()),
-                    "cnt": pa.array(np.ones(n, dtype=np.int64)),
-                }
-            )
+            small = pa.table({"ref": kref, "pid": pids_arr, "cnt": ones})
             agg = small.group_by("ref", use_threads=False).aggregate(
                 [("pid", "min"), ("cnt", "sum")]
             )
             agg = agg.rename_columns(["ref", "pid", "cnt"])
             h = stable_hash64(agg["ref"])
-            k = len(agg)
-            out["partition_id"].extend(agg["pid"].to_pylist())
-            out["constraint_id"].extend([dist.constraint_id] * k)
-            out["row_ref"].extend(agg["ref"].to_pylist())
-            out["column"].extend([""] * k)
-            out["observed"].extend([""] * k)
-            out["detail"].extend([""] * k)
-            out["is_violation"].extend([False] * k)
-            out["n_checked"].extend([0] * k)
-            out["n_violations"].extend([0] * k)
-            out["rec"].extend(["key"] * k)
-            out["uh"].extend(h.tolist())
-            out["ubucket"].extend((h % np.uint64(num_buckets)).astype(np.int32).tolist())
-            out["ucnt"].extend(agg["cnt"].to_pylist())
+            key_tables.append(
+                _key_partial_table(
+                    dist.constraint_id,
+                    "key",
+                    agg["ref"],
+                    agg["pid"],
+                    h,
+                    (h % np.uint64(num_buckets)).astype(np.int32),
+                    agg["cnt"],
+                )
+            )
 
-        return ext_rows(out)
+        # fused refint child-key partials (B5 large-parent path): one
+        # row per distinct non-null child key per batch; the anti-join
+        # stage (constraints_dist.fused_refint_anti_results) consumes
+        # these instead of re-reading the input.
+        for dist in cs.dist_checks:
+            if dist.kind != "refint" or dist.constraint_id not in self.refint_fused:
+                continue
+            num_buckets = int(dist.params.get("num_buckets", 256))
+            cols = self.refint_fused[dist.constraint_id]
+            valid = np.ones(n, dtype=bool)
+            for c in cols:
+                valid &= np.asarray(
+                    _pc2.is_valid(batch[c]).to_numpy(zero_copy_only=False), dtype=bool
+                )
+            keys = [_pc2.cast(batch[c], pa.string()) for c in cols]
+            kref = (
+                keys[0]
+                if len(keys) == 1
+                else _pc2.binary_join_element_wise(*keys, KEY_SEP)
+            )
+            small = pa.table({"ref": kref, "pid": pids_arr, "cnt": ones})
+            if not valid.all():
+                small = small.filter(pa.array(valid))
+            if len(small) == 0:
+                continue
+            agg = small.group_by("ref", use_threads=False).aggregate(
+                [("pid", "min"), ("cnt", "sum")]
+            )
+            agg = agg.rename_columns(["ref", "pid", "cnt"])
+            h = stable_hash64(agg["ref"])
+            key_tables.append(
+                _key_partial_table(
+                    dist.constraint_id,
+                    "rkey",
+                    agg["ref"],
+                    agg["pid"],
+                    h,
+                    (h % np.uint64(num_buckets)).astype(np.int32),
+                    agg["cnt"],
+                )
+            )
+
+        res = ext_rows(out)
+        if not key_tables:
+            return res
+        return pa.concat_tables([res, *key_tables])
 
 
 def stamp(
@@ -670,18 +765,56 @@ _VALIDATOR_CACHE: dict[str, "RowValidator"] = {}
 class _TaskValidator:
     """Picklable map_batches callable wrapping the cached RowValidator."""
 
-    def __init__(self, token: str, cset: ConstraintSet, broadcast_refs: dict):
+    def __init__(
+        self,
+        token: str,
+        cset: ConstraintSet,
+        broadcast_refs: dict,
+        refint_fused: dict[str, list[str]] | None = None,
+    ):
         self.token = token
         self.cset = cset
         self.broadcast_refs = broadcast_refs
+        self.refint_fused = refint_fused or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _VALIDATOR_CACHE.get(self.token)
         if v is None:
-            v = RowValidator(cset=self.cset, broadcast_refs=self.broadcast_refs)
+            v = RowValidator(
+                cset=self.cset,
+                broadcast_refs=self.broadcast_refs,
+                refint_fused=self.refint_fused,
+            )
             _VALIDATOR_CACHE.clear()  # one live spec per worker is enough
             _VALIDATOR_CACHE[self.token] = v
         return v(batch)
+
+
+# Parents with more than this many rows are NOT broadcast: validate()
+# routes them through the fused anti-join path instead (B5 large-parent
+# planner). Override per check with params["max_broadcast_keys"], or
+# force a path with params["strategy"] = "broadcast" | "anti_join".
+DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+
+
+def _distinct_parent_keys(src: "ray.data.Dataset", pcols: list[str]) -> pa.Table:
+    """Distinct parent keys, computed DISTRIBUTED-first: per-batch local
+    ``group_by`` reduces each block to its distinct keys; only those
+    partials reach the driver for the final dedup (never the full parent
+    column — the old driver-side ``to_pandas().drop_duplicates()`` was a
+    scale hazard)."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.select(pcols).group_by(pcols, use_threads=False).aggregate([])
+
+    parts = ray.get(
+        src.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    )
+    parts = [p.select(pcols) for p in parts if len(p)]
+    if not parts:
+        return pa.table({c: pa.array([]) for c in pcols})
+    t = pa.concat_tables(parts)
+    return t.group_by(pcols, use_threads=False).aggregate([]).select(pcols)
 
 
 def validate(
@@ -698,14 +831,25 @@ def validate(
     """Run the full ConstraintSet against a Dataset.
 
     ``parents`` maps refint parent_table name → its key source (Dataset /
-    Arrow table / list of keys); small parents are broadcast via
-    ``ray.put`` (read once per actor), which is the no-shuffle path for
-    dimension tables (SURVEY.md B5).
+    Arrow table / list of keys). The planner picks the B5 execution path
+    per check:
+
+    - small parents (≤ ``max_broadcast_keys`` rows, default 2M) are
+      broadcast via ``ray.put`` — distinct keys computed distributed
+      first — and checked with a vectorized ``pc.is_in`` inside the
+      fused row pass (no shuffle);
+    - large parents route through the fused anti-join path: the row pass
+      emits pre-aggregated child-key partials inline (no second input
+      read) and a hash-partitioned ``left_anti`` join against the parent
+      keys finds the orphans (constraints_dist.fused_refint_anti_results).
+    - ``params["strategy"]`` forces "broadcast" or "anti_join".
     """
     cs = spec if isinstance(spec, ConstraintSet) else compile_table_spec(spec)
 
-    # --- broadcast refint parents (driver-side, once) ---
+    # --- refint planner: broadcast vs fused anti-join, per check ---
     broadcast_refs: dict[str, ray.ObjectRef] = {}
+    refint_fused: dict[str, list[str]] = {}
+    anti_parents: dict[str, "ray.data.Dataset"] = {}
     for dist in cs.dist_checks:
         if dist.kind != "refint":
             continue
@@ -718,31 +862,45 @@ def validate(
         if src is None:
             continue
         pcols = list(dist.params["parent_columns"])
-        if isinstance(src, ray.data.Dataset):
-            # small side (dimension table): collect distinct keys on the
-            # driver and broadcast; large parents should use
-            # constraints_dist.refint_anti_join_results instead.
-            keys_t = pa.Table.from_pandas(
-                src.select_columns(pcols).to_pandas().drop_duplicates(),
-                preserve_index=False,
-            )
-        elif isinstance(src, pa.Table):
-            keys_t = src.select(pcols)
-        else:
-            broadcast_refs[dist.constraint_id] = ray.put(set(src))
+        strategy = dist.params.get("strategy", "auto")
+        threshold = int(dist.params.get("max_broadcast_keys", DEFAULT_MAX_BROADCAST_KEYS))
+        cid = dist.constraint_id
+
+        if isinstance(src, list):
+            broadcast_refs[cid] = ray.put(set(src))
             continue
+        if isinstance(src, pa.Table):
+            if strategy == "anti_join" or (strategy == "auto" and len(src) > threshold):
+                anti_parents[cid] = ray.data.from_arrow(src.select(pcols))
+                refint_fused[cid] = list(dist.params["columns"])
+                continue
+            keys_t = src.select(pcols).group_by(pcols, use_threads=False).aggregate([])
+        else:  # Dataset
+            # src.count() is parquet metadata for file-backed parents;
+            # for computed parents it executes the (parent) pipeline once.
+            if strategy == "anti_join" or (
+                strategy == "auto" and src.count() > threshold
+            ):
+                anti_parents[cid] = src
+                refint_fused[cid] = list(dist.params["columns"])
+                continue
+            keys_t = _distinct_parent_keys(src, pcols)
         if len(pcols) == 1:
             keys = set(keys_t[pcols[0]].to_pylist())
         else:
             keys = set(zip(*(keys_t[c].to_pylist() for c in pcols)))
-        broadcast_refs[dist.constraint_id] = ray.put(keys)
+        broadcast_refs[cid] = ray.put(keys)
 
     if use_actors:
         # actor-pool path (B7): for expensive per-actor state (huge
         # schemas, model weights); pays pool-startup latency.
         combined = ds.map_batches(
             RowValidator,
-            fn_constructor_kwargs={"cset": cs, "broadcast_refs": broadcast_refs},
+            fn_constructor_kwargs={
+                "cset": cs,
+                "broadcast_refs": broadcast_refs,
+                "refint_fused": refint_fused,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or (1, 8),
@@ -754,28 +912,35 @@ def validate(
         import uuid
 
         combined = ds.map_batches(
-            _TaskValidator(uuid.uuid4().hex, cs, broadcast_refs),
+            _TaskValidator(uuid.uuid4().hex, cs, broadcast_refs, refint_fused),
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
         )
 
     # --- distributed checks union into the same result stream ---
-    # uniqueness consumes the key partials the validator emitted inline
-    # (EXT_SCHEMA), so the input is read exactly once; the raw stream is
-    # materialized first (its key rows are the shuffle's input and would
-    # be pinned by the exchange anyway).
+    # uniqueness + fused-refint consume the key partials the validator
+    # emitted inline (EXT_SCHEMA), so the input is read exactly once;
+    # the raw stream is materialized first (its key rows are the
+    # shuffle's input and would be pinned by the exchange anyway).
     from . import constraints_dist as cd
 
     raw = combined
     unique_dists = [d for d in cs.dist_checks if d.kind == "unique"]
-    if unique_dists:
+    if unique_dists or refint_fused:
         raw = raw.materialize()
     combined = raw.map_batches(
         _project_res, batch_format="pyarrow", zero_copy_batch=True
     )
     if unique_dists:
         combined = combined.union(cd.fused_unique_results(raw, cs, unique_dists))
+    for dist in cs.dist_checks:
+        if dist.kind == "refint" and dist.constraint_id in refint_fused:
+            combined = combined.union(
+                cd.fused_refint_anti_results(
+                    raw, anti_parents[dist.constraint_id], cs, dist
+                )
+            )
     for dist in cs.dist_checks:
         if dist.kind == "drift":
             # drift re-reads the input for its sketch partials (its own
