@@ -126,7 +126,12 @@ def cmd_profile(args) -> int:
     from .aggregates import profile
 
     _ray_init(args.num_cpus)
-    ds = ray.data.read_parquet(sorted(globmod.glob(args.input)), columns=args.columns)
+    # the read must also carry the partition column, or pruning would
+    # drop it before _ProfilePartial hashes it
+    read_cols = list(args.columns)
+    if args.partition_by and args.partition_by not in read_cols:
+        read_cols.append(args.partition_by)
+    ds = ray.data.read_parquet(sorted(globmod.glob(args.input)), columns=read_cols)
     out = profile(ds, args.columns, partition_col=args.partition_by)
     df = out.to_pandas().drop(columns=["tdigest", "hll"])
     print(df.to_string(index=False))

@@ -214,25 +214,28 @@ def q_unique_key(sf_dir: str):
 
 
 def q_ref_integrity(sf_dir: str):
-    cust_keys = set(
-        pa.Table.from_pandas(
-            _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
-        )["c_custkey"].to_pylist()
-    )
-    keys_ref = ray.put(cust_keys)
+    # broadcast key ARRAY built once on the driver (ray.put), membership
+    # per batch is one vectorized pc.is_in — no per-row Python (the
+    # engine-internal B5 path in vald.pipeline does the same)
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].combine_chunks()
+    keys_ref = ray.put(keys)
 
     # plain function (stateless tasks): an actor pool sized == num_cpus
     # starves the read stage at low CPU counts; ray.get of the broadcast
-    # set is shared-memory-cheap per task
+    # array is shared-memory-cheap per task
     def anti_join(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        vals = t["o_custkey"].to_pylist()
-        mask = np.fromiter(
-            (v is not None and v not in keys for v in vals),
-            dtype=bool,
-            count=len(vals),
+        value_set = ray.get(keys_ref)
+        bad = pc.and_(
+            pc.is_valid(t["o_custkey"]),
+            pc.invert(
+                pc.fill_null(pc.is_in(t["o_custkey"], value_set=value_set), False)
+            ),
         )
-        return t.filter(pa.array(mask))
+        return t.filter(bad)
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     bad = ds.map_batches(anti_join, batch_format="pyarrow")
@@ -285,6 +288,24 @@ def q_quantiles_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _json_int(k) -> int | None:
+    """Integer-or-None extraction mirroring the oracle's json_type CASE
+    exactly (ADVICE r1): ints pass, integral floats pass, digit-strings
+    pass, everything else (bools, non-integral floats, other strings)
+    is NULL."""
+    if isinstance(k, bool):
+        return None
+    if isinstance(k, int):
+        return k
+    if isinstance(k, float):
+        return int(k) if k.is_integer() else None
+    if isinstance(k, str):
+        import re as _re
+
+        return int(k) if _re.fullmatch(r"-?[0-9]+", k) else None
+    return None
+
+
 def q_json_props(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
@@ -295,8 +316,7 @@ def q_json_props(sf_dir: str):
                 ks.append(None)
                 continue
             try:
-                k = json.loads(v).get("k")
-                ks.append(int(k) if isinstance(k, (int, float)) and not isinstance(k, bool) else None)
+                ks.append(_json_int(json.loads(v).get("k")))
             except (json.JSONDecodeError, TypeError, ValueError):
                 ks.append(None)
         out = pa.table({"event_id": t["event_id"], "k": pa.array(ks, type=pa.int64())})
@@ -475,23 +495,27 @@ def q_window_hourly(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _mkt_keys(sf_dir: str, segment: str) -> set:
+def _mkt_key_array(sf_dir: str, segment: str) -> pa.Array:
     import pyarrow.parquet as pq
 
     t = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     mask = pc.equal(t["c_mktsegment"], pa.scalar(segment))
-    return set(t.filter(mask)["c_custkey"].to_pylist())
+    return t.filter(mask)["c_custkey"].combine_chunks()
 
 
 def q_semi_join(sf_dir: str):
-    """Orders of BUILDING-segment customers (left-semi via broadcast)."""
-    keys_ref = ray.put(_mkt_keys(sf_dir, "BUILDING"))
+    """Orders of BUILDING-segment customers (left-semi via broadcast).
+    The key ARRAY is built once on the driver and ray.put — the
+    per-batch body is a single pc.is_in (no per-batch sort/convert)."""
+    keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
 
     def semi(t: pa.Table) -> pa.Table:
-        keys = pa.array(sorted(ray.get(keys_ref)), type=pa.int64())
-        return t.filter(pc.is_in(t["o_custkey"], value_set=keys))
+        value_set = ray.get(keys_ref)
+        return t.filter(
+            pc.fill_null(pc.is_in(t["o_custkey"], value_set=value_set), False)
+        )
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     return _ensure_schema(
@@ -501,19 +525,24 @@ def q_semi_join(sf_dir: str):
 
 
 def q_anti_join(sf_dir: str):
-    """Customers with no orders (anti join, pre-aggregated key side)."""
+    """Customers with no orders (anti join, key array broadcast once)."""
     import pyarrow.parquet as pq
 
-    okeys = set(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
-            "o_custkey"
-        ].to_pylist()
+    okeys = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .group_by("o_custkey", use_threads=False)
+        .aggregate([])["o_custkey"]
+        .combine_chunks()
     )
     keys_ref = ray.put(okeys)
 
     def anti(t: pa.Table) -> pa.Table:
-        keys = pa.array(sorted(ray.get(keys_ref)), type=pa.int64())
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
+        value_set = ray.get(keys_ref)
+        return t.filter(
+            pc.invert(
+                pc.fill_null(pc.is_in(t["c_custkey"], value_set=value_set), False)
+            )
+        )
 
     ds = _read(sf_dir, "customer", ["c_custkey"])
     return _ensure_schema(
@@ -597,21 +626,186 @@ def q_knn_cosine(sf_dir: str):
             q = np.asarray(emb_t["embedding"][i].as_py(), dtype=np.float64)
             break
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_brute(ds, q[None, :], k=10, dtype=np.float64)
-    t = pa.table(
+    # over-fetch then re-rank on ROUNDED scores with vec_id tiebreak —
+    # mirrors the oracle's ORDER BY round(sim,6) DESC, vec_id LIMIT 10
+    # so a raw-float near-tie at rank 10 can't select a different row
+    # set (ADVICE r1)
+    out = knn_brute(ds, q[None, :], k=20, dtype=np.float64)
+    df = out.to_pandas()
+    df["sim"] = df["score"].round(6)
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    return pa.table(
         {
-            "vec_id": out["vec_id"],
-            "sim": pa.array(
-                [round(s, 6) for s in out["score"].to_pylist()], type=pa.float64()
-            ),
+            "vec_id": pa.array(df["vec_id"].tolist(), type=pa.int64()),
+            "sim": pa.array(df["sim"].tolist(), type=pa.float64()),
         }
     )
-    return t
+
+
+# ---------------------------------------------------------------------------
+# A8 uniqueItems — per-row element uniqueness, kernel + vectorized
+# distinct-count twin (oracle: list_distinct)
+# ---------------------------------------------------------------------------
+
+
+def q_unique_items(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        from .kernels import eval_kernel
+
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        ok = eval_kernel("uniqueItems", emb, {})
+        # vectorized n_distinct per row: flatten + (row, value) group_by
+        lens = np.asarray(
+            pc.list_value_length(emb).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        flat = emb.flatten()
+        distinct = (
+            pa.table({"r": pa.array(rows), "v": flat})
+            .group_by(["r", "v"], use_threads=False)
+            .aggregate([])
+        )
+        nd = np.zeros(len(t), dtype=np.int64)
+        np.add.at(nd, distinct["r"].to_numpy(zero_copy_only=False), 1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "n_distinct": pa.array(nd),
+                "is_unique": pa.array(ok),
+            }
+        )
+
+    return _ensure_schema(
+        ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [("vec_id", pa.int64()), ("n_distinct", pa.int64()), ("is_unique", pa.bool_())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 divisibleBy — kernel-evaluated, violations (oracle: % <> 0)
+# ---------------------------------------------------------------------------
+
+
+def q_divisible(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        from .kernels import eval_kernel
+
+        ok = eval_kernel("divisibleBy", t["l_quantity"], {"value": 7})
+        return t.filter(pa.array(~ok))
+
+    return _ensure_schema(
+        ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 struct paths — dotted-path column access through a struct column
+# (built in-flight: testdata has no struct columns), kernel minimum
+# ---------------------------------------------------------------------------
+
+
+def q_struct_path(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        from .kernels import eval_kernel, get_column
+
+        lang = t["lang"]
+        nchars = t["n_chars"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        if isinstance(nchars, pa.ChunkedArray):
+            nchars = nchars.combine_chunks()
+        meta = pa.StructArray.from_arrays([lang, nchars], names=["lang", "n_chars"])
+        t2 = pa.table({"doc_id": t["doc_id"], "meta": meta})
+        col = get_column(t2, "meta.n_chars")  # A10 dotted-path resolution
+        ok = eval_kernel("minimum", col, {"value": 200})
+        out = pa.table({"doc_id": t2["doc_id"], "n_chars": col})
+        return out.filter(pa.array(~ok))
+
+    return _ensure_schema(
+        ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 disallow / A14 oneOf — dynamic-path combinators over the JSON
+# props column (k_json_schema → vald.jsonschema), SQL CASE oracles
+# ---------------------------------------------------------------------------
+
+_SCHEMA_NOT = {
+    "type": "object",
+    "properties": {"k": {"disallow": [{"type": "integer", "minimum": 50}]}},
+}
+
+_SCHEMA_ONE_OF = {
+    "type": "object",
+    "oneOf": [
+        {"properties": {"k": {"minimum": 50}}},
+        {"properties": {"k": {"maximum": 80}}},
+    ],
+}
+
+
+def _json_schema_violations(sf_dir: str, schema: dict):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        from .kernels import eval_kernel
+
+        ok = eval_kernel("jsonSchema", t["props"], {"schema": schema})
+        return t.select(["event_id"]).filter(pa.array(~ok))
+
+    return _ensure_schema(
+        ds.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("event_id", pa.int64())]),
+    )
+
+
+def q_not(sf_dir: str):
+    """A13 disallow: rows whose k is an integer >= 50 are violations."""
+    return _json_schema_violations(sf_dir, _SCHEMA_NOT)
+
+
+def q_one_of(sf_dir: str):
+    """A14 oneOf: both branches match when 50 <= k <= 80 → violation."""
+    return _json_schema_violations(sf_dir, _SCHEMA_ONE_OF)
 
 
 # ---------------------------------------------------------------------------
 # rows-only ops queries (no SQL equivalent)
 # ---------------------------------------------------------------------------
+
+
+def q_near_dup_groups(sf_dir: str):
+    """Distributed near-dup grouping: minhash pair Dataset → large-star /
+    small-star connected components (never touches the driver)."""
+    from .ops.dedup import minhash_dedup_pairs_ds, near_dup_groups_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_dedup_pairs_ds(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5, concurrency=(1, 2)
+    )
+    return _ensure_schema(
+        near_dup_groups_ds(pairs),
+        pa.schema([("id", pa.int64()), ("group_id", pa.int64())]),
+    )
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -762,6 +956,12 @@ QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_token_counts": q_token_counts,
     "q_knn_cosine": q_knn_cosine,
+    "q_unique_items": q_unique_items,
+    "q_divisible": q_divisible,
+    "q_struct_path": q_struct_path,
+    "q_not": q_not,
+    "q_one_of": q_one_of,
+    "q_near_dup_groups": q_near_dup_groups,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash_pairs": q_simhash_pairs,
     "q_langid": q_langid,
@@ -817,8 +1017,19 @@ ORACLE_SQL = {
         "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price FROM lineitem"
     ),
     "q_json_props": (
-        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
-        "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90"
+        # integer-or-NULL extraction matching _json_int exactly: ints,
+        # integral doubles, digit-strings; bools/other are NULL
+        "WITH e AS (SELECT event_id, CASE "
+        "WHEN json_type(props,'$.k') IN ('BIGINT','UBIGINT') "
+        "THEN json_extract(props,'$.k')::BIGINT "
+        "WHEN json_type(props,'$.k') = 'DOUBLE' "
+        "AND json_extract(props,'$.k')::DOUBLE = floor(json_extract(props,'$.k')::DOUBLE) "
+        "THEN CAST(json_extract(props,'$.k')::DOUBLE AS BIGINT) "
+        "WHEN json_type(props,'$.k') = 'VARCHAR' "
+        "AND regexp_matches(json_extract_string(props,'$.k'), '^-?[0-9]+$') "
+        "THEN CAST(json_extract_string(props,'$.k') AS BIGINT) "
+        "ELSE NULL END AS k FROM events) "
+        "SELECT event_id, k FROM e WHERE k >= 90"
     ),
     "q_dependencies": "SELECT doc_id FROM documents WHERE length(text) <> n_chars",
     "q_topk_offenders": (
@@ -848,7 +1059,10 @@ ORACLE_SQL = {
     "q_content_sha": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     "q_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_token_counts": (
-        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens_ws "
+        # NULL/empty/whitespace-only text counts 0 tokens, matching
+        # Python str.split() semantics in TokenCount (ADVICE r1)
+        "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws "
         "FROM documents"
     ),
     "q_knn_cosine": (
@@ -856,7 +1070,31 @@ ORACLE_SQL = {
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS sim "
         "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
     ),
+    "q_unique_items": (
+        "SELECT vec_id, len(list_distinct(embedding))::BIGINT AS n_distinct, "
+        "len(list_distinct(embedding)) = len(embedding) AS is_unique FROM embeddings"
+    ),
+    "q_divisible": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity % 7 <> 0"
+    ),
+    "q_struct_path": (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars < 200"
+    ),
+    "q_not": (
+        "SELECT event_id FROM events "
+        "WHERE json_type(props,'$.k') IN ('BIGINT','UBIGINT') "
+        "AND json_extract(props,'$.k')::BIGINT >= 50"
+    ),
+    "q_one_of": (
+        # oneOf fails when BOTH branches (k>=50, k<=80) hold, or when k
+        # is absent (both vacuously hold); testdata always has integer k
+        "SELECT event_id FROM events "
+        "WHERE json_type(props,'$.k') NOT IN ('BIGINT','UBIGINT') "
+        "OR json_extract(props,'$.k')::BIGINT BETWEEN 50 AND 80"
+    ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
-    # q_langid q_quality_scores q_profile_sketch q_drift_corpus
-    # q_media_decode q_knn_ivf q_corpus_verdicts q_corpus_violations
+    # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
+    # q_drift_corpus q_media_decode q_knn_ivf q_corpus_verdicts
+    # q_corpus_violations
 }
