@@ -89,22 +89,35 @@ def run_resumable(
     parents: dict | None = None,
     resume: bool = True,
     concurrency: int | tuple[int, int] = (1, 8),
+    pipeline_width: int = 3,
 ) -> RunSummary:
     """Validate each checkpoint partition independently; skip completed
     ones on resume. ``partitions`` maps pid → thunk producing that
-    partition's Dataset (e.g. one input file shard)."""
+    partition's Dataset (e.g. one input file shard).
+
+    ``pipeline_width`` partitions run CONCURRENTLY (driver threads, each
+    driving its own Ray Data pipeline): small shards no longer underfill
+    the cluster between partitions, while outputs stay byte-identical —
+    each partition's files and manifest are independent, sorted, and
+    committed atomically, so completion order cannot affect bytes."""
+    import threading
+
     cs = spec if isinstance(spec, ConstraintSet) else compile_table_spec(spec)
     mgr = CheckpointManager(out_dir)
     done = mgr.completed() if resume else set()
-    completed, skipped = [], []
-    total_rows = total_violations = 0
+    skipped = [pid for pid in sorted(partitions) if pid in done]
+    todo = [pid for pid in sorted(partitions) if pid not in done]
 
-    for pid in sorted(partitions):
-        if pid in done:
-            skipped.append(pid)
-            continue
+    # Dataset CREATION is serialized: concurrent read_parquet calls race
+    # in fsspec's lazy filesystem-registry import (observed: spurious
+    # HTTPFileSystem ImportError). Execution stays concurrent — creation
+    # is metadata-only and cheap.
+    create_lock = threading.Lock()
+
+    def run_one(pid: str) -> tuple[str, int, int]:
         t0 = time.monotonic()
-        ds = partitions[pid]()
+        with create_lock:
+            ds = partitions[pid]()
         res = validate(ds, cs, parents=parents, concurrency=concurrency)
         viol = res.violations_table()
         verd = res.verdicts_table()
@@ -127,6 +140,18 @@ def run_resumable(
                 "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             },
         )
+        return pid, rows, nviol
+
+    completed: list[str] = []
+    total_rows = total_violations = 0
+    if pipeline_width <= 1 or len(todo) <= 1:
+        results = [run_one(pid) for pid in todo]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=pipeline_width) as pool:
+            results = list(pool.map(run_one, todo))
+    for pid, rows, nviol in results:
         completed.append(pid)
         total_rows += rows
         total_violations += nviol
