@@ -196,3 +196,85 @@ def test_error_ordering_and_paths():
     }
     errs = validate_value({"a": "x"}, schema)
     assert ("a", "type") in errs and ("b", "required") in errs
+
+
+class TestExternalRefRegistry:
+    """A16 external $ref: offline registry-based resolution."""
+
+    def setup_method(self):
+        from vald import jsonschema as js
+
+        js.register_schema(
+            "https://example.test/address.json",
+            {
+                "type": "object",
+                "properties": {
+                    "city": {"type": "string", "required": True},
+                    "zip": {"$ref": "#/definitions/zip"},
+                },
+                "definitions": {"zip": {"type": "string", "pattern": "^[0-9]{5}$"}},
+            },
+        )
+
+    def teardown_method(self):
+        from vald import jsonschema as js
+
+        js.unregister_schema("https://example.test/address.json")
+
+    def test_external_ref_resolves(self):
+        from vald import jsonschema as js
+
+        schema = {
+            "type": "object",
+            "properties": {"addr": {"$ref": "https://example.test/address.json"}},
+        }
+        assert js.is_valid({"addr": {"city": "Springfield", "zip": "12345"}}, schema)
+        assert not js.is_valid({"addr": {"zip": "12345"}}, schema)  # city required
+
+    def test_intra_doc_ref_inside_external_doc_uses_its_root(self):
+        from vald import jsonschema as js
+
+        # the nested '#/definitions/zip' must resolve within address.json
+        schema = {"$ref": "https://example.test/address.json"}
+        assert not js.is_valid({"city": "x", "zip": "abcde"}, schema)
+        assert js.is_valid({"city": "x", "zip": "99999"}, schema)
+
+    def test_external_fragment(self):
+        from vald import jsonschema as js
+
+        schema = {"$ref": "https://example.test/address.json#/definitions/zip"}
+        assert js.is_valid("12345", schema)
+        assert not js.is_valid("12a45", schema)
+
+    def test_unregistered_external_ref_raises(self):
+        import pytest
+
+        from vald import jsonschema as js
+
+        with pytest.raises(js.SchemaError, match="not registered"):
+            js.is_valid({}, {"$ref": "https://nowhere.test/x.json"})
+
+    def test_kernel_registry_param(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from vald.kernels import eval_kernel
+
+        col = pa.array(['{"zip": "12345"}', '{"zip": "xx"}', None])
+        ok = eval_kernel(
+            "jsonSchema",
+            col,
+            {
+                "schema": {
+                    "type": "object",
+                    "properties": {"zip": {"$ref": "https://example.test/zipdoc.json"}},
+                },
+                "registry": {
+                    "https://example.test/zipdoc.json": {
+                        "type": "string",
+                        "pattern": "^[0-9]{5}$",
+                    }
+                },
+            },
+        )
+        assert ok.tolist() == [True, False, True]

@@ -261,3 +261,100 @@ def test_exact_dedup_null_and_value_guard(ray_session):
         ray.data.from_arrow(docs), "text", id_col="doc_id"
     ).to_pandas()
     assert sorted(out["doc_id"]) == [0, 1, 3, 6, 7]
+
+
+def _planted_embeddings(n_base=60, dups_per=2, n_noise=300, dim=32, seed=5):
+    """Deterministic embedding set: n_base cluster centers, each with
+    dups_per noisy copies (cosine ~0.99), plus unrelated noise vectors."""
+    rng = np.random.RandomState(seed)
+    rows, ids = [], []
+    vid = 0
+    for _ in range(n_base):
+        c = rng.standard_normal(dim)
+        c /= np.linalg.norm(c)
+        for _ in range(1 + dups_per):
+            v = c + 0.02 * rng.standard_normal(dim)
+            rows.append(v.astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    for _ in range(n_noise):
+        v = rng.standard_normal(dim)
+        rows.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(vid)
+        vid += 1
+    emb = pa.array([r.tolist() for r in rows], type=pa.list_(pa.float32()))
+    return pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": emb})
+
+
+def test_embedding_dedup_matches_bruteforce(ray_session):
+    """sign-LSH + exact cosine verify == brute-force all-pairs at
+    threshold 0.95 on planted clusters (LSH prunes, never decides)."""
+    t = _planted_embeddings()
+    mat = np.array([list(v) for v in t["embedding"].to_pylist()], dtype=np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.triu_indices(len(mat), k=1)
+    hit = sims[ia, ib] >= 0.95
+    want = set(zip(ia[hit].tolist(), ib[hit].tolist()))
+    assert len(want) > 50  # the plant worked
+
+    pairs = SIM.embedding_dedup_pairs(
+        ray.data.from_arrow(t), threshold=0.95, max_hamming=12
+    )
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    # exact verification: no false positives ever
+    assert got <= want
+    # recall: planted dups are ~0.995 cosine, far inside the LSH radius
+    assert len(got) / len(want) >= 0.95
+    # cosine values are the exact ones
+    for a, b, c in zip(
+        pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist(), pairs["cosine"].to_pylist()
+    ):
+        assert abs(c - float(sims[a, b])) < 1e-5
+
+
+def test_ivf_partitioned_layout(ray_session, tmp_path):
+    """Cell-partitioned inverted lists: write once, probe reads only the
+    needed cell directories; recall vs brute >= plain knn_ivf recall."""
+    import os
+
+    t = _planted_embeddings(n_base=40, dups_per=1, n_noise=200)
+    ds = ray.data.from_arrow(t)
+    idx = SIM.IvfIndex.train(ds, num_cells=8, embedding_col="embedding", sample_frac=0.5)
+    out_dir = str(tmp_path / "ivf")
+    SIM.ivf_write_partitioned(ds, idx, out_dir)
+    cells = [d for d in os.listdir(out_dir) if d.startswith("cell=")]
+    assert len(cells) >= 2  # layout actually partitioned
+
+    q = np.array([list(v) for v in t["embedding"].to_pylist()[:5]], dtype=np.float32)
+    brute = SIM.knn_brute(ray.data.from_arrow(t), q, k=5, id_col="vec_id")
+    part = SIM.knn_ivf_partitioned(out_dir, q, idx, k=5, nprobe=4, id_col="vec_id")
+    hits = 0
+    for qi in range(5):
+        b = set(brute.filter(pa.compute.equal(brute["query_id"], qi))["vec_id"].to_pylist())
+        p = set(part.filter(pa.compute.equal(part["query_id"], qi))["vec_id"].to_pylist())
+        hits += len(b & p) / max(1, len(b))
+    assert hits / 5 >= 0.8  # recall with nprobe=4 of 8 cells
+
+
+def test_drop_near_dups_end_to_end(ray_session):
+    """Corpus → minhash pairs → distributed groups → filtered corpus:
+    group representatives + unpaired rows survive, members drop.
+    Both the broadcast and the left_anti paths must agree."""
+    ds, texts = _docs(ray_session)
+    pairs = DD.minhash_dedup_pairs_ds(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+    groups = DD.near_dup_groups_ds(pairs).materialize()
+    kept_b = sorted(
+        DD.drop_near_dups(ds, "doc_id", groups).to_pandas()["doc_id"].tolist()
+    )
+    # {0,1,2} is one near-dup cluster with representative 0
+    assert 0 in kept_b and 1 not in kept_b and 2 not in kept_b
+    assert all(d in kept_b for d in (3, 4, 5, 6))
+    kept_j = sorted(
+        DD.drop_near_dups(ds, "doc_id", groups, max_broadcast_ids=0)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert kept_b == kept_j

@@ -40,6 +40,7 @@ def cmd_run(args) -> int:
 
     from .checkpoint import run_resumable
     from .pipeline import validate
+    from .sources import read_source
 
     _ray_init(args.num_cpus)
     with open(args.spec) as f:
@@ -49,13 +50,14 @@ def cmd_run(args) -> int:
         name, path = p.split("=", 1)
         parents[name] = ray.data.read_parquet(path)
 
+    fmt = getattr(args, "format", "parquet")
     files = sorted(globmod.glob(args.input))
     if not files:
         print(f"no input matches {args.input!r}", file=sys.stderr)
         return 2
     if args.out and args.checkpoint:
         partitions = {
-            f"shard{i:05d}": (lambda f=f: ray.data.read_parquet(f))
+            f"shard{i:05d}": (lambda f=f: read_source(f, format=fmt))
             for i, f in enumerate(files)
         }
         summary = run_resumable(
@@ -73,7 +75,7 @@ def cmd_run(args) -> int:
             )
         )
     else:
-        ds = ray.data.read_parquet(files)
+        ds = read_source(files, format=fmt)
         res = validate(ds, spec, parents=parents)
         verd = res.verdicts_table()
         if args.out:
@@ -143,8 +145,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("run", help="validate parquet input against a spec")
-    p.add_argument("--input", required=True, help="parquet glob")
+    p = sub.add_parser("run", help="validate tabular input against a spec")
+    p.add_argument("--input", required=True, help="input file glob")
+    p.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl", "csv"],
+        help="input format (parquet prunes at storage; jsonl/csv decode rows)",
+    )
     p.add_argument("--spec", required=True, help="JSON table-spec path")
     p.add_argument("--out", default=None, help="output dir")
     p.add_argument("--parent", action="append", help="name=parquet_path (refint parents)")

@@ -268,7 +268,9 @@ def refint_anti_join_results(
     cols = list(dist.params["columns"])
     pcols = list(dist.params.get("parent_columns", cols))
     cid = dist.constraint_id
-    P_parts = num_partitions or cs.num_partitions
+    from .runtime import join_partitions
+
+    P_parts = join_partitions(num_partitions or cs.num_partitions)
 
     def pre(t: pa.Table) -> pa.Table:
         pids = P.build_partition_ids(t, cs)
@@ -388,7 +390,9 @@ def fused_refint_anti_results(
     cid = dist.constraint_id
     cols = list(dist.params["columns"])
     pcols = list(dist.params.get("parent_columns", cols))
-    P_parts = num_partitions or cs.num_partitions
+    from .runtime import join_partitions
+
+    P_parts = join_partitions(num_partitions or cs.num_partitions)
     from .hashing import KEY_SEP
 
     def project_rkey(t: pa.Table) -> pa.Table:

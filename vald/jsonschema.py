@@ -22,7 +22,13 @@ from __future__ import annotations
 import re
 from typing import Any
 
-__all__ = ["validate_value", "is_valid", "SchemaError"]
+__all__ = [
+    "validate_value",
+    "is_valid",
+    "SchemaError",
+    "register_schema",
+    "unregister_schema",
+]
 
 
 class SchemaError(ValueError):
@@ -85,12 +91,44 @@ def _json_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
-def _resolve_ref(ref: str, root: dict) -> dict:
-    """Resolve an intra-document ``$ref`` fragment ('#', '#/a/b', '#/a/0')."""
-    if not ref.startswith("#"):
-        raise SchemaError(f"external $ref not supported offline: {ref!r}")
-    node: Any = root
-    frag = ref[1:].lstrip("/")
+# External-$ref registry (A16 scale-out): an OFFLINE uri → schema-doc
+# map — no network, ever. Per-process (register in workers too: the
+# jsonSchema kernel accepts a "registry" param and installs it before
+# validating, so registered docs travel with the compiled spec).
+_SCHEMA_REGISTRY: dict[str, dict] = {}
+
+
+def register_schema(uri: str, schema: dict) -> None:
+    """Register an external schema document under its URI so ``$ref``
+    can resolve it offline. A trailing '#' on the URI is ignored."""
+    _SCHEMA_REGISTRY[uri.rstrip("#")] = schema
+
+
+def unregister_schema(uri: str) -> None:
+    _SCHEMA_REGISTRY.pop(uri.rstrip("#"), None)
+
+
+def _resolve_ref(ref: str, root: dict) -> tuple[dict, dict]:
+    """Resolve a ``$ref``: intra-document fragments ('#', '#/a/b',
+    '#/a/0') against ``root``; external URIs against the offline
+    registry. Returns (target_schema, its_document_root) — the document
+    root changes on an external hop so nested intra-doc refs resolve
+    within the right document."""
+    if ref.startswith("#"):
+        doc: Any = root
+        frag = ref[1:]
+    else:
+        base, _, frag = ref.partition("#")
+        doc = _SCHEMA_REGISTRY.get(base.rstrip("#") if not frag else base)
+        if doc is None:
+            doc = _SCHEMA_REGISTRY.get(base)
+        if doc is None:
+            raise SchemaError(
+                f"external $ref {ref!r} not registered (offline engine: "
+                "use vald.jsonschema.register_schema)"
+            )
+    node: Any = doc
+    frag = frag.lstrip("/")
     if frag:
         for part in frag.split("/"):
             part = part.replace("~1", "/").replace("~0", "~")
@@ -105,7 +143,7 @@ def _resolve_ref(ref: str, root: dict) -> dict:
                 raise SchemaError(f"unresolvable $ref {ref!r}") from None
     if not isinstance(node, dict):
         raise SchemaError(f"$ref {ref!r} does not point at a schema")
-    return node
+    return node, doc
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +223,8 @@ def _validate(value: Any, schema: dict, root: dict, path: str, depth: int) -> li
         raise SchemaError(f"schema must be an object, got {type(schema).__name__}")
 
     if "$ref" in schema:
-        target = _resolve_ref(schema["$ref"], root)
-        return _validate(value, target, root, path, depth + 1)
+        target, new_root = _resolve_ref(schema["$ref"], root)
+        return _validate(value, target, new_root, path, depth + 1)
 
     errors: list[tuple[str, str]] = []
     vt = _type_of(value)

@@ -280,8 +280,12 @@ def k_format(col, params) -> np.ndarray:
 
 def k_json_schema(col, params) -> np.ndarray:
     """A1 dynamic path: per-row json.loads + draft-03 validation on a
-    JSON-string column. Schema compiled once (params carry the dict)."""
+    JSON-string column. Schema compiled once (params carry the dict).
+    ``params["registry"]`` (uri → schema doc) installs external-$ref
+    documents in THIS worker process so refs resolve offline (A16)."""
     schema = params["schema"]
+    for uri, doc in (params.get("registry") or {}).items():
+        js.register_schema(uri, doc)
     out = np.ones(len(col), dtype=bool)
     for i, v in enumerate(col.to_pylist()):
         if v is None:

@@ -43,6 +43,7 @@ __all__ = [
     "minhash_dedup_pairs_ds",
     "near_dup_groups",
     "near_dup_groups_ds",
+    "drop_near_dups",
     "simhash_column",
     "simhash_dedup_pairs",
     "simhash_dedup_pairs_ds",
@@ -567,6 +568,60 @@ def near_dup_groups_ds(
         edges.map_batches(labels, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("id")
         .aggregate(Min("group_id", alias_name="group_id"))
+    )
+
+
+def drop_near_dups(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    groups: "ray.data.Dataset",
+    *,
+    max_broadcast_ids: int = 2_000_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Apply near-dup grouping to the corpus: keep each group's
+    representative (``group_id`` row) plus every unpaired row; drop the
+    other group members. ``groups`` is ``near_dup_groups_ds`` output
+    (id, group_id).
+
+    The drop set is |non-representative duplicates| — when it fits
+    (≤ ``max_broadcast_ids``) it is broadcast once and applied with a
+    vectorized ``pc.is_in`` per batch (no shuffle of the corpus);
+    above that the corpus is ``left_anti``-joined against the drop ids
+    (all-to-all, but moves only (row, id) — choose the path the data
+    demands, same planner shape as refint B5)."""
+    drop = groups.map_batches(
+        lambda t: t.filter(pc.not_equal(t["id"], t["group_id"])).select(["id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_drop = drop.count()
+    if n_drop == 0:
+        return ds
+    if n_drop <= max_broadcast_ids:
+        parts = ray.get(drop.to_arrow_refs())
+        ids = pa.concat_tables([p for p in parts if len(p)])["id"].combine_chunks()
+        ids_ref = ray.put(ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            value_set = ray.get(ids_ref)
+            return t.filter(
+                pc.invert(
+                    pc.fill_null(pc.is_in(t[id_col], value_set=value_set), False)
+                )
+            )
+
+        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    renamed = drop.map_batches(
+        lambda t: t.rename_columns([id_col]), batch_format="pyarrow"
+    )
+    from ..runtime import join_partitions
+
+    return ds.join(
+        renamed,
+        join_type="left_anti",
+        num_partitions=join_partitions(num_partitions),
+        on=(id_col,),
     )
 
 

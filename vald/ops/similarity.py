@@ -19,7 +19,17 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["embedding_matrix", "knn_brute", "IvfIndex", "knn_ivf"]
+__all__ = [
+    "embedding_matrix",
+    "knn_brute",
+    "IvfIndex",
+    "knn_ivf",
+    "embedding_signs",
+    "embedding_dedup_pairs_ds",
+    "embedding_dedup_pairs",
+    "ivf_write_partitioned",
+    "knn_ivf_partitioned",
+]
 
 
 def embedding_matrix(t: pa.Table, col: str) -> np.ndarray:
@@ -94,6 +104,200 @@ def knn_brute(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def embedding_signs(
+    ds: "ray.data.Dataset",
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bits: int = 64,
+    seed: int = 11,
+    keep_embedding: bool = True,
+) -> "ray.data.Dataset":
+    """Random-hyperplane signature per row (sign-LSH for cosine,
+    Charikar SimHash family): ``num_bits`` sign bits of projections onto
+    seeded Gaussian hyperplanes, packed into a uint64. Hamming distance
+    on signatures estimates angular distance. Projection matrix is
+    regenerated from the seed inside each task (cheap: d × 64 floats) —
+    nothing is shipped."""
+    assert num_bits <= 64
+
+    def sign(t: pa.Table) -> pa.Table:
+        emb = embedding_matrix(t, embedding_col)
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((emb.shape[1], num_bits)).astype(np.float32)
+        bits = (emb @ planes) > 0  # (n, num_bits)
+        weights = (np.uint64(1) << np.arange(num_bits, dtype=np.uint64))
+        sig = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        cols = {id_col: t[id_col], "sig": pa.array(sig, type=pa.uint64())}
+        if keep_embedding:
+            cols[embedding_col] = t[embedding_col]
+        return pa.table(cols)
+
+    return ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_dedup_pairs_ds(
+    ds: "ray.data.Dataset",
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_hamming: int = 8,
+    num_bits: int = 64,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold), as a
+    distributed Dataset (id_a, id_b, cosine).
+
+    sign-LSH signature → pigeonhole banding (split ``num_bits`` into
+    ``max_hamming+1`` chunks: any pair within Hamming ``max_hamming``
+    shares one exact chunk) → groupby(chunk, value) → EXACT cosine
+    verification inside the group — LSH only prunes candidates, never
+    decides. Recall misses pairs whose signatures differ in more than
+    ``max_hamming`` bits (P[bit differs] = angle/π; at cosine 0.9 and 64
+    bits, E[hamming] ≈ 9 — raise ``max_hamming`` or lower ``num_bits``
+    chunking for stricter recall).
+
+    Scale note (documented assumption): embeddings ride through the
+    candidate shuffle (one copy per chunk, ``max_hamming+1`` ×
+    dim × 4 bytes per row). For very wide embeddings prefer a two-phase
+    plan (candidate ids first, then fetch)."""
+    sigs = embedding_signs(
+        ds,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        num_bits=num_bits,
+        seed=seed,
+    )
+    nchunks = max_hamming + 1
+    width = num_bits // nchunks
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(t)
+        chunks, values, idx = [], [], []
+        for c in range(nchunks):
+            vals = (h >> np.uint64(c * width)) & np.uint64((1 << width) - 1)
+            chunks.append(np.full(n, c, dtype=np.int32))
+            values.append(vals)
+            idx.append(np.arange(n))
+        take = pa.array(np.concatenate(idx), type=pa.int64())
+        out = pa.table(
+            {
+                "chunk": pa.array(np.concatenate(chunks)),
+                "value": pa.array(np.concatenate(values), type=pa.uint64()),
+                id_col: t[id_col].take(take),
+                embedding_col: t[embedding_col].take(take),
+            }
+        )
+        return out
+
+    def verify(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        emb = _normalize(embedding_matrix(g, embedding_col))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sims = emb @ emb.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        ia, ib = ia[hit], ib[hit]
+        keep = ids[ia] != ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pa.table(
+            {
+                "id_a": pa.array(lo, type=pa.int64()),
+                "id_b": pa.array(hi, type=pa.int64()),
+                "cosine": pa.array(sims[ia, ib].astype(np.float64)),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "value"])
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    from .dedup import _dedup_pairs_ds
+
+    return _dedup_pairs_ds(pairs, "cosine", "max")
+
+
+def embedding_dedup_pairs(ds: "ray.data.Dataset", **kwargs) -> pa.Table:
+    """Driver-sized wrapper around ``embedding_dedup_pairs_ds``."""
+    from .dedup import _pairs_table
+
+    return _pairs_table(embedding_dedup_pairs_ds(ds, **kwargs), "cosine", pa.float64())
+
+
+def ivf_write_partitioned(
+    ds: "ray.data.Dataset",
+    index: "IvfIndex",
+    out_dir: str,
+    *,
+    embedding_col: str = "embedding",
+) -> None:
+    """Materialize cell-partitioned inverted lists: each row is stamped
+    with its nearest-centroid cell and written to
+    ``out_dir/cell=<c>/...`` — the 100-TB IVF layout. Queries then READ
+    ONLY their probed cells' directories (storage-level pruning), so
+    search cost scales with nprobe/num_cells of the data, not its size."""
+    cents_ref = ray.put(index.centroids)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        emb = _normalize(embedding_matrix(t, embedding_col))
+        cells = (emb @ cents.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cells))
+
+    ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+
+
+def knn_ivf_partitioned(
+    out_dir: str,
+    queries: np.ndarray,
+    index: "IvfIndex",
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """ANN over a cell-partitioned layout (``ivf_write_partitioned``):
+    reads ONLY the union of every query's ``nprobe`` nearest cells, then
+    exact cosine within them. Same merge as ``knn_brute``."""
+    import os
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_cells = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    needed = sorted(set(int(c) for c in q_cells.reshape(-1)))
+    import glob as globmod
+
+    paths = []
+    for c in needed:
+        d = os.path.join(out_dir, f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(sorted(globmod.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    ds = ray.data.read_parquet(paths, columns=[id_col, embedding_col])
+    return knn_brute(ds, q, k=k, embedding_col=embedding_col, id_col=id_col)
 
 
 class IvfIndex:

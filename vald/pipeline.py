@@ -359,7 +359,15 @@ class RowValidator:
             return _empty_ext()
         pids = build_partition_ids(batch, cs)
         refs = build_row_ref(batch, cs)
-        ref_list: list[str] | None = None
+
+        def refs_at(idx: np.ndarray) -> list[str]:
+            # only the violating rows' refs are ever materialized to
+            # Python (idx is capped at max_v) — a full-batch to_pylist
+            # here would run on every batch containing ANY violation
+            if refs is None:
+                return [""] * len(idx)
+            taken = refs.take(pa.array(idx, type=pa.int64()))
+            return ["<null>" if v is None else v for v in taken.to_pylist()]
 
         out: dict[str, list] = {
             "partition_id": [],
@@ -415,13 +423,12 @@ class RowValidator:
                 continue
             if len(idx) > self.max_v:
                 idx = idx[: self.max_v]
-            if ref_list is None:
-                ref_list = refs.to_pylist() if refs is not None else [""] * n
+            v_refs = refs_at(idx)
             observed = check.observed(batch, idx)
             for j, i in enumerate(idx):
                 out["partition_id"].append(int(pids[i]))
                 out["constraint_id"].append(check.constraint_id)
-                out["row_ref"].append(ref_list[i])
+                out["row_ref"].append(v_refs[j])
                 out["column"].append(check.column or "")
                 out["observed"].append(observed[j])
                 out["detail"].append(check.keyword)
@@ -459,15 +466,14 @@ class RowValidator:
             emit_partials(dist.constraint_id, checked, bad)
             idx = np.flatnonzero(bad)[: self.max_v]
             if len(idx):
-                if ref_list is None:
-                    ref_list = refs.to_pylist() if refs is not None else [""] * n
+                v_refs = refs_at(idx)
                 from .kernels import observed_strings as _obs
 
                 observed = _obs(keycol, idx)
                 for j, i in enumerate(idx):
                     out["partition_id"].append(int(pids[i]))
                     out["constraint_id"].append(dist.constraint_id)
-                    out["row_ref"].append(ref_list[i])
+                    out["row_ref"].append(v_refs[j])
                     out["column"].append(",".join(cols))
                     out["observed"].append(observed[j])
                     out["detail"].append("refint")

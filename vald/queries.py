@@ -491,6 +491,112 @@ def q_window_hourly(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# B18 sliding windows: 2-hour windows advancing hourly — each event
+# explodes into window/slide = 2 window rows, then count per window
+# (pre-aggregated per batch before the shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_window_sliding(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        prev = pc.add(hour, pa.scalar(-3600_000_000, type=pa.duration("us")))
+        both = pa.concat_arrays(
+            [
+                hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour,
+                prev.combine_chunks() if isinstance(prev, pa.ChunkedArray) else prev,
+            ]
+        )
+        t2 = pa.table(
+            {
+                "window_start": both,
+                "n": pa.array(np.ones(len(both), dtype=np.int64)),
+            }
+        )
+        agg = t2.group_by("window_start", use_threads=False).aggregate([("n", "sum")])
+        return agg.rename_columns(["window_start", "n"])
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(
+        out,
+        pa.schema([("window_start", pa.timestamp("us")), ("n", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18 session windows: gap-based sessionization (30-min inactivity)
+# — bucket groupby on user, fully vectorized segment math inside
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessions(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    num_buckets = 32
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (u % num_buckets).astype(np.int32)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "bucket": pa.array(bucket)}
+        )
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)  # datetime64[us]
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > np.timedelta64(_SESSION_GAP_US, "us")
+        is_new = new_user | gap
+        bounds = np.flatnonzero(is_new)
+        counts = np.diff(np.r_[bounds, n])
+        starts = ts[bounds]
+        uids = u[bounds]
+        # 1-based session index within each user
+        sess_new_user = np.r_[True, uids[1:] != uids[:-1]]
+        first_idx = np.maximum.accumulate(
+            np.where(sess_new_user, np.arange(len(bounds)), 0)
+        )
+        sid = np.arange(len(bounds)) - first_idx + 1
+        return pa.table(
+            {
+                "user_id": pa.array(uids),
+                "session_id": pa.array(sid.astype(np.int64)),
+                "session_start": pa.array(starts),
+                "n_events": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("session_id", pa.int64()),
+                ("session_start", pa.timestamp("us")),
+                ("n_events", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B14 set ops: semi / anti join via broadcast key membership
 # ---------------------------------------------------------------------------
 
@@ -808,6 +914,45 @@ def q_near_dup_groups(sf_dir: str):
     )
 
 
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sign-LSH + exact verify) over a
+    deterministic planted-cluster corpus — the testdata embeddings have
+    no near-dups (max pairwise cosine ≈ 0.48, measured), so the plant
+    provides a non-trivial result like q_drift_corpus does."""
+    import numpy as np
+
+    from .ops.similarity import embedding_dedup_pairs_ds
+
+    rng = np.random.RandomState(5)
+    dim, rows, ids = 32, [], []
+    vid = 0
+    for _ in range(150):
+        c = rng.standard_normal(dim)
+        c /= np.linalg.norm(c)
+        for _ in range(3):
+            rows.append((c + 0.02 * rng.standard_normal(dim)).astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    for _ in range(800):
+        v = rng.standard_normal(dim)
+        rows.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(vid)
+        vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in rows], type=pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_dedup_pairs_ds(
+        ray.data.from_arrow(t), threshold=0.95, max_hamming=12
+    )
+    return _ensure_schema(
+        pairs,
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]),
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     from .ops.dedup import minhash_dedup_pairs
 
@@ -950,6 +1095,8 @@ QUERIES = {
     "q_dedup": q_dedup,
     "q_pricing_summary": q_pricing_summary,
     "q_window_hourly": q_window_hourly,
+    "q_window_sliding": q_window_sliding,
+    "q_sessions": q_sessions,
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_content_sha": q_content_sha,
@@ -962,6 +1109,7 @@ QUERIES = {
     "q_not": q_not,
     "q_one_of": q_one_of,
     "q_near_dup_groups": q_near_dup_groups,
+    "q_embedding_dups": q_embedding_dups,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash_pairs": q_simhash_pairs,
     "q_langid": q_langid,
@@ -1047,6 +1195,22 @@ ORACLE_SQL = {
     "q_window_hourly": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "q_window_sliding": (
+        "WITH w AS (SELECT date_trunc('hour', ts) AS window_start FROM events "
+        "UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events) "
+        "SELECT window_start, count(*) AS n FROM w GROUP BY 1"
+    ),
+    "q_sessions": (
+        "WITH o AS (SELECT user_id, ts, CASE WHEN "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS is_new FROM events), "
+        "s AS (SELECT user_id, ts, CAST(sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS session_id FROM o) "
+        "SELECT user_id, session_id, min(ts) AS session_start, "
+        "count(*) AS n_events FROM s GROUP BY user_id, session_id"
     ),
     "q_semi_join": (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
