@@ -66,6 +66,17 @@ def _warm_cache(path: str) -> None:
                 pq.read_table(os.path.join(root, fn))
 
 
+# Cap the object store in bench children: at 8M rows the decoded input
+# (~40 GB) would otherwise balloon /dev/shm and evict the parquet page
+# cache mid-run (measured: t8 drifts 38 s → 72 s across a campaign as
+# the cache churns). 16 GiB is plenty for the streaming window.
+OBJ_STORE = int(os.environ.get("VALD_OBJ_STORE", str(16 * 1024**3)))
+# Best-of-N timing (VALD_BENCH_REPEATS): this VM throttles sustained
+# multi-core load (engine-independent; see BENCH/BASELINE.md), so the
+# minimum over repeats is the number closest to the hardware's truth.
+REPEATS = int(os.environ.get("VALD_BENCH_REPEATS", "1"))
+
+
 def run_bench() -> dict:
     import ray
 
@@ -75,6 +86,7 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=OBJ_STORE,
     )
     from ray.data import DataContext
 
@@ -89,11 +101,7 @@ def run_bench() -> dict:
     _ensure_corpus()
     _warm_cache(os.path.join(CORPUS_DIR, "corpus"))
 
-    # ---- headline: full corpus validation ----
-    t0 = time.monotonic()
-    ds = ray.data.read_parquet(
-        os.path.join(CORPUS_DIR, "corpus"), override_num_blocks=4 * NUM_CPUS
-    )
+    # ---- headline: full corpus validation (best of REPEATS) ----
     import pyarrow.parquet as pq
 
     # small dimension side: plain pyarrow read + ray.put broadcast —
@@ -101,10 +109,16 @@ def run_bench() -> dict:
     parents = {"repos": pq.read_table(os.path.join(CORPUS_DIR, "repos.parquet"))}
     spec = dict(CORPUS_SPEC)
     spec["num_partitions"] = max(8, NUM_CPUS)
-    res = P.validate(ds, spec, parents=parents)
-    n_verd = res.verdicts_table().num_rows
-    n_viol = res.violations_table().num_rows
-    headline = time.monotonic() - t0
+    headline = float("inf")
+    for _ in range(max(1, REPEATS)):
+        t0 = time.monotonic()
+        ds = ray.data.read_parquet(
+            os.path.join(CORPUS_DIR, "corpus"), override_num_blocks=4 * NUM_CPUS
+        )
+        res = P.validate(ds, spec, parents=parents)
+        n_verd = res.verdicts_table().num_rows
+        n_viol = res.violations_table().num_rows
+        headline = min(headline, time.monotonic() - t0)
 
     # ---- query catalog over the sf dir (skipped in scaling children) ----
     from vald.queries import QUERIES
@@ -130,6 +144,172 @@ def run_bench() -> dict:
         "rows_per_sec": round(CORPUS_ROWS / headline),
         "verdict_rows": n_verd,
         "violation_rows": n_viol,
+    }
+
+
+# ---------------------------------------------------------------------------
+# per-stage isolation scaling (the VERDICT r1 evidence path): each engine
+# stage measured alone at 2 and 8 cpus in fresh processes, so byte-bound
+# stages (read/decode) can be separated from compute-bound ones (sha,
+# row kernels) when attributing end-to-end efficiency to the memory bus.
+# ---------------------------------------------------------------------------
+
+_STAGE_SPECS: dict[str, dict] = {
+    # full decode of every column, no compute: the pure byte-bound floor
+    "read": {},
+    # row kernels only (pattern/enum/lengths/required/dependency)
+    "rowchecks": {
+        "columns": "CORPUS",
+        "checks": [
+            {
+                "kind": "pair_in_set",
+                "id": "lang_ext",
+                "constraint_id": "corpus.lang_ext.dependency",
+                "left": {"column": "lang"},
+                "right": {"fn": "file_ext", "column": "path"},
+                "pairs": [],  # filled from corpus LANGS at runtime
+                "guard_left_in_domain": True,
+            }
+        ],
+    },
+    # per-row sha256(content) == content_sha — compute-bound (B3)
+    "sha": {
+        "columns": {},
+        "checks": [
+            {
+                "kind": "sha_equal",
+                "column": "content",
+                "expected": "content_sha",
+                "constraint_id": "corpus.content_sha.sha_equal",
+            }
+        ],
+    },
+    # fused unique key partials + bucket shuffle — the exchange stage
+    "unique": {
+        "columns": {},
+        "checks": [
+            {
+                "kind": "unique",
+                "columns": ["repo", "path", "commit"],
+                "constraint_id": "corpus.key.unique",
+            }
+        ],
+    },
+}
+
+
+def run_stage(stage: str) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        object_store_memory=OBJ_STORE,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+
+    import ray.data
+
+    from vald import pipeline as P
+    from vald.corpus import CORPUS_SPEC, LANGS
+
+    _ensure_corpus()
+    _warm_cache(os.path.join(CORPUS_DIR, "corpus"))
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(
+        os.path.join(CORPUS_DIR, "corpus"), override_num_blocks=4 * NUM_CPUS
+    )
+    if stage == "read":
+        total = ds.map_batches(
+            lambda t: pa.table({"n": [len(t)]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        assert total == CORPUS_ROWS, total
+    else:
+        tmpl = _STAGE_SPECS[stage]
+        spec = {
+            "table": "corpus",
+            "row_ref": CORPUS_SPEC["row_ref"],
+            "row_ref_template": CORPUS_SPEC["row_ref_template"],
+            "partition_by": CORPUS_SPEC["partition_by"],
+            "num_partitions": max(8, NUM_CPUS),
+            "columns": CORPUS_SPEC["columns"] if tmpl["columns"] == "CORPUS" else tmpl["columns"],
+            "checks": [dict(c) for c in tmpl["checks"]],
+        }
+        for c in spec["checks"]:
+            if c.get("id") == "lang_ext":
+                c["pairs"] = [[lang, lang] for lang in LANGS]
+        res = P.validate(ds, spec)
+        res.verdicts_table()
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    return {
+        "metric": f"stage_{stage}_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": CORPUS_ROWS,
+        "rows_per_sec": round(CORPUS_ROWS / wall),
+    }
+
+
+def run_stage_scaling() -> dict:
+    """Each isolated stage at 2 vs 8 cpus (fresh process per run, same
+    pre-written 8M-row input): per-stage efficiency series."""
+    os.environ["VALD_BENCH_ROWS"] = os.environ.get("VALD_SCALE_ROWS", "8000000")
+    global CORPUS_ROWS, CORPUS_DIR
+    CORPUS_ROWS = int(os.environ["VALD_BENCH_ROWS"])
+    CORPUS_DIR = os.environ.get("VALD_BENCH_CORPUS", f"/tmp/vald_bench/corpus_{CORPUS_ROWS}")
+    os.environ["VALD_BENCH_CORPUS"] = CORPUS_DIR
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    _ensure_corpus()
+    ray.shutdown()
+
+    def child(stage: str, ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), VALD_STAGE=stage)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("VALD_SCALE_LO", "2"))
+    hi = int(os.environ.get("VALD_SCALE_HI", "8"))
+    stages = {}
+    for stage in _STAGE_SPECS:
+        r_lo, r_hi = child(stage, lo), child(stage, hi)
+        eff = r_lo["value"] / ((hi / lo) * r_hi["value"])
+        stages[stage] = {
+            f"sec_{lo}": r_lo["value"],
+            f"sec_{hi}": r_hi["value"],
+            "efficiency": round(eff, 3),
+        }
+    return {
+        "metric": "stage_scaling",
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "corpus_rows": CORPUS_ROWS,
+        "stages": stages,
     }
 
 
@@ -159,7 +339,12 @@ def run_scaling() -> dict:
     ray.shutdown()
 
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), VALD_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            VALD_SKIP_QUERIES="1",
+            VALD_BENCH_REPEATS=os.environ.get("VALD_BENCH_REPEATS", "2"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -200,5 +385,9 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stage-scaling" in sys.argv:
+        print(json.dumps(run_stage_scaling()))
+    elif "--stage" in sys.argv:
+        print(json.dumps(run_stage(sys.argv[sys.argv.index("--stage") + 1])))
     else:
         print(json.dumps(run_bench()))
