@@ -358,3 +358,33 @@ def test_drop_near_dups_end_to_end(ray_session):
         .tolist()
     )
     assert kept_b == kept_j
+
+
+def test_near_dup_groups_ds_permutation_invariance(ray_session):
+    """Edge order and edge direction must not change group assignments
+    (determinism at any parallelism — SURVEY §4.3)."""
+    rng = np.random.RandomState(3)
+    edges = [(i, i + 1) for i in range(0, 40)] + [
+        (int(a), int(b))
+        for a, b in rng.randint(100, 160, (60, 2))
+        if a != b
+    ]
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], type=pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], type=pa.int64()),
+        }
+    )
+    base = DD.near_dup_groups_ds(ray.data.from_arrow(t)).to_pandas()
+    base_m = dict(zip(base["id"], base["group_id"]))
+    # permute rows and flip every edge's direction
+    perm = rng.permutation(len(edges))
+    t2 = pa.table(
+        {
+            "id_a": pa.array([edges[i][1] for i in perm], type=pa.int64()),
+            "id_b": pa.array([edges[i][0] for i in perm], type=pa.int64()),
+        }
+    )
+    out2 = DD.near_dup_groups_ds(ray.data.from_arrow(t2)).to_pandas()
+    m2 = dict(zip(out2["id"], out2["group_id"]))
+    assert base_m == m2

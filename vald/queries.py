@@ -491,6 +491,88 @@ def q_window_hourly(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# relational breadth: TPC-H Q3-style shipping priority — broadcast
+# dimension filter + pre-aggregated fact + NATIVE hash inner join
+# (Dataset.join, partitions clamped) + top-k
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
+
+
+def q_shipping_priority(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .runtime import join_partitions
+
+    keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.fill_null(
+                pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref)), False
+            ),
+            pc.less(t["o_orderdate"], pa.scalar(_Q3_CUTOFF)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(_Q3_CUTOFF)))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        agg = small.group_by("l_orderkey", use_threads=False).aggregate(
+            [("revenue", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "revenue"])
+
+    li = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    # over-fetch then re-rank on ROUNDED revenue with key tiebreak,
+    # mirroring the oracle's ORDER BY round(...,2) DESC, l_orderkey
+    top = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(20)
+    df = top.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"].tolist(), type=pa.int64()),
+            "revenue": pa.array(df["revenue"].tolist(), type=pa.float64()),
+            "o_orderdate": pa.array(
+                df["o_orderdate"].tolist(), type=pa.timestamp("us")
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # B18 sliding windows: 2-hour windows advancing hourly — each event
 # explodes into window/slide = 2 window rows, then count per window
 # (pre-aggregated per batch before the shuffle)
@@ -1095,6 +1177,7 @@ QUERIES = {
     "q_dedup": q_dedup,
     "q_pricing_summary": q_pricing_summary,
     "q_window_hourly": q_window_hourly,
+    "q_shipping_priority": q_shipping_priority,
     "q_window_sliding": q_window_sliding,
     "q_sessions": q_sessions,
     "q_semi_join": q_semi_join,
@@ -1195,6 +1278,16 @@ ORACLE_SQL = {
     "q_window_hourly": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "q_shipping_priority": (
+        "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue, o_orderdate FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
     ),
     "q_window_sliding": (
         "WITH w AS (SELECT date_trunc('hour', ts) AS window_start FROM events "
