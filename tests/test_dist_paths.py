@@ -93,3 +93,60 @@ def test_validate_routes_refint_through_anti_join(ray_session):
             ch["max_broadcast_keys"] = 1  # any real parent exceeds this
     auto = run(spec_auto, {"repos": ray.data.from_arrow(parents_tbl)})
     assert base.equals(auto)
+
+
+def test_fused_unique_hash_first_matches_full_fallback(ray_session):
+    """r2 hash-first uniqueness (opt-in light shuffle + candidate
+    refinement) must produce identical verdicts AND violations to the
+    default ref-carrying full shuffle, on a dup-heavy corpus — and so
+    must its extreme-duplication fallback."""
+    import copy
+
+    from vald import constraints_dist as cd
+    from vald import pipeline as P
+
+    n = 8000
+
+    def run(strategy=None, max_cand=5_000_000):
+        spec = copy.deepcopy(C.CORPUS_SPEC)
+        if strategy:
+            for ch in spec["checks"]:
+                if ch.get("kind") == "unique":
+                    ch["unique_strategy"] = strategy
+        orig = cd.fused_unique_results
+
+        def patched(raw, cs, dists, max_candidate_broadcast=max_cand):
+            return orig(raw, cs, dists, max_candidate_broadcast=max_cand)
+
+        cd.fused_unique_results = patched
+        try:
+            res = P.validate(
+                C.corpus_dataset(n, 42, override_num_blocks=4),
+                spec,
+                parents={"repos": C.repos_table(n, 42)},
+            )
+            verd = (
+                res.verdicts_table()
+                .to_pandas()
+                .sort_values(["constraint_id", "partition_id"])
+                .reset_index(drop=True)
+            )
+            viol = (
+                res.violations_table()
+                .to_pandas()
+                .sort_values(["constraint_id", "row_ref", "column"])
+                .reset_index(drop=True)
+            )
+            return verd, viol
+        finally:
+            cd.fused_unique_results = orig
+
+    verd_full, viol_full = run()  # default: full shuffle
+    verd_hash, viol_hash = run("hash_first")
+    verd_fb, viol_fb = run("hash_first", max_cand=0)  # forced fallback
+    assert verd_hash.equals(verd_full)
+    assert viol_hash.equals(viol_full)
+    assert verd_fb.equals(verd_full)
+    assert viol_fb.equals(viol_full)
+    dup = verd_full[verd_full.constraint_id == "corpus.key.unique"]
+    assert dup["n_violations"].sum() > 0

@@ -180,19 +180,235 @@ def unique_check_results(
 
 
 def fused_unique_results(
-    raw: "ray.data.Dataset", cs: ConstraintSet, dists: list[DistCheck]
+    raw: "ray.data.Dataset",
+    cs: ConstraintSet,
+    dists: list[DistCheck],
+    max_candidate_broadcast: int = 5_000_000,
 ) -> "ray.data.Dataset":
-    """B4, single-input-pass variant: consumes the key-partial rows
-    (``rec == "key"``) that RowValidator emitted inline (pipeline
-    EXT_SCHEMA), so uniqueness never re-reads the input. ``raw`` must be
-    materialized by the caller (validate does) — the pinned bytes are
-    the same order the shuffle would pin anyway.
+    """B4, single-input-pass, HASH-FIRST variant (r2): consumes the
+    key-partial rows (``rec == "key"``) that RowValidator emitted inline
+    (pipeline EXT_SCHEMA) — uniqueness never re-reads the input — and
+    keeps the heavy key strings OUT of the exchange:
 
-    groupby(ubucket) → local C++ group_by((constraint_id, uh, row_ref))
-    → verdict partials + one violation row per duplicate group."""
+    1. **totals, no shuffle**: n_checked verdict partials come straight
+       from the partial rows (bincount by partition, weighted by ucnt).
+    2. **candidate detection, light shuffle**: only (cid-code:int8,
+       uh:uint64, ubucket:int32, ucnt:int64) ≈ 21 B/row moves through
+       the groupby — ~6× fewer bytes than shipping the canonical ref
+       strings (measured 123 B/row on the 8M corpus). Hashes with total
+       count > 1 are duplicate CANDIDATES (true dups ∪ rare collisions).
+    3. **refinement**: candidate uh sets are broadcast (ray.put) and the
+       materialized raw stream is filtered down to candidate rows only
+       (tiny: ~dup-rate × keys); a bucket groupby over THOSE carries the
+       refs and produces exact per-key counts, violation rows, and
+       n_violations partials — the ref-equality comparison here is the
+       hash-collision guard, so verdicts stay exact.
+
+    MEASURED (this sandbox, 1M@32cpu and 8M@8cpu): the hash-first
+    duplicate detection is SLOWER end-to-end than the single
+    ref-carrying shuffle (54 s vs 38-42 s at 8M/8cpu) — Ray's sort-based
+    groupby cost is dominated by ROW count, not bytes, and hash-first
+    pays a second shuffle plus two extra passes. It is therefore an
+    OPT-IN (``params["unique_strategy"] = "hash_first"``) for regimes
+    where per-row key strings are far wider than here (multi-KB refs);
+    the default routes duplicate detection through the full shuffle.
+    The shuffle-free totals pass below is a pure win and is used for
+    BOTH strategies. Falls back to the full shuffle when candidates
+    exceed ``max_candidate_broadcast``.
+
+    ``raw`` must be materialized by the caller (validate does)."""
+    cid_list = [d.constraint_id for d in dists]
+    cid_arr = pa.array(cid_list, type=pa.string())
+    hash_first_cids = [
+        d.constraint_id
+        for d in dists
+        if d.params.get("unique_strategy", "full") == "hash_first"
+    ]
+    full_cids = [c for c in cid_list if c not in hash_first_cids]
+
+    def only_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["rec"], pa.scalar("key")))
+
+    # --- 1. totals: verdict n_checked partials, no shuffle ---
+    def totals(t: pa.Table) -> pa.Table:
+        t = only_keys(t)
+        if len(t) == 0:
+            return P._empty_result()
+        code = pc.index_in(t["constraint_id"], value_set=cid_arr)
+        code_np = np.asarray(code.to_numpy(zero_copy_only=False), dtype=np.int64)
+        pids = np.asarray(
+            t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        cnt = np.asarray(t["ucnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        for ci, cid in enumerate(cid_list):
+            sel = code_np == ci
+            if not sel.any():
+                continue
+            spids, scnt = pids[sel], cnt[sel]
+            Pmax = int(spids.max()) + 1
+            n_checked = np.bincount(spids, weights=scnt, minlength=Pmax)
+            present = np.flatnonzero(n_checked > 0)
+            kp = len(present)
+            out["partition_id"].extend(present.tolist())
+            out["constraint_id"].extend([cid] * kp)
+            out["row_ref"].extend([""] * kp)
+            out["column"].extend([""] * kp)
+            out["observed"].extend([""] * kp)
+            out["detail"].extend([""] * kp)
+            out["is_violation"].extend([False] * kp)
+            out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+            out["n_violations"].extend([0] * kp)
+        return P.result_rows(out)
+
+    totals_ds = raw.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = totals_ds
+    if full_cids:
+        out = out.union(_fused_unique_dups_full(raw, full_cids))
+    if not hash_first_cids:
+        return out
+    hf_arr = pa.array(hash_first_cids, type=pa.string())
+
+    # --- 2. light candidate shuffle: hashes only (hash-first cids) ---
+    def light(t: pa.Table) -> pa.Table:
+        t = only_keys(t)
+        t = t.filter(
+            pc.fill_null(pc.is_in(t["constraint_id"], value_set=hf_arr), False)
+        )
+        code = pc.cast(
+            pc.index_in(t["constraint_id"], value_set=cid_arr), pa.int8()
+        )
+        return pa.table(
+            {
+                "cidc": code,
+                "uh": t["uh"],
+                "ubucket": t["ubucket"],
+                "ucnt": t["ucnt"],
+            }
+        )
+
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["cidc", "uh"], use_threads=False).aggregate(
+            [("ucnt", "sum")]
+        )
+        agg = agg.rename_columns(["cidc", "uh", "cnt"])
+        return agg.filter(pc.greater(agg["cnt"], pa.scalar(1))).select(
+            ["cidc", "uh"]
+        )
+
+    cands = (
+        raw.map_batches(light, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(cand_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    n_cand = cands.count()
+    if n_cand == 0:
+        return out
+    if n_cand > max_candidate_broadcast:
+        # extreme-duplication fallback: ship refs through the shuffle
+        return out.union(_fused_unique_dups_full(raw, hash_first_cids))
+
+    cand_t = pa.concat_tables(
+        [p for p in ray.get(cands.to_arrow_refs()) if len(p)]
+    )
+    cand_sets: dict[int, pa.Array] = {}
+    codes = np.asarray(cand_t["cidc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    uhs = cand_t["uh"].combine_chunks()
+    for ci in range(len(cid_list)):
+        sel = np.flatnonzero(codes == ci)
+        if len(sel):
+            cand_sets[ci] = uhs.take(pa.array(sel, type=pa.int64()))
+    cand_ref = ray.put(cand_sets)
+
+    # --- 3. refinement: candidate rows only, WITH refs ---
+    def refine_filter(t: pa.Table) -> pa.Table:
+        t = only_keys(t)
+        sets = ray.get(cand_ref)
+        code = pc.index_in(t["constraint_id"], value_set=cid_arr)
+        mask = np.zeros(len(t), dtype=bool)
+        code_np = np.asarray(code.to_numpy(zero_copy_only=False), dtype=np.int64)
+        for ci, uh_set in sets.items():
+            m = pc.fill_null(pc.is_in(t["uh"], value_set=uh_set), False)
+            mask |= np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool) & (
+                code_np == ci
+            )
+        t = t.filter(pa.array(mask))
+        return t.select(
+            ["constraint_id", "uh", "ubucket", "row_ref", "partition_id", "ucnt"]
+        )
+
+    def refine_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(
+            ["constraint_id", "uh", "row_ref"], use_threads=False
+        ).aggregate([("partition_id", "min"), ("ucnt", "sum")])
+        agg = agg.rename_columns(
+            ["constraint_id", "uh", "row_ref", "partition_id", "cnt"]
+        )
+        cnt = np.asarray(agg["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        dup_idx = np.flatnonzero(cnt > 1)
+        if len(dup_idx) == 0:
+            return P._empty_result()
+        dup = agg.take(pa.array(dup_idx, type=pa.int64()))
+        cids = dup["constraint_id"].to_pylist()
+        refs = dup["row_ref"].to_pylist()
+        pids = np.asarray(
+            dup["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        dcnt = cnt[dup_idx]
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        # n_violations partials per (cid, pid): excess occurrences
+        for cid in sorted(set(cids)):
+            sel = np.array([c == cid for c in cids])
+            spids = pids[sel]
+            Pmax = int(spids.max()) + 1
+            excess = np.bincount(spids, weights=(dcnt[sel] - 1), minlength=Pmax)
+            present = np.flatnonzero(excess > 0)
+            kp = len(present)
+            out["partition_id"].extend(present.tolist())
+            out["constraint_id"].extend([cid] * kp)
+            out["row_ref"].extend([""] * kp)
+            out["column"].extend([""] * kp)
+            out["observed"].extend([""] * kp)
+            out["detail"].extend([""] * kp)
+            out["is_violation"].extend([False] * kp)
+            out["n_checked"].extend([0] * kp)
+            out["n_violations"].extend(excess[present].astype(np.int64).tolist())
+        for i in range(len(dup_idx)):
+            out["partition_id"].append(int(pids[i]))
+            out["constraint_id"].append(cids[i])
+            out["row_ref"].append(refs[i])
+            out["column"].append("")
+            out["observed"].append(str(int(dcnt[i])))
+            out["detail"].append("unique")
+            out["is_violation"].append(True)
+            out["n_checked"].append(0)
+            out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    refined = (
+        raw.map_batches(refine_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(refine_bucket, batch_format="pyarrow")
+    )
+    return out.union(refined)
+
+
+def _fused_unique_dups_full(
+    raw: "ray.data.Dataset", cid_list: list[str]
+) -> "ray.data.Dataset":
+    """Extreme-duplication fallback: duplicate detection with refs
+    carried through the shuffle (the r1 plan, minus the totals, which
+    the hash-first path already emitted shuffle-free)."""
+
+    cid_arr = pa.array(cid_list, type=pa.string())
 
     def project_key(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["rec"], pa.scalar("key")))
+        t = t.filter(
+            pc.fill_null(pc.is_in(t["constraint_id"], value_set=cid_arr), False)
+        )
         return t.select(
             ["constraint_id", "row_ref", "partition_id", "uh", "ubucket", "ucnt"]
         )
@@ -215,13 +431,14 @@ def fused_unique_results(
             agg["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64
         )
         refs = agg["row_ref"]
+        # n_checked partials were already emitted shuffle-free by the
+        # hash-first totals pass — this fallback adds ONLY the excess
         for cid in np.unique(cids):
             sel = cids == cid
             scnt, spids = cnt[sel], pids[sel]
             Pmax = int(spids.max()) + 1 if len(spids) else 1
-            n_checked = np.bincount(spids, weights=scnt, minlength=Pmax)
             excess = np.bincount(spids, weights=(scnt - 1).clip(min=0), minlength=Pmax)
-            present = np.flatnonzero(n_checked > 0)
+            present = np.flatnonzero(excess > 0)
             kp = len(present)
             out["partition_id"].extend(present.tolist())
             out["constraint_id"].extend([str(cid)] * kp)
@@ -230,7 +447,7 @@ def fused_unique_results(
             out["observed"].extend([""] * kp)
             out["detail"].extend([""] * kp)
             out["is_violation"].extend([False] * kp)
-            out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+            out["n_checked"].extend([0] * kp)
             out["n_violations"].extend(excess[present].astype(np.int64).tolist())
         dup_idx = np.flatnonzero(cnt > 1)
         if len(dup_idx):
