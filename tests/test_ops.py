@@ -388,3 +388,38 @@ def test_near_dup_groups_ds_permutation_invariance(ray_session):
     out2 = DD.near_dup_groups_ds(ray.data.from_arrow(t2)).to_pandas()
     m2 = dict(zip(out2["id"], out2["group_id"]))
     assert base_m == m2
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    """Composed curation: language filter -> quality filter -> exact
+    dedup -> near-dup drop, with consistent per-stage accounting."""
+    from vald.ops.curate import curate_corpus
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away " * 8,  # keep
+        "the quick brown fox jumps over the lazy dog and runs away " * 8,  # exact dup
+        "the quick brown fox jumps over the lazy cat and runs away " * 8,  # near dup
+        "der schnelle braune fuchs springt und die hunde sind nicht da " * 8,  # de
+        "the 123456 and 987654 of 13579 to 24680 in 55555 " * 10,  # en but low quality
+        "here is a completely different long document about the history of "
+        "databases and the systems that were built for them over the years " * 6,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+    out, rep = curate_corpus(
+        ds,
+        keep_langs={"en"},
+        min_quality=0.7,
+        exact_dedup_on="text",
+        near_dup_threshold=0.5,
+    )
+    kept = sorted(out.to_pandas()["doc_id"].tolist())
+    assert rep.n_input == 6
+    assert rep.n_after_lang == 5          # german doc dropped
+    assert rep.n_after_quality == 4       # digit-heavy doc dropped
+    assert rep.n_after_exact_dedup == 3   # doc 1 (exact dup of 0) dropped
+    assert rep.n_after_near_dedup == 2    # doc 2 (near dup of 0) dropped
+    assert kept == [0, 5]
+    assert rep.to_table().num_rows == 5
+    # schema untouched by the feature stages
+    assert set(out.schema().names) == {"doc_id", "text"}

@@ -1,0 +1,159 @@
+"""End-to-end training-corpus curation: the composed pipeline a
+100-TB-corpus user actually runs — language filter → quality filter →
+exact dedup → near-dup drop — with per-stage drop accounting.
+
+Composition discipline: every stage is one of this package's existing
+Ray-Data-first operators; the composed pipeline stays lazy end-to-end
+except the near-dup group computation (whose pair graph is a separate
+small Dataset by construction). Stage counts come from cheap ``count()``
+calls on the already-planned datasets — at production scale pass
+``counts=False`` and read the counts off the written manifests instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+__all__ = ["CurationReport", "curate_corpus"]
+
+
+@dataclass
+class CurationReport:
+    n_input: int = -1
+    n_after_lang: int = -1
+    n_after_quality: int = -1
+    n_after_exact_dedup: int = -1
+    n_after_near_dedup: int = -1
+    stages: list[str] = field(default_factory=list)
+
+    def to_table(self) -> pa.Table:
+        rows = [
+            ("input", self.n_input),
+            ("lang_filter", self.n_after_lang),
+            ("quality_filter", self.n_after_quality),
+            ("exact_dedup", self.n_after_exact_dedup),
+            ("near_dedup", self.n_after_near_dedup),
+        ]
+        rows = [(s, n) for s, n in rows if n >= 0]
+        return pa.table(
+            {
+                "stage": pa.array([r[0] for r in rows]),
+                "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        )
+
+
+def curate_corpus(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: set[str] | None = None,
+    min_quality: float | None = 0.3,
+    exact_dedup_on: str | None = None,
+    near_dup_threshold: float | None = 0.8,
+    minhash_perm: int = 64,
+    minhash_bands: int = 16,
+    counts: bool = True,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> tuple["ray.data.Dataset", CurationReport]:
+    """Compose the standard curation stages over a document Dataset.
+
+    - ``keep_langs``: drop rows whose predicted language (ops.text.LangId)
+      is not in the set; None skips the stage.
+    - ``min_quality``: drop rows under the heuristic quality score
+      (ops.text.QualityScore); None skips.
+    - ``exact_dedup_on``: column for exact dedup (e.g. the text column
+      or a precomputed sha); None skips.
+    - ``near_dup_threshold``: MinHash-LSH near-dup removal at this
+      Jaccard threshold via distributed pairs → distributed connected
+      components → ``drop_near_dups``; None skips.
+
+    Returns (curated Dataset, CurationReport). With ``counts=False`` no
+    intermediate ``count()`` is executed — fully streaming."""
+    from .dedup import (
+        drop_near_dups,
+        exact_dedup,
+        minhash_dedup_pairs_ds,
+        near_dup_groups_ds,
+    )
+    from .text import language_id, quality_scores
+
+    rep = CurationReport()
+    if counts:
+        rep.n_input = ds.count()
+
+    if keep_langs is not None:
+        langs_arr = pa.array(sorted(keep_langs))
+        ds = language_id(ds, text_col=text_col, concurrency=concurrency)
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(pc.is_in(t["lang_pred"], value_set=langs_arr), False)
+            ).drop_columns(["lang_pred"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        rep.stages.append("lang_filter")
+        if counts:
+            rep.n_after_lang = ds.count()
+
+    if min_quality is not None:
+        ds = quality_scores(ds, text_col=text_col, concurrency=concurrency)
+
+        def qfilter(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.greater_equal(t["quality_score"], pa.scalar(float(min_quality)))
+            )
+            extra = [
+                c
+                for c in (
+                    "n_chars_obs",
+                    "alpha_ratio",
+                    "digit_ratio",
+                    "punct_ratio",
+                    "stopword_ratio",
+                    "mean_word_len",
+                    "line_uniq_ratio",
+                    "quality_score",
+                )
+                if c in t.column_names
+            ]
+            return t.drop_columns(extra)
+
+        ds = ds.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True)
+        rep.stages.append("quality_filter")
+        if counts:
+            rep.n_after_quality = ds.count()
+
+    if exact_dedup_on is not None:
+        ds = exact_dedup(ds, exact_dedup_on, id_col=id_col)
+        rep.stages.append("exact_dedup")
+        if counts:
+            rep.n_after_exact_dedup = ds.count()
+
+    if near_dup_threshold is not None:
+        # the pair graph is computed on the (already filtered) corpus;
+        # materialize the survivors once so pairs and the final filter
+        # consume the same blocks instead of re-running the filters
+        ds = ds.materialize()
+        pairs = minhash_dedup_pairs_ds(
+            ds,
+            text_col,
+            id_col,
+            num_perm=minhash_perm,
+            bands=minhash_bands,
+            threshold=near_dup_threshold,
+            concurrency=concurrency,
+        )
+        groups = near_dup_groups_ds(pairs)
+        ds = drop_near_dups(ds, id_col, groups)
+        rep.stages.append("near_dedup")
+        if counts:
+            rep.n_after_near_dedup = ds.count()
+
+    return ds, rep

@@ -996,6 +996,25 @@ def q_near_dup_groups(sf_dir: str):
     )
 
 
+def q_curate(sf_dir: str):
+    """Composed curation pipeline over the documents table: language
+    filter → quality filter → exact dedup → MinHash near-dup drop;
+    returns the per-stage row accounting (rows-only — the composition
+    has no single-SQL equivalent)."""
+    from .ops.curate import curate_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, rep = curate_corpus(
+        ds,
+        keep_langs={"en", "de", "es", "fr", "zh"},
+        min_quality=0.2,
+        exact_dedup_on="text",
+        near_dup_threshold=0.5,
+        concurrency=(1, 2),
+    )
+    return rep.to_table()
+
+
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs (sign-LSH + exact verify) over a
     deterministic planted-cluster corpus — the testdata embeddings have
@@ -1193,6 +1212,7 @@ QUERIES = {
     "q_one_of": q_one_of,
     "q_near_dup_groups": q_near_dup_groups,
     "q_embedding_dups": q_embedding_dups,
+    "q_curate": q_curate,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash_pairs": q_simhash_pairs,
     "q_langid": q_langid,
