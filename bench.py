@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "q_json_props",
     "q_dedup",
     "q_topk_offenders",
+    "q_semi_join",
+    "q_shipping_priority",
+    "q_window_sliding",
+    "q_sessions",
 ]
 
 
