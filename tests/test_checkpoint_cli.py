@@ -107,3 +107,36 @@ def test_cli_end_to_end(tmp_path):
     )
     res3 = json.loads(r3.stdout.strip().splitlines()[-1])
     assert res3["completed"] == 0 and res3["skipped"] == res["completed"] + res["skipped"]
+
+
+def test_cli_dedup_minhash(tmp_path):
+    """CLI dedup end-to-end in a fresh process: pairs + groups + deduped
+    corpus written; duplicate cluster collapses to its representative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "the quick brown fox jumps over the lazy cat " * 8,
+        "completely different content about databases and systems " * 6,
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), type=pa.int64()), "text": texts}),
+        str(src),
+    )
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "vald", "--num-cpus", "2", "dedup",
+         "--input", str(src), "--method", "minhash", "--on", "text",
+         "--id", "doc_id", "--threshold", "0.5", "--out", out],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows_in"] == 4 and res["rows_out"] == 2
+    kept = pq.read_table(os.path.join(out, "deduped")).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 3]
+    groups = pq.read_table(os.path.join(out, "groups")).to_pandas()
+    assert set(groups["group_id"]) == {0}

@@ -110,3 +110,18 @@ def test_content_sha_invariant(ray_session):
     # row_ref matches the canonical template
     r = df.iloc[0]
     assert r.row_ref == f"{r.repo}@{r.commit}:{r['path']}"
+
+
+def test_validate_empty_input(ray_session):
+    """Zero-row input: no verdict rows except plan-time ones, no
+    violations, passed() is True — nothing divides by zero."""
+    import pyarrow as pa
+
+    import ray.data
+    from vald import corpus as C
+    from vald import pipeline as P
+
+    empty = C.corpus_dataset(4, 42).limit(0)
+    res = P.validate(empty, C.CORPUS_SPEC, parents={"repos": C.repos_table(4, 42)})
+    assert res.violations_table().num_rows == 0
+    assert res.passed()

@@ -98,6 +98,68 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus deduplication: exact keeps one row per value; minhash /
+    simhash / embedding write pairs + groups and the deduped corpus."""
+    import ray.data
+
+    from .ops import dedup as dd
+    from .sources import read_source
+
+    _ray_init(args.num_cpus)
+    files = sorted(globmod.glob(args.input))
+    if not files:
+        print(f"no input matches {args.input!r}", file=sys.stderr)
+        return 2
+    ds = read_source(files, format=args.format)
+    n_in = ds.count()
+    os.makedirs(args.out, exist_ok=True)
+    if args.method == "exact":
+        kept = dd.exact_dedup(ds, args.on, id_col=args.id)
+        kept.write_parquet(os.path.join(args.out, "deduped"))
+        n_out = ray.data.read_parquet(os.path.join(args.out, "deduped")).count()
+        pairs_rows = None
+    else:
+        if args.method == "minhash":
+            pairs = dd.minhash_dedup_pairs_ds(
+                ds, args.on, args.id, threshold=args.threshold
+            )
+        elif args.method == "simhash":
+            pairs = dd.simhash_dedup_pairs_ds(
+                ds, args.on, args.id, max_hamming=args.max_hamming
+            )
+        else:  # embedding
+            from .ops.similarity import embedding_dedup_pairs_ds
+
+            pairs = embedding_dedup_pairs_ds(
+                ds,
+                embedding_col=args.on,
+                id_col=args.id,
+                threshold=args.threshold,
+            )
+        pairs = pairs.materialize()
+        pairs.write_parquet(os.path.join(args.out, "pairs"))
+        pairs_rows = pairs.count()
+        groups = dd.near_dup_groups_ds(pairs).materialize()
+        groups.write_parquet(os.path.join(args.out, "groups"))
+        kept = dd.drop_near_dups(ds, args.id, groups)
+        kept.write_parquet(os.path.join(args.out, "deduped"))
+        n_out = ray.data.read_parquet(os.path.join(args.out, "deduped")).count()
+    print(
+        json.dumps(
+            {
+                "method": args.method,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "rows_dropped": n_in - n_out,
+                "pairs": pairs_rows,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_gen_corpus(args) -> int:
     from .corpus import write_corpus
 
@@ -157,6 +219,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", action="store_true", help="per-shard checkpointed run")
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("dedup", help="deduplicate a corpus")
+    p.add_argument("--input", required=True, help="input file glob")
+    p.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl", "csv"]
+    )
+    p.add_argument(
+        "--method",
+        default="exact",
+        choices=["exact", "minhash", "simhash", "embedding"],
+    )
+    p.add_argument("--on", required=True, help="text / key / embedding column")
+    p.add_argument("--id", required=True, help="integer id column")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--out", required=True, help="output dir (pairs/groups/deduped)")
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("gen-corpus", help="write synthetic corpus")
     p.add_argument("--rows", type=int, required=True)
