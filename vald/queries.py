@@ -837,6 +837,10 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_unique_items(sf_dir: str):
+    # Latent-divergence note (self-audit): element equality is exact
+    # binary float comparison on BOTH sides; NaN elements would diverge
+    # (pyarrow group_by unifies NaNs, DuckDB list_distinct keeps one
+    # NaN too, but NaN != NaN in joins) — current testdata has none.
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def per_batch(t: pa.Table) -> pa.Table:
@@ -881,6 +885,10 @@ def q_unique_items(sf_dir: str):
 
 
 def q_divisible(sf_dir: str):
+    # Latent-divergence note (self-audit): the kernel uses a 1e-9
+    # tolerance on value/7 (JSON-float semantics) while SQL % is exact;
+    # they agree on integral l_quantity (all current testdata) and
+    # could differ on non-integral multiples at the tolerance edge.
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
 
     def bad(t: pa.Table) -> pa.Table:
