@@ -551,25 +551,31 @@ def refint_anti_join_results(
         if len(t) == 0:
             return P._empty_result()
         refs = _key_ref(t, cols, cs)
-        cnt = t["cnt"].to_pylist()
-        pids = t["partition_id"].to_pylist()
+        cnt = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pids = np.asarray(
+            t["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
         out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
-        for pid in sorted(set(pids)):
-            nv = sum(c for p, c in zip(pids, cnt) if p == pid)
-            out["partition_id"].append(int(pid))
-            out["constraint_id"].append(cid)
-            out["row_ref"].append("")
-            out["column"].append("")
-            out["observed"].append("")
-            out["detail"].append("")
-            out["is_violation"].append(False)
-            out["n_checked"].append(0)
-            out["n_violations"].append(int(nv))
+        # per-partition n_violations via one bincount (same formulation
+        # as fused_refint_anti_results, VERDICT r2 item 7)
+        nv = np.bincount(pids, weights=cnt, minlength=int(pids.max()) + 1)
+        present = np.flatnonzero(nv > 0)
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([""] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend([0] * kp)
+        out["n_violations"].extend(nv[present].astype(np.int64).tolist())
+        colnames = ",".join(cols)
         for i in range(len(t)):
             out["partition_id"].append(int(pids[i]))
             out["constraint_id"].append(cid)
             out["row_ref"].append(refs[i])
-            out["column"].append(",".join(cols))
+            out["column"].append(colnames)
             out["observed"].append(str(int(cnt[i])))
             out["detail"].append("refint")
             out["is_violation"].append(True)

@@ -510,9 +510,13 @@ class RowValidator:
                     if len(keys) == 1
                     else _pc2.binary_join_element_wise(*keys, KEY_SEP)
                 )
+            # group by (ref, pid) — NOT ref with min(pid) — so a key that
+            # spans partitions inside one batch attributes its count to
+            # each actual partition exactly (ADVICE r2); downstream
+            # consumers already merge same-ref rows across partials.
             small = pa.table({"ref": kref, "pid": pids_arr, "cnt": ones})
-            agg = small.group_by("ref", use_threads=False).aggregate(
-                [("pid", "min"), ("cnt", "sum")]
+            agg = small.group_by(["ref", "pid"], use_threads=False).aggregate(
+                [("cnt", "sum")]
             )
             agg = agg.rename_columns(["ref", "pid", "cnt"])
             h = stable_hash64(agg["ref"])
@@ -553,8 +557,10 @@ class RowValidator:
                 small = small.filter(pa.array(valid))
             if len(small) == 0:
                 continue
-            agg = small.group_by("ref", use_threads=False).aggregate(
-                [("pid", "min"), ("cnt", "sum")]
+            # (ref, pid) grouping for exact per-partition attribution —
+            # same rationale as the unique partials above (ADVICE r2)
+            agg = small.group_by(["ref", "pid"], use_threads=False).aggregate(
+                [("cnt", "sum")]
             )
             agg = agg.rename_columns(["ref", "pid", "cnt"])
             h = stable_hash64(agg["ref"])

@@ -555,12 +555,31 @@ def q_shipping_priority(sf_dir: str):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    # over-fetch then re-rank on ROUNDED revenue with key tiebreak,
-    # mirroring the oracle's ORDER BY round(...,2) DESC, l_orderkey
-    top = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(20)
-    df = top.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
-    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    # ADAPTIVE over-fetch then re-rank on ROUNDED revenue with key
+    # tiebreak, mirroring the oracle's ORDER BY round(...,2) DESC,
+    # l_orderkey. Rounding is monotone, so the fetch is provably
+    # complete when the smallest fetched rounded value is strictly
+    # below the rank-10 rounded value (ADVICE r2: a fixed 20 could
+    # miss a >20-way rounded tie at the boundary).
+    limit = 20
+    while True:
+        top = joined.sort(
+            ["revenue", "l_orderkey"], descending=[True, False]
+        ).limit(limit)
+        df = top.to_pandas()
+        exhausted = len(df) < limit
+        df["revenue"] = df["revenue"].round(2)
+        out10 = df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+        if (
+            exhausted
+            or len(out10) < 10
+            or float(df["revenue"].min()) < float(out10["revenue"].iloc[-1])
+        ):
+            df = out10
+            break
+        limit *= 4
     return pa.table(
         {
             "l_orderkey": pa.array(df["l_orderkey"].tolist(), type=pa.int64()),
@@ -814,14 +833,27 @@ def q_knn_cosine(sf_dir: str):
             q = np.asarray(emb_t["embedding"][i].as_py(), dtype=np.float64)
             break
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # over-fetch then re-rank on ROUNDED scores with vec_id tiebreak —
-    # mirrors the oracle's ORDER BY round(sim,6) DESC, vec_id LIMIT 10
-    # so a raw-float near-tie at rank 10 can't select a different row
-    # set (ADVICE r1)
-    out = knn_brute(ds, q[None, :], k=20, dtype=np.float64)
-    df = out.to_pandas()
-    df["sim"] = df["score"].round(6)
-    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    # ADAPTIVE over-fetch then re-rank on ROUNDED scores with vec_id
+    # tiebreak — mirrors the oracle's ORDER BY round(sim,6) DESC,
+    # vec_id LIMIT 10. Rounding is monotone, so the fetch is complete
+    # when the smallest fetched rounded sim is strictly below the
+    # rank-10 rounded sim (ADVICE r1+r2: a fixed 20 could miss a
+    # >20-way rounded tie at the boundary).
+    k = 20
+    while True:
+        out = knn_brute(ds, q[None, :], k=k, dtype=np.float64)
+        df = out.to_pandas()
+        exhausted = len(df) < k
+        df["sim"] = df["score"].round(6)
+        out10 = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+        if (
+            exhausted
+            or len(out10) < 10
+            or float(df["sim"].min()) < float(out10["sim"].iloc[-1])
+        ):
+            df = out10
+            break
+        k *= 4
     return pa.table(
         {
             "vec_id": pa.array(df["vec_id"].tolist(), type=pa.int64()),
@@ -837,10 +869,16 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_unique_items(sf_dir: str):
-    # Latent-divergence note (self-audit): element equality is exact
+    # Latent-divergence notes (self-audit): element equality is exact
     # binary float comparison on BOTH sides; NaN elements would diverge
     # (pyarrow group_by unifies NaNs, DuckDB list_distinct keeps one
     # NaN too, but NaN != NaN in joins) — current testdata has none.
+    # NULL handling (ADVICE r2): NULL embedding rows emit NULL
+    # n_distinct / is_unique (= the oracle's len(list_distinct(NULL)));
+    # NULL *elements* are dropped before the distinct count, matching
+    # DuckDB list_distinct. Residual: is_unique for a list with exactly
+    # one NULL element — kernel set() counts None as a value (draft-03
+    # semantics) while list_distinct drops it; testdata has none.
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def per_batch(t: pa.Table) -> pa.Table:
@@ -850,12 +888,26 @@ def q_unique_items(sf_dir: str):
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
         ok = eval_kernel("uniqueItems", emb, {})
-        # vectorized n_distinct per row: flatten + (row, value) group_by
+        # vectorized n_distinct per row: flatten + (row, value) group_by;
+        # fill_null(0) keeps np.repeat sane on NULL rows (flatten skips
+        # them, so row indices stay aligned with the value stream)
+        row_valid = np.asarray(
+            pc.is_valid(emb).to_numpy(zero_copy_only=False), dtype=bool
+        )
         lens = np.asarray(
-            pc.list_value_length(emb).to_numpy(zero_copy_only=False), dtype=np.int64
+            pc.fill_null(pc.list_value_length(emb), 0).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
         )
         rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
         flat = emb.flatten()
+        elem_valid = np.asarray(
+            pc.is_valid(flat).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        if not elem_valid.all():
+            rows = rows[elem_valid]
+            flat = flat.filter(pa.array(elem_valid))
         distinct = (
             pa.table({"r": pa.array(rows), "v": flat})
             .group_by(["r", "v"], use_threads=False)
@@ -866,8 +918,8 @@ def q_unique_items(sf_dir: str):
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "n_distinct": pa.array(nd),
-                "is_unique": pa.array(ok),
+                "n_distinct": pa.array(nd, mask=~row_valid),
+                "is_unique": pa.array(ok, mask=~row_valid),
             }
         )
 
@@ -1372,11 +1424,23 @@ ORACLE_SQL = {
         "AND json_extract(props,'$.k')::BIGINT >= 50"
     ),
     "q_one_of": (
-        # oneOf fails when BOTH branches (k>=50, k<=80) hold, or when k
-        # is absent (both vacuously hold); testdata always has integer k
-        "SELECT event_id FROM events "
-        "WHERE json_type(props,'$.k') NOT IN ('BIGINT','UBIGINT') "
-        "OR json_extract(props,'$.k')::BIGINT BETWEEN 50 AND 80"
+        # Full mirror of the kernel's draft-03 oneOf semantics (ADVICE
+        # r2: the old NOT IN form let 'NULL NOT IN (...)' drop the
+        # absent-k / JSON-null / non-object rows the kernel flags):
+        #  - props SQL NULL        -> kernel skips the row   (excluded)
+        #  - k absent / non-object -> both branches vacuous  (violation)
+        #  - numeric k             -> violation iff 50<=k<=80 (both hold)
+        #  - non-numeric k (string/bool/object/array/json-null) ->
+        #    minimum/maximum vacuous on both                  (violation)
+        # Malformed-JSON props would error here and fail closed in the
+        # kernel; generated testdata is always valid JSON.
+        "SELECT event_id FROM events WHERE props IS NOT NULL AND (CASE "
+        "WHEN json_type(props,'$.k') IS NULL THEN TRUE "
+        "WHEN json_type(props,'$.k') IN ('BIGINT','UBIGINT') "
+        "THEN json_extract(props,'$.k')::BIGINT BETWEEN 50 AND 80 "
+        "WHEN json_type(props,'$.k') = 'DOUBLE' "
+        "THEN json_extract(props,'$.k')::DOUBLE BETWEEN 50 AND 80 "
+        "ELSE TRUE END)"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
