@@ -1,0 +1,150 @@
+"""vald.ops.windows (SURVEY.md §2 B18 as library operators, VERDICT r2
+item 2): parameterized tumbling / sliding / session windows, data-scaled
+partitioning, and the partition-invariance contract (bucket count never
+changes results)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from vald.ops.windows import sessionize, sliding_window, tumbling_window
+
+T0 = datetime(2024, 1, 1)
+
+
+def _events_ds(rows):
+    """rows: list of (key, minutes-offset)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "ts": pa.array(
+                    [T0 + timedelta(minutes=r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+
+
+def _collect(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_tumbling_counts_match_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    rows = [(int(k), int(m)) for k, m in zip(rng.integers(0, 3, 200), rng.integers(0, 600, 200))]
+    out = _collect(
+        tumbling_window(_events_ds(rows), "ts", timedelta(hours=1), key_cols=("k",))
+    )
+    df = pd.DataFrame(rows, columns=["k", "m"])
+    df["ts"] = pd.to_datetime([T0 + timedelta(minutes=int(m)) for m in df["m"]])
+    exp = (
+        df.groupby([df["ts"].dt.floor("1h"), "k"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .rename(columns={"ts": "window_start"})
+    )
+    exp = exp[["window_start", "k", "n"]].sort_values(
+        ["window_start", "k", "n"]
+    ).reset_index(drop=True)
+    got = out[["window_start", "k", "n"]].sort_values(
+        ["window_start", "k", "n"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), exp.astype({"n": "int64"}), check_dtype=False
+    )
+
+
+def test_sliding_nondividing_slide(ray_session):
+    # window 90 min, slide 60 min: events land in 1 or 2 windows
+    # depending on position inside the hour — brute-force check
+    rows = [(0, m) for m in [0, 10, 29, 30, 31, 59, 60, 95, 125, 300]]
+    out = _collect(sliding_window(_events_ds(rows), "ts", timedelta(minutes=90), timedelta(minutes=60)))
+    w, s = 90 * 60_000_000, 60 * 60_000_000
+    expected: dict[int, int] = {}
+    for _, m in rows:
+        t = int((T0 + timedelta(minutes=m) - datetime(1970, 1, 1)).total_seconds() * 1e6)
+        start = (t // s) * s
+        while start > t - w:
+            expected[start] = expected.get(start, 0) + 1
+            start -= s
+    got = {
+        int(pd.Timestamp(r.window_start).value // 1000): int(r.n)
+        for r in out.itertuples()
+    }
+    assert got == expected
+
+
+def test_sliding_rejects_gappy_slide(ray_session):
+    with pytest.raises(ValueError):
+        sliding_window(_events_ds([(0, 0)]), "ts", timedelta(minutes=30), timedelta(minutes=60))
+
+
+def _brute_sessions(rows, gap_min):
+    df = pd.DataFrame(rows, columns=["k", "m"]).sort_values(["k", "m"])
+    out = []
+    for k, grp in df.groupby("k", dropna=False):
+        sid, start, n, last = 0, None, 0, None
+        for m in grp["m"]:
+            if last is None or m - last > gap_min:
+                if start is not None:
+                    out.append((k, sid, start, n))
+                sid, start, n = sid + 1, m, 0
+            n += 1
+            last = m
+        out.append((k, sid, start, n))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 16])
+def test_sessionize_matches_bruteforce_and_bucket_invariant(ray_session, buckets):
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(k), int(m))
+        for k, m in zip(rng.integers(0, 20, 400), np.sort(rng.integers(0, 2000, 400)))
+    ]
+    out = _collect(
+        sessionize(
+            _events_ds(rows), "k", "ts", timedelta(minutes=30), num_buckets=buckets
+        )
+    )
+    got = sorted(
+        (
+            int(r.k),
+            int(r.session_id),
+            int((pd.Timestamp(r.session_start) - T0).total_seconds() // 60),
+            int(r.n_events),
+        )
+        for r in out.itertuples()
+    )
+    assert got == _brute_sessions(rows, 30)
+
+
+def test_sessionize_string_keys_and_null_key_run(ray_session):
+    rows = [("a", 0), ("a", 10), ("a", 50), ("b", 0), (None, 0), (None, 5)]
+    ds = _events_ds(rows)
+    out = _collect(sessionize(ds, "k", "ts", timedelta(minutes=30), num_buckets=3))
+    by_key = {}
+    for r in out.itertuples():
+        key = r.k if isinstance(r.k, str) else None
+        by_key.setdefault(key, []).append((int(r.session_id), int(r.n_events)))
+    assert sorted(by_key["a"]) == [(1, 2), (2, 1)]  # 0,10 | 50
+    assert by_key["b"] == [(1, 1)]
+    assert by_key[None] == [(1, 2)]  # null keys form one run
+
+
+def test_sessionize_data_scaled_default_buckets(ray_session):
+    # rule: max(min_buckets, ceil(rows / rows_per_bucket))
+    ds = _events_ds([(0, i) for i in range(10)])
+    out = sessionize(ds, "k", "ts", timedelta(minutes=30), rows_per_bucket=3, min_buckets=2)
+    df = _collect(out)
+    # 10 rows / 3 per bucket -> 4 buckets; result unchanged regardless
+    assert int(df["n_events"].sum()) == 10

@@ -55,9 +55,16 @@ def cmd_run(args) -> int:
     if not files:
         print(f"no input matches {args.input!r}", file=sys.stderr)
         return 2
+    # spec-scoped validation (B1 predicate pushdown): a spec may carry
+    # "row_filter": <build_filter spec> limiting the run to matching
+    # rows — pushed into the parquet fragment scanner, so row-group
+    # stats skip IO on the pruned ranges (post-decode on jsonl/csv)
+    row_filter = spec.get("row_filter") if isinstance(spec, dict) else None
     if args.out and args.checkpoint:
         partitions = {
-            f"shard{i:05d}": (lambda f=f: read_source(f, format=fmt))
+            f"shard{i:05d}": (
+                lambda f=f: read_source(f, format=fmt, filter=row_filter)
+            )
             for i, f in enumerate(files)
         }
         summary = run_resumable(
@@ -75,7 +82,7 @@ def cmd_run(args) -> int:
             )
         )
     else:
-        ds = read_source(files, format=fmt)
+        ds = read_source(files, format=fmt, filter=row_filter)
         res = validate(ds, spec, parents=parents)
         verd = res.verdicts_table()
         if args.out:

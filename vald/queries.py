@@ -28,8 +28,20 @@ from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum
 __all__ = ["QUERIES", "ORACLE_SQL"]
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    filter=None,
+) -> "ray.data.Dataset":
+    """Pruned parquet read: ``columns=`` prunes at the storage layer;
+    ``filter=`` (a pyarrow.dataset.Expression) pushes the predicate into
+    the fragment scanner, so row-group statistics skip IO entirely on
+    selective sorted/partitioned columns (B1 predicate pushdown)."""
+    kwargs = {} if filter is None else {"filter": filter}
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
+    )
 
 
 def _empty(schema: pa.Schema) -> pa.Table:
@@ -128,16 +140,17 @@ def q_pattern(sf_dir: str):
 
 
 def q_range(sf_dir: str):
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_discount"])
-    bad = ds.map_batches(
-        lambda t: t.filter(
-            pc.or_(
-                pc.less(t["l_discount"], pa.scalar(0.0)),
-                pc.greater(t["l_discount"], pa.scalar(0.1)),
-            )
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    import pyarrow.dataset as pads
+
+    # B1 predicate pushdown: the range violation predicate runs in the
+    # parquet fragment scanner — row-group min/max stats on l_discount
+    # skip clean row groups without decoding them (null discounts fail
+    # both comparisons on both engines, so nulls never surface).
+    bad = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_discount"],
+        filter=(pads.field("l_discount") < 0.0) | (pads.field("l_discount") > 0.1),
     )
     return _ensure_schema(
         bad,
@@ -452,31 +465,18 @@ def q_pricing_summary(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # windowed aggregate over the events stream: tumbling 1-hour windows
-# expressed as groupby on the truncated timestamp (B18 note)
+# via the B18 library operator (vald.ops.windows.tumbling_window)
 # ---------------------------------------------------------------------------
 
 
 def q_window_hourly(sf_dir: str):
+    from datetime import timedelta
+
+    from .ops.windows import tumbling_window
+
     ds = _read(sf_dir, "events", ["ts", "event_type"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
-        t2 = pa.table(
-            {
-                "window_start": hour,
-                "event_type": t["event_type"],
-                "n": pa.array(np.ones(len(t), dtype=np.int64)),
-            }
-        )
-        agg = t2.group_by(["window_start", "event_type"], use_threads=False).aggregate(
-            [("n", "sum")]
-        )
-        return agg.rename_columns(["window_start", "event_type", "n"])
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
+    out = tumbling_window(
+        ds, "ts", timedelta(hours=1), key_cols=("event_type",), out_col="n"
     )
     return _ensure_schema(
         out,
@@ -500,27 +500,27 @@ _Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
 
 
 def q_shipping_priority(sf_dir: str):
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from .runtime import join_partitions
 
     keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
+    cutoff = pa.scalar(_Q3_CUTOFF)
 
     def orders_side(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.fill_null(
-                pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref)), False
-            ),
-            pc.less(t["o_orderdate"], pa.scalar(_Q3_CUTOFF)),
-        )
+        # date cut already pushed into the scan; only the broadcast
+        # market-segment membership runs per batch
+        m = pc.fill_null(pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref)), False)
         return t.filter(m).select(["o_orderkey", "o_orderdate"])
 
     orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cutoff,
     ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
 
     def li_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(_Q3_CUTOFF)))
         if len(t) == 0:
             return pa.table(
                 {
@@ -542,6 +542,7 @@ def q_shipping_priority(sf_dir: str):
             sf_dir,
             "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=pads.field("l_shipdate") > cutoff,
         )
         .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("l_orderkey")
@@ -592,37 +593,20 @@ def q_shipping_priority(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# B18 sliding windows: 2-hour windows advancing hourly — each event
-# explodes into window/slide = 2 window rows, then count per window
-# (pre-aggregated per batch before the shuffle)
+# B18 sliding windows: 2-hour windows advancing hourly via the library
+# operator (vald.ops.windows.sliding_window — vectorized explode,
+# per-batch pre-aggregation before the shuffle)
 # ---------------------------------------------------------------------------
 
 
 def q_window_sliding(sf_dir: str):
+    from datetime import timedelta
+
+    from .ops.windows import sliding_window
+
     ds = _read(sf_dir, "events", ["ts"])
-
-    def explode(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
-        prev = pc.add(hour, pa.scalar(-3600_000_000, type=pa.duration("us")))
-        both = pa.concat_arrays(
-            [
-                hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour,
-                prev.combine_chunks() if isinstance(prev, pa.ChunkedArray) else prev,
-            ]
-        )
-        t2 = pa.table(
-            {
-                "window_start": both,
-                "n": pa.array(np.ones(len(both), dtype=np.int64)),
-            }
-        )
-        agg = t2.group_by("window_start", use_threads=False).aggregate([("n", "sum")])
-        return agg.rename_columns(["window_start", "n"])
-
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("window_start")
-        .aggregate(Sum("n", alias_name="n"))
+    out = sliding_window(
+        ds, "ts", timedelta(hours=2), timedelta(hours=1), out_col="n"
     )
     return _ensure_schema(
         out,
@@ -632,58 +616,18 @@ def q_window_sliding(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # B18 session windows: gap-based sessionization (30-min inactivity)
-# — bucket groupby on user, fully vectorized segment math inside
+# via the library operator (vald.ops.windows.sessionize) — data-scaled
+# bucket count (B4 rule), results bucket-count-invariant
 # ---------------------------------------------------------------------------
-
-_SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def q_sessions(sf_dir: str):
+    from datetime import timedelta
+
+    from .ops.windows import sessionize
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    num_buckets = 32
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        bucket = (u % num_buckets).astype(np.int32)
-        return pa.table(
-            {"user_id": t["user_id"], "ts": t["ts"], "bucket": pa.array(bucket)}
-        )
-
-    def sessionize(g: pa.Table) -> pa.Table:
-        u = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].to_numpy(zero_copy_only=False)  # datetime64[us]
-        order = np.lexsort((ts, u))
-        u, ts = u[order], ts[order]
-        n = len(u)
-        new_user = np.r_[True, u[1:] != u[:-1]]
-        gap = np.empty(n, dtype=bool)
-        gap[0] = True
-        gap[1:] = (ts[1:] - ts[:-1]) > np.timedelta64(_SESSION_GAP_US, "us")
-        is_new = new_user | gap
-        bounds = np.flatnonzero(is_new)
-        counts = np.diff(np.r_[bounds, n])
-        starts = ts[bounds]
-        uids = u[bounds]
-        # 1-based session index within each user
-        sess_new_user = np.r_[True, uids[1:] != uids[:-1]]
-        first_idx = np.maximum.accumulate(
-            np.where(sess_new_user, np.arange(len(bounds)), 0)
-        )
-        sid = np.arange(len(bounds)) - first_idx + 1
-        return pa.table(
-            {
-                "user_id": pa.array(uids),
-                "session_id": pa.array(sid.astype(np.int64)),
-                "session_start": pa.array(starts),
-                "n_events": pa.array(counts.astype(np.int64)),
-            }
-        )
-
-    out = (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(sessionize, batch_format="pyarrow")
-    )
+    out = sessionize(ds, "user_id", "ts", timedelta(minutes=30))
     return _ensure_schema(
         out,
         pa.schema(
