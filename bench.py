@@ -81,6 +81,36 @@ OBJ_STORE = int(os.environ.get("VALD_OBJ_STORE", str(16 * 1024**3)))
 REPEATS = int(os.environ.get("VALD_BENCH_REPEATS", "1"))
 
 
+def _stage_stats(ds) -> list[dict]:
+    """Per-operator wall/rows/bytes from an EXECUTED Dataset's stats
+    (BASELINE.md 'to measure' promise; VERDICT r2 item 6). Structured
+    ``to_summary()`` API, recursing into parent plans so pre-shuffle
+    stages aren't folded away. Best-effort: returns [] if the stats API
+    shifts between Ray versions."""
+    out: list[dict] = []
+    try:
+        def walk(s):
+            for p in getattr(s, "parents", None) or []:
+                walk(p)
+            for o in s.operators_stats:
+                wt = o.wall_time or {}
+                rows = o.output_num_rows or {}
+                size = o.output_size_bytes or {}
+                out.append(
+                    {
+                        "operator": o.operator_name,
+                        "task_wall_sum_s": round(wt.get("sum", 0.0), 3),
+                        "output_rows": int(rows.get("sum") or 0),
+                        "output_bytes": int(size.get("sum") or 0),
+                    }
+                )
+
+        walk(ds._plan.stats().to_summary())
+    except Exception:
+        return []
+    return out
+
+
 def run_bench() -> dict:
     import ray
 
@@ -114,6 +144,7 @@ def run_bench() -> dict:
     spec = dict(CORPUS_SPEC)
     spec["num_partitions"] = max(8, NUM_CPUS)
     headline = float("inf")
+    stages: list[dict] = []
     for _ in range(max(1, REPEATS)):
         t0 = time.monotonic()
         ds = ray.data.read_parquet(
@@ -122,7 +153,10 @@ def run_bench() -> dict:
         res = P.validate(ds, spec, parents=parents)
         n_verd = res.verdicts_table().num_rows
         n_viol = res.violations_table().num_rows
-        headline = min(headline, time.monotonic() - t0)
+        elapsed = time.monotonic() - t0
+        if elapsed < headline:
+            headline = elapsed
+            stages = _stage_stats(res.combined)
 
     # ---- query catalog over the sf dir (skipped in scaling children) ----
     from vald.queries import QUERIES
@@ -148,7 +182,203 @@ def run_bench() -> dict:
         "rows_per_sec": round(CORPUS_ROWS / headline),
         "verdict_rows": n_verd,
         "violation_rows": n_viol,
+        "stages": stages,
     }
+
+
+# ---------------------------------------------------------------------------
+# near-dup chain bench (VERDICT r2 items 1 & 5): MinHash-LSH pair
+# generation + distributed CC on a dup-heavy ≥1M-row document corpus
+# (vald.corpus.dup_docs_dataset: ~30% near-dups, char-shingle Jaccard
+# ~0.93 inside clusters). Pair generation is the stage the r2 verdict
+# flagged (Python pair loops → vectorized slabs) — this measures it.
+# ---------------------------------------------------------------------------
+
+NEARDUP_ROWS = int(os.environ.get("VALD_NEARDUP_ROWS", "1000000"))
+NEARDUP_DIR = os.environ.get(
+    "VALD_NEARDUP_CORPUS", f"/tmp/vald_bench/dupdocs_{NEARDUP_ROWS}"
+)
+
+
+def _ensure_dupdocs() -> None:
+    marker = os.path.join(NEARDUP_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    from vald.corpus import write_dup_docs
+
+    write_dup_docs(NEARDUP_DIR, NEARDUP_ROWS, seed=42)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_neardup() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        object_store_memory=OBJ_STORE,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from vald.ops.dedup import minhash_dedup_pairs_ds, near_dup_groups_ds
+
+    _ensure_dupdocs()
+    _warm_cache(NEARDUP_DIR)
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(NEARDUP_DIR, override_num_blocks=4 * NUM_CPUS)
+    pairs = minhash_dedup_pairs_ds(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
+        concurrency=(1, NUM_CPUS),
+    ).materialize()
+    t_pairs = time.monotonic() - t0
+    n_pairs = pairs.count()
+    t1 = time.monotonic()
+    groups = near_dup_groups_ds(pairs).materialize()
+    t_groups = time.monotonic() - t1
+    n_grouped = groups.count()
+    ray.shutdown()
+    total = t_pairs + t_groups
+    return {
+        "metric": "neardup_chain_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "pairs_sec": round(t_pairs, 3),
+        "groups_sec": round(t_groups, 3),
+        "n_pairs": n_pairs,
+        "n_grouped_docs": n_grouped,
+        "corpus_rows": NEARDUP_ROWS,
+        "num_cpus": NUM_CPUS,
+        "rows_per_sec": round(NEARDUP_ROWS / total),
+    }
+
+
+# ---------------------------------------------------------------------------
+# native-join bench (VERDICT r2 item 5): q_shipping_priority over a
+# key-shifted ×MULT replication of the sf0.1 tables (lineitem ≥1M rows)
+# ---------------------------------------------------------------------------
+
+JOIN_MULT = int(os.environ.get("VALD_JOIN_MULT", "4"))
+JOIN_DIR = os.environ.get("VALD_JOIN_DIR", f"/tmp/vald_bench/tpch_x{JOIN_MULT}")
+
+
+def _ensure_join_tables() -> None:
+    """customer copied; orders/lineitem replicated JOIN_MULT times with
+    o_orderkey/l_orderkey shifted per copy (join fan-out preserved)."""
+    marker = os.path.join(JOIN_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(JOIN_DIR, exist_ok=True)
+    cust = pq.read_table(os.path.join(SF_DIR, "customer.parquet"))
+    pq.write_table(cust, os.path.join(JOIN_DIR, "customer.parquet"))
+    for name, keycol in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        t = pq.read_table(os.path.join(SF_DIR, f"{name}.parquet"))
+        shift = int(pc.max(t[keycol]).as_py()) + 1
+        copies = []
+        for k in range(JOIN_MULT):
+            c = t.set_column(
+                t.schema.get_field_index(keycol),
+                keycol,
+                pc.add(t[keycol], pa.scalar(k * shift, type=t[keycol].type)),
+            )
+            copies.append(c)
+        pq.write_table(pa.concat_tables(copies), os.path.join(JOIN_DIR, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_join() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        object_store_memory=OBJ_STORE,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from vald.queries import QUERIES
+
+    _ensure_join_tables()
+    _warm_cache(JOIN_DIR)
+    import pyarrow.parquet as pq
+
+    li_rows = pq.read_metadata(os.path.join(JOIN_DIR, "lineitem.parquet")).num_rows
+    t0 = time.monotonic()
+    out = QUERIES["q_shipping_priority"](JOIN_DIR)
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    return {
+        "metric": "join_q3_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "lineitem_rows": li_rows,
+        "result_rows": out.num_rows,
+        "num_cpus": NUM_CPUS,
+        "rows_per_sec": round(li_rows / wall),
+    }
+
+
+def _two_level_scaling(flag: str, metric: str, extra_env: dict | None = None) -> dict:
+    """Generic 2-vs-8 fresh-process scaling harness (same input, parent
+    pre-generates)."""
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("VALD_SCALE_LO", "2"))
+    hi = int(os.environ.get("VALD_SCALE_HI", "8"))
+    r_lo, r_hi = child(lo), child(hi)
+    eff = r_lo["value"] / ((hi / lo) * r_hi["value"])
+    return {
+        "metric": metric,
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        "detail_lo": r_lo,
+        "detail_hi": r_hi,
+    }
+
+
+def run_neardup_scaling() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _ensure_dupdocs()
+    ray.shutdown()
+    return _two_level_scaling("--neardup", "neardup_scaling_efficiency")
+
+
+def run_join_scaling() -> dict:
+    _ensure_join_tables()  # driver-side pyarrow, no Ray needed
+    return _two_level_scaling("--join", "join_scaling_efficiency")
 
 
 # ---------------------------------------------------------------------------
@@ -393,5 +623,13 @@ if __name__ == "__main__":
         print(json.dumps(run_stage_scaling()))
     elif "--stage" in sys.argv:
         print(json.dumps(run_stage(sys.argv[sys.argv.index("--stage") + 1])))
+    elif "--neardup-scaling" in sys.argv:
+        print(json.dumps(run_neardup_scaling()))
+    elif "--neardup" in sys.argv:
+        print(json.dumps(run_neardup()))
+    elif "--join-scaling" in sys.argv:
+        print(json.dumps(run_join_scaling()))
+    elif "--join" in sys.argv:
+        print(json.dumps(run_join()))
     else:
         print(json.dumps(run_bench()))

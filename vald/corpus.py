@@ -351,3 +351,81 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> None:
     corpus_dataset(n_rows, seed).write_parquet(os.path.join(out_dir, "corpus"))
     pq.write_table(repos_table(n_rows, seed), os.path.join(out_dir, "repos.parquet"))
     pq.write_table(truth_table(n_rows, seed), os.path.join(out_dir, "truth.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# dup-heavy documents corpus — the near-dup-dedup bench input (VERDICT
+# r2 items 1 & 5): ~dup_pct% of rows are near-duplicates (a handful of
+# words mutated) of an earlier clean doc, so the MinHash-LSH chain has
+# real clusters to find at any n_rows. Deterministic (splitmix64),
+# distributed (range → gen per batch), no driver materialization.
+# ---------------------------------------------------------------------------
+
+_DOC_WORDS = 64
+# vocab large enough that 5-char shingles of unrelated docs rarely
+# collide in a 4-row LSH band — 512 tokens measured a false-positive
+# candidate storm (3.7M candidate pairs at 20k docs); 8192 gives
+# realistic web-text collision rates while keeping some pressure
+_DOC_VOCAB = np.array([f"tok{i:04d}" for i in range(8192)])
+_DOC_MUTATE = 3  # words replaced in a near-dup (Jaccard stays ≳ 0.85)
+
+
+def dup_docs_batch(idx: np.ndarray, seed: int = 42, dup_pct: int = 30) -> pa.Table:
+    """(doc_id, text) for the given row indices. Rows with
+    ``hash(idx) % 100 < dup_pct`` (and idx ≥ 100) are near-dups: the
+    word stream of a base doc up to 1000 rows earlier with
+    ``_DOC_MUTATE`` positions rewritten. Base word ids derive from the
+    base INDEX (not its realized text), so clusters form around clean
+    docs regardless of the base row's own dup status."""
+    idx = np.asarray(idx, dtype=np.uint64)
+    n = len(idx)
+    is_dup = ((_stream(idx, seed, 20) % np.uint64(100)).astype(np.int64) < dup_pct) & (
+        idx.astype(np.int64) >= 100
+    )
+    back = (_stream(idx, seed, 21) % np.uint64(1000)).astype(np.int64) + 1
+    base = np.where(is_dup, np.maximum(idx.astype(np.int64) - back, 0), idx.astype(np.int64))
+    # per-position word ids, shape (n, W), one vectorized hash pass
+    flat = (
+        base[:, None].astype(np.uint64) * np.uint64(_DOC_WORDS)
+        + np.arange(_DOC_WORDS, dtype=np.uint64)[None, :]
+    ).ravel()
+    wid = (_stream(flat, seed, 22) % np.uint64(len(_DOC_VOCAB))).reshape(
+        n, _DOC_WORDS
+    ).astype(np.int64)
+    # mutate a few positions of the dup rows (seeded by the row itself)
+    dup_rows = np.flatnonzero(is_dup)
+    for k in range(_DOC_MUTATE):
+        mpos = (_stream(idx[dup_rows], seed, 30 + k) % np.uint64(_DOC_WORDS)).astype(
+            np.int64
+        )
+        mval = (_stream(idx[dup_rows], seed, 40 + k) % np.uint64(len(_DOC_VOCAB))).astype(
+            np.int64
+        )
+        wid[dup_rows, mpos] = mval
+    texts = [" ".join(_DOC_VOCAB[row]) for row in wid]
+    return pa.table(
+        {
+            "doc_id": pa.array(idx.astype(np.int64), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def dup_docs_dataset(
+    n_rows: int, seed: int = 42, dup_pct: int = 30, override_num_blocks: int | None = None
+) -> "ray.data.Dataset":
+    ds = ray.data.range(n_rows, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return dup_docs_batch(
+            np.asarray(batch["id"].to_numpy(zero_copy_only=False)), seed, dup_pct
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_dup_docs(out_dir: str, n_rows: int, seed: int = 42, dup_pct: int = 30) -> None:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    dup_docs_dataset(n_rows, seed, dup_pct).write_parquet(out_dir)

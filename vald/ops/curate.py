@@ -61,6 +61,7 @@ def curate_corpus(
     minhash_bands: int = 16,
     counts: bool = True,
     concurrency: int | tuple[int, int] = (1, 8),
+    spill_dir: str | None = None,
 ) -> tuple["ray.data.Dataset", CurationReport]:
     """Compose the standard curation stages over a document Dataset.
 
@@ -73,9 +74,22 @@ def curate_corpus(
     - ``near_dup_threshold``: MinHash-LSH near-dup removal at this
       Jaccard threshold via distributed pairs → distributed connected
       components → ``drop_near_dups``; None skips.
+    - ``spill_dir``: at-scale mode (VERDICT r2 item 4). Without it the
+      near-dup stage ``materialize()``s the filtered corpus in the
+      object store — fine at test scale, but at 100 TB the materialize
+      IS the dataset. With ``spill_dir`` the survivors are written ONCE
+      to ``{spill_dir}/survivors/`` parquet and re-read by both the
+      pair graph and the final filter, and the near-dup groups spill to
+      ``{spill_dir}/groups/``; each spill commits an atomic
+      CheckpointManager manifest, so a re-run with the same
+      ``spill_dir`` resumes mid-chain (skips the filter stages and/or
+      the pair graph).
 
     Returns (curated Dataset, CurationReport). With ``counts=False`` no
     intermediate ``count()`` is executed — fully streaming."""
+    import os
+
+    from ..checkpoint import CheckpointManager
     from .dedup import (
         drop_near_dups,
         exact_dedup,
@@ -84,7 +98,35 @@ def curate_corpus(
     )
     from .text import language_id, quality_scores
 
+    mgr = CheckpointManager(spill_dir) if spill_dir is not None else None
     rep = CurationReport()
+
+    # resume: survivors already spilled → skip the filter stages
+    if mgr is not None and "survivors" in mgr.completed():
+        man = mgr.manifest("survivors") or {}
+        rep.stages = list(man.get("stages", []))
+        for f in (
+            "n_input",
+            "n_after_lang",
+            "n_after_quality",
+            "n_after_exact_dedup",
+        ):
+            setattr(rep, f, int(man.get(f, -1)))
+        ds = ray.data.read_parquet(os.path.join(spill_dir, "survivors"))
+        return _near_dup_stage(
+            ds,
+            rep,
+            mgr,
+            spill_dir,
+            text_col,
+            id_col,
+            near_dup_threshold,
+            minhash_perm,
+            minhash_bands,
+            counts,
+            concurrency,
+        )
+
     if counts:
         rep.n_input = ds.count()
 
@@ -136,11 +178,72 @@ def curate_corpus(
         if counts:
             rep.n_after_exact_dedup = ds.count()
 
-    if near_dup_threshold is not None:
-        # the pair graph is computed on the (already filtered) corpus;
-        # materialize the survivors once so pairs and the final filter
-        # consume the same blocks instead of re-running the filters
+    if near_dup_threshold is not None and mgr is not None:
+        # spill mode: write the survivors once; both the pair graph and
+        # the final filter re-read them from parquet (object store free
+        # to spill/evict), and the spill doubles as a resume point
+        import os
+
+        surv_path = os.path.join(spill_dir, "survivors")
+        ds.write_parquet(surv_path)
+        mgr.commit(
+            "survivors",
+            {
+                "stages": list(rep.stages),
+                "n_input": rep.n_input,
+                "n_after_lang": rep.n_after_lang,
+                "n_after_quality": rep.n_after_quality,
+                "n_after_exact_dedup": rep.n_after_exact_dedup,
+            },
+        )
+        ds = ray.data.read_parquet(surv_path)
+    return _near_dup_stage(
+        ds,
+        rep,
+        mgr,
+        spill_dir,
+        text_col,
+        id_col,
+        near_dup_threshold,
+        minhash_perm,
+        minhash_bands,
+        counts,
+        concurrency,
+    )
+
+
+def _near_dup_stage(
+    ds,
+    rep,
+    mgr,
+    spill_dir,
+    text_col,
+    id_col,
+    near_dup_threshold,
+    minhash_perm,
+    minhash_bands,
+    counts,
+    concurrency,
+):
+    import os
+
+    from .dedup import drop_near_dups, minhash_dedup_pairs_ds, near_dup_groups_ds
+
+    if near_dup_threshold is None:
+        return ds, rep
+
+    if mgr is None:
+        # in-memory mode: materialize once BEFORE building the pair
+        # graph so pairs and the final filter consume the same blocks
         ds = ds.materialize()
+
+    if mgr is not None and "groups" in mgr.completed():
+        man = mgr.manifest("groups") or {}
+        if int(man.get("rows", 0)) > 0:
+            groups = ray.data.read_parquet(os.path.join(spill_dir, "groups"))
+        else:
+            groups = None  # no duplicate clusters: nothing to drop
+    else:
         pairs = minhash_dedup_pairs_ds(
             ds,
             text_col,
@@ -150,10 +253,21 @@ def curate_corpus(
             threshold=near_dup_threshold,
             concurrency=concurrency,
         )
-        groups = near_dup_groups_ds(pairs)
+        if mgr is None:
+            groups = near_dup_groups_ds(pairs)
+        else:
+            # groups are small by construction (one row per doc inside
+            # a duplicate cluster); materialize to count + spill
+            groups = near_dup_groups_ds(pairs).materialize()
+            n_groups = groups.count()
+            if n_groups > 0:
+                groups.write_parquet(os.path.join(spill_dir, "groups"))
+            mgr.commit("groups", {"rows": n_groups})
+            if n_groups == 0:
+                groups = None
+    if groups is not None:
         ds = drop_near_dups(ds, id_col, groups)
-        rep.stages.append("near_dedup")
-        if counts:
-            rep.n_after_near_dedup = ds.count()
-
+    rep.stages.append("near_dedup")
+    if counts:
+        rep.n_after_near_dedup = ds.count()
     return ds, rep

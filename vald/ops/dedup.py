@@ -214,8 +214,9 @@ def minhash_signatures(
     shingle_k: int = 5,
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> "ray.data.Dataset":
-    """id + minhash signature (fixed_size_list<uint64>) per row —
-    actor-pool stage (permutations built once per actor)."""
+    """id + minhash signature (fixed_size_list<uint32>, low bits of the
+    uint64 minima) per row — actor-pool stage (permutations built once
+    per actor)."""
 
     class Sig:
         def __init__(self):
@@ -223,11 +224,21 @@ def minhash_signatures(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             sigs = self.mh.batch_signatures(t[text_col].to_pylist())
+            # stored/shuffled as uint32 (low bits): equality of the full
+            # uint64 minima is preserved; a false slot agreement needs a
+            # 2^-32 truncation collision (negligible vs the minhash
+            # estimator's own variance). Halves the exploded shuffle
+            # payload AND avoids this host's ~45x-slower uint64
+            # vector-compare path (measured; see BENCH/BASELINE.md).
             return pa.table(
                 {
                     id_col: t[id_col],
                     "sig": pa.FixedSizeListArray.from_arrays(
-                        pa.array(sigs.reshape(-1), type=pa.uint64()), num_perm
+                        pa.array(
+                            sigs.reshape(-1).astype(np.uint32),
+                            type=pa.uint32(),
+                        ),
+                        num_perm,
                     ),
                 }
             )
@@ -239,7 +250,7 @@ def minhash_signatures(
 
 def _sig_matrix(t: pa.Table, num_perm: int) -> np.ndarray:
     flat = t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    return flat.reshape(-1, num_perm).astype(np.uint64)
+    return flat.reshape(-1, num_perm).astype(np.uint32, copy=False)
 
 
 # all-pairs verification cap per band/chunk group, and the slab size
@@ -268,9 +279,20 @@ def _segment_pair_indices(
         if L < 2:
             continue
         if L <= cap:
-            ia, ib = np.triu_indices(L, k=1)
-            ia_parts.append(ia.astype(np.int64) + s)
-            ib_parts.append(ib.astype(np.int64) + s)
+            # O(P) arithmetic construction — NOT np.triu_indices, whose
+            # O(L^2) mask allocation measured ~1.3 s at L≈1300 on this
+            # memory-starved host. row i pairs with i+1..L-1:
+            cnt = np.arange(L - 1, 0, -1, dtype=np.int64)
+            ia = np.repeat(np.arange(L - 1, dtype=np.int64), cnt)
+            offs = np.cumsum(cnt) - cnt
+            ib = (
+                np.arange(len(ia), dtype=np.int64)
+                - np.repeat(offs, cnt)
+                + ia
+                + 1
+            )
+            ia_parts.append(ia + s)
+            ib_parts.append(ib + s)
         else:
             ia_parts.append(np.full(L - 1, s, dtype=np.int64))
             ib_parts.append(np.arange(s + 1, e, dtype=np.int64))
@@ -330,7 +352,7 @@ def minhash_dedup_pairs_ds(
                 "bucket": pa.array((out_bh % np.uint64(256)).astype(np.int32)),
                 id_col: pa.array(out_ids),
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(out_sig.reshape(-1), type=pa.uint64()), num_perm
+                    pa.array(out_sig.reshape(-1), type=pa.uint32()), num_perm
                 ),
             }
         )
