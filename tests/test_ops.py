@@ -207,10 +207,19 @@ def test_near_dup_groups_distributed_matches_union_find(ray_session):
     )
     ref = DD.near_dup_groups(t)
     all_nodes = set(t["id_a"].to_pylist()) | set(t["id_b"].to_pylist())
-    out = DD.near_dup_groups_ds(ray.data.from_arrow(t)).to_pandas()
+    # driver_threshold=0 forces the distributed star rounds (the
+    # planner would otherwise short-circuit this small graph to the
+    # union-find fallback, making the parity check vacuous)
+    out = DD.near_dup_groups_ds(
+        ray.data.from_arrow(t), driver_threshold=0
+    ).to_pandas()
     got = dict(zip(out["id"], out["group_id"]))
     assert set(got) == all_nodes
     assert all(got[k] == ref.get(k, k) for k in all_nodes)
+    # and the driver-fallback path must agree with both
+    out_fb = DD.near_dup_groups_ds(ray.data.from_arrow(t)).to_pandas()
+    got_fb = dict(zip(out_fb["id"], out_fb["group_id"]))
+    assert got_fb == got
 
 
 def test_near_dup_groups_ds_from_minhash(ray_session):
@@ -375,7 +384,10 @@ def test_near_dup_groups_ds_permutation_invariance(ray_session):
             "id_b": pa.array([e[1] for e in edges], type=pa.int64()),
         }
     )
-    base = DD.near_dup_groups_ds(ray.data.from_arrow(t)).to_pandas()
+    # driver_threshold=0: pin the DISTRIBUTED rounds' determinism
+    base = DD.near_dup_groups_ds(
+        ray.data.from_arrow(t), driver_threshold=0
+    ).to_pandas()
     base_m = dict(zip(base["id"], base["group_id"]))
     # permute rows and flip every edge's direction
     perm = rng.permutation(len(edges))
@@ -385,7 +397,9 @@ def test_near_dup_groups_ds_permutation_invariance(ray_session):
             "id_b": pa.array([edges[i][0] for i in perm], type=pa.int64()),
         }
     )
-    out2 = DD.near_dup_groups_ds(ray.data.from_arrow(t2)).to_pandas()
+    out2 = DD.near_dup_groups_ds(
+        ray.data.from_arrow(t2), driver_threshold=0
+    ).to_pandas()
     m2 = dict(zip(out2["id"], out2["group_id"]))
     assert base_m == m2
 

@@ -582,9 +582,13 @@ def near_dup_groups_ds(
     *,
     max_rounds: int = 16,
     num_buckets: int = 64,
+    driver_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """Fully DISTRIBUTED connected components over a pair Dataset —
-    the scale path for near-dup grouping (pairs never touch the driver).
+    """Connected components over a pair Dataset. Pair sets up to
+    ``driver_threshold`` edges short-circuit to the driver union-find
+    (bounded materialization, ≤ ~32 MB at the default — the star rounds'
+    per-round exchange latency would dominate); larger graphs run the
+    fully DISTRIBUTED rounds below, where pairs never touch the driver.
 
     Alternating large-star / small-star rounds (public MapReduce CC
     algorithm, Kiveris et al. SoCC'14) expressed as map_batches +
@@ -602,12 +606,45 @@ def near_dup_groups_ds(
     10^9 members would need the root's bucket to hold 10^9 edges —
     at that point dedup the inputs first)."""
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
                     "id": pa.array([], type=pa.int64()),
                     "group_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    if n_edges <= driver_threshold:
+        # planner fallback (same shape as B5/drop_near_dups): each
+        # star round costs 5 all-to-all exchanges whose FIXED latency
+        # dwarfs the work on a bounded graph — ≤ threshold pairs
+        # (≤ 32 MB at 2M) union-find on the driver instead. The
+        # distributed rounds remain the ONLY path above the threshold;
+        # both paths are parity-tested against each other.
+        tab = pa.concat_tables(
+            [p for p in ray.get(edges.to_arrow_refs()) if len(p)]
+        ).combine_chunks()
+        ref = near_dup_groups(tab)
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    tab["id_a"].to_numpy(zero_copy_only=False),
+                    tab["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        roots = np.fromiter(
+            (ref.get(int(n), int(n)) for n in nodes),
+            dtype=np.int64,
+            count=len(nodes),
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(nodes, type=pa.int64()),
+                    "group_id": pa.array(roots, type=pa.int64()),
                 }
             )
         )
