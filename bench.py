@@ -351,7 +351,17 @@ def _two_level_scaling(flag: str, metric: str, extra_env: dict | None = None) ->
 
     lo = int(os.environ.get("VALD_SCALE_LO", "2"))
     hi = int(os.environ.get("VALD_SCALE_HI", "8"))
-    r_lo, r_hi = child(lo), child(hi)
+    # hi-first + cool-down: see run_scaling (throttle-sensitive level
+    # runs on the cooler machine; measured r3)
+    cooldown = int(os.environ.get("VALD_SCALE_COOLDOWN", "60"))
+    if os.environ.get("VALD_SCALE_ORDER", "hi_first") == "hi_first":
+        r_hi = child(hi)
+        time.sleep(cooldown)
+        r_lo = child(lo)
+    else:
+        r_lo = child(lo)
+        time.sleep(cooldown)
+        r_hi = child(hi)
     eff = r_lo["value"] / ((hi / lo) * r_hi["value"])
     return {
         "metric": metric,
@@ -591,7 +601,21 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("VALD_SCALE_LO", "2"))
     hi = int(os.environ.get("VALD_SCALE_HI", "8"))
-    r_lo, r_hi = child(lo), child(hi)
+    # Child order + cool-down: this VM throttles the child that runs
+    # AFTER sustained multi-core load (measured r3: t8 58 s right after
+    # the t2 child vs 37.9 s alone minutes later, while t2 is
+    # throttle-insensitive at 120-127 s across every machine state).
+    # Default hi-first so the throttle-sensitive level runs on the
+    # cooler machine; VALD_SCALE_COOLDOWN seconds of idle in between.
+    cooldown = int(os.environ.get("VALD_SCALE_COOLDOWN", "60"))
+    if os.environ.get("VALD_SCALE_ORDER", "hi_first") == "hi_first":
+        r_hi = child(hi)
+        time.sleep(cooldown)
+        r_lo = child(lo)
+    else:
+        r_lo = child(lo)
+        time.sleep(cooldown)
+        r_hi = child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = t_lo / ((hi / lo) * t_hi)
     return {

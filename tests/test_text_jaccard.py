@@ -1,0 +1,203 @@
+"""Round-3 ops tests: exact all-pairs n-gram Jaccard (distributed
+shingle inverted index) and vectorized text_stats."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from vald.ops import dedup as DD
+from vald.ops.text import text_stats, text_stats_table
+
+
+# ---------------------------------------------------------------------------
+# corpus with planted near-dups, empties, and a NULL
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "table scan join filter sort hash merge batch window group "
+    "row column value key part order line data query stream"
+).split()
+
+
+def _salad(rng: np.random.Generator, n_words: int) -> str:
+    return " ".join(rng.choice(_WORDS, size=n_words))
+
+
+def _dup_corpus():
+    rng = np.random.default_rng(7)
+    texts: list[str | None] = [_salad(rng, 60) for _ in range(40)]
+    # planted near-dups: copy with a few words swapped
+    for src in (3, 11, 29):
+        w = texts[src].split()
+        for _ in range(3):
+            w[rng.integers(0, len(w))] = rng.choice(_WORDS)
+        texts.append(" ".join(w))
+    texts.append("")       # empty doc
+    texts.append("")       # second empty doc (pairs with the first)
+    texts.append(None)     # NULL text (treated as empty)
+    ids = list(range(len(texts)))
+    return pa.table({"doc_id": ids, "text": pa.array(texts, type=pa.string())})
+
+
+def _shingles(s: str | None, k: int) -> set:
+    s = s or ""
+    return set(s[j : j + k] for j in range(max(1, len(s) - k + 1)))
+
+
+def _brute_pairs(t: pa.Table, k: int, threshold: float) -> dict:
+    ids = t["doc_id"].to_pylist()
+    shs = [_shingles(s, k) for s in t["text"].to_pylist()]
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(shs[i] & shs[j])
+            union = len(shs[i] | shs[j])
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = round(jac, 6)
+    return out
+
+
+def test_jaccard_pairs_matches_bruteforce(ray_session):
+    t = _dup_corpus()
+    k, thr = 8, 0.4
+    expect = _brute_pairs(t, k, thr)
+    got_t = DD.jaccard_pairs(
+        ray.data.from_arrow(t), "text", "doc_id", k=k, threshold=thr
+    )
+    got = {
+        (a, b): j
+        for a, b, j in zip(
+            got_t["id_a"].to_pylist(),
+            got_t["id_b"].to_pylist(),
+            got_t["jaccard"].to_pylist(),
+        )
+    }
+    assert set(got) == set(expect)
+    for p in expect:
+        assert abs(got[p] - expect[p]) < 1e-9
+    # planted dups + the empty-doc pair must be present
+    planted = {(3, 40), (11, 41), (29, 42), (43, 44)}
+    assert planted <= set(got)
+
+
+def test_jaccard_pairs_bucket_invariance(ray_session):
+    """Same result at two bucket counts (partition invariance)."""
+    t = _dup_corpus()
+    a = DD.jaccard_pairs_ds(
+        ray.data.from_arrow(t), "text", "doc_id", k=8, threshold=0.4, num_buckets=4
+    )
+    b = DD.jaccard_pairs_ds(
+        ray.data.from_arrow(t), "text", "doc_id", k=8, threshold=0.4, num_buckets=64
+    )
+    pa_a = DD._pairs_table(a, "jaccard", pa.float64())
+    pa_b = DD._pairs_table(b, "jaccard", pa.float64())
+    assert pa_a.equals(pa_b)
+
+
+def test_jaccard_max_df_underestimates(ray_session):
+    """max_df drops hot shingles: pairs must be a SUBSET of the exact
+    result with never-higher jaccard (documented under-estimate)."""
+    t = _dup_corpus()
+    exact = DD.jaccard_pairs(
+        ray.data.from_arrow(t), "text", "doc_id", k=8, threshold=0.4
+    )
+    capped = DD.jaccard_pairs(
+        ray.data.from_arrow(t), "text", "doc_id", k=8, threshold=0.4, max_df=10
+    )
+    ex = {
+        (a, b): j
+        for a, b, j in zip(
+            exact["id_a"].to_pylist(),
+            exact["id_b"].to_pylist(),
+            exact["jaccard"].to_pylist(),
+        )
+    }
+    for a, b, j in zip(
+        capped["id_a"].to_pylist(),
+        capped["id_b"].to_pylist(),
+        capped["jaccard"].to_pylist(),
+    ):
+        assert (a, b) in ex
+        assert j <= ex[(a, b)] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# text_stats
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(rb"[\x09\x0a\x0b\x0c\x0d\x20]+")
+
+
+def _py_stats(s: str | None) -> tuple[int, int, int, int]:
+    b = (s or "").encode("utf-8")
+    n_alpha = sum(1 for c in b if 65 <= c <= 90 or 97 <= c <= 122)
+    n_digit = sum(1 for c in b if 48 <= c <= 57)
+    n_tokens = len([tok for tok in _WS_RE.split(b) if tok])
+    return len(b), n_alpha, n_digit, n_tokens
+
+
+_EDGE_TEXTS = [
+    "a b",
+    "",
+    None,
+    "   ",
+    "a\tb\nc\x0bd\x0ce\rf",
+    "héllo wörld 42",
+    "x" * 500,
+    " lead and trail ",
+    "tab\t\t\tmulti",
+]
+
+
+def test_text_stats_table_matches_python():
+    t = pa.table(
+        {
+            "doc_id": list(range(len(_EDGE_TEXTS))),
+            "text": pa.array(_EDGE_TEXTS, type=pa.string()),
+        }
+    )
+    out = text_stats_table(t, "text", "doc_id").to_pydict()
+    for i, s in enumerate(_EDGE_TEXTS):
+        nc, na, nd, nt = _py_stats(s)
+        assert out["n_chars"][i] == nc, (i, s)
+        assert out["n_alpha"][i] == na, (i, s)
+        assert out["n_digit"][i] == nd, (i, s)
+        assert out["n_tokens"][i] == nt, (i, s)
+
+
+def test_text_stats_table_sliced_and_chunked():
+    t = pa.table(
+        {
+            "doc_id": list(range(len(_EDGE_TEXTS))),
+            "text": pa.array(_EDGE_TEXTS, type=pa.string()),
+        }
+    )
+    whole = text_stats_table(t, "text", "doc_id")
+    sliced = text_stats_table(t.slice(2, 5), "text", "doc_id")
+    assert whole.slice(2, 5).to_pydict() == sliced.to_pydict()
+    chunked = pa.Table.from_batches(t.to_batches(max_chunksize=3))
+    assert text_stats_table(chunked, "text", "doc_id").equals(whole)
+
+
+def test_text_stats_dataset(ray_session):
+    rng = np.random.default_rng(3)
+    texts = [_salad(rng, int(n)) for n in rng.integers(1, 50, size=200)]
+    t = pa.table({"doc_id": list(range(200)), "text": texts})
+    out = (
+        text_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(texts):
+        nc, na, nd, nt = _py_stats(s)
+        assert out.n_chars[i] == nc
+        assert out.n_tokens[i] == nt
+        assert out.n_alpha[i] == na
+        assert out.n_digit[i] == nd

@@ -48,6 +48,8 @@ __all__ = [
     "simhash_dedup_pairs",
     "simhash_dedup_pairs_ds",
     "ngram_jaccard",
+    "jaccard_pairs",
+    "jaccard_pairs_ds",
 ]
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -887,3 +889,183 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs n-gram Jaccard (the SQL-expressible exact twin of the
+# MinHash-LSH estimate): distributed shingle inverted index
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs_ds(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 12,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs character-k-gram Jaccard similarity >= threshold
+    via a distributed shingle inverted index (Broder's shingling; same
+    candidate structure published for all-pairs similarity search,
+    e.g. Bayardo et al. WWW'07).
+
+    Plan — three map_batches + two bucketed groupbys, no document body
+    ever re-shuffled:
+
+    1. per row: DISTINCT k-gram shingles (set semantics, matching
+       ``ngram_jaccard``); emit (bucket, shingle, id, n_sh) where
+       n_sh is the row's distinct-shingle count — carried with every
+       posting so the final stage needs NO side join against a sizes
+       table.
+    2. groupby(bucket) → inside the bucket, sort by (shingle, id);
+       every equal-shingle segment emits its C(L,2) co-occurrence rows
+       (id_a, id_b, na, nb, cnt=1), pre-combined per batch by
+       (id_a, id_b) so the second exchange moves one row per distinct
+       pair per group.
+    3. groupby(id_a, id_b) → intersection c = sum(cnt); jaccard =
+       c / (na + nb − c); filter >= threshold.
+
+    EXACT: the join key is the shingle STRING (no hash in the
+    semantics), so the result equals the brute-force ``ngram_jaccard``
+    on every pair. The cost valve for web-scale boilerplate is
+    ``max_df``: shingles whose document frequency inside a group
+    exceeds it are dropped (stop-shingles), which only LOWERS
+    intersection counts — a documented under-estimate, never a false
+    positive. Default None = fully exact (the oracle-checked mode).
+
+    Scale notes: the first exchange moves one posting per distinct
+    shingle per row (~len(text) rows of ~k+16 bytes); the second moves
+    one row per candidate pair per bucket. A shingle shared by m docs
+    emits C(m,2) pairs — with max_df unset this is quadratic in hot
+    shingles, which is inherent to the exact semantics (use
+    minhash_dedup_pairs_ds when an estimate suffices)."""
+
+    def shingle_postings(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh_flat: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            s = s or ""
+            shs = set(s[j : j + k] for j in range(max(1, len(s) - k + 1)))
+            counts[i] = len(shs)
+            sh_flat.extend(shs)
+        sh_arr = pa.array(sh_flat, type=pa.string())
+        h = stable_hash64(sh_arr)
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+                "shingle": sh_arr,
+                "id": pa.array(np.repeat(ids, counts), type=pa.int64()),
+                "n_sh": pa.array(np.repeat(counts, counts), type=pa.int64()),
+            }
+        )
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "na": pa.array([], type=pa.int64()),
+            "nb": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cooccur_in_bucket(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("shingle", "ascending"), ("id", "ascending")]
+        )
+        g = g.take(order)
+        sh = g["shingle"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        n = len(g)
+        neq = np.ones(n, dtype=bool)
+        if n > 1:
+            neq[1:] = np.asarray(
+                pc.not_equal(sh.slice(1), sh.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+        starts = np.flatnonzero(neq)
+        ends = np.r_[starts[1:], n]
+        if max_df is not None:
+            keep = (ends - starts) <= max_df
+            starts, ends = starts[keep], ends[keep]
+        # exact C(L,2) emission — cap = max segment length, no star
+        # fallback (exactness contract; max_df is the only valve)
+        cap = int((ends - starts).max()) if len(starts) else 0
+        ia, ib = _segment_pair_indices(starts, ends, max(cap, 2))
+        if not len(ia):
+            return _EMPTY_PAIRS
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        nsh = g["n_sh"].to_numpy(zero_copy_only=False)
+        # ids ascend within a segment (sort key 2) → id_a < id_b
+        out = pa.table(
+            {
+                "id_a": pa.array(ids[ia], type=pa.int64()),
+                "id_b": pa.array(ids[ib], type=pa.int64()),
+                "na": pa.array(nsh[ia], type=pa.int64()),
+                "nb": pa.array(nsh[ib], type=pa.int64()),
+                "cnt": pa.array(np.ones(len(ia), dtype=np.int64)),
+            }
+        )
+        # batch-local combiner: one row per distinct pair leaves the task
+        return (
+            out.group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([("cnt", "sum"), ("na", "min"), ("nb", "min")])
+            .rename_columns(["id_a", "id_b", "cnt", "na", "nb"])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = na + nb - c
+        jac = np.where(union > 0, c / np.maximum(union, 1.0), 1.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(keep)),
+                "id_b": t["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(shingle_postings, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cooccur_in_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 12,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> pa.Table:
+    """Driver-sized wrapper around ``jaccard_pairs_ds`` (sorted Arrow
+    table; pairs ≈ duplicates, not corpus size)."""
+    pairs = jaccard_pairs_ds(
+        ds, text_col, id_col, k=k, threshold=threshold, max_df=max_df
+    )
+    return _pairs_table(pairs, "jaccard", pa.float64())

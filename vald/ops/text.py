@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -25,6 +26,8 @@ __all__ = [
     "token_counts",
     "Fingerprint",
     "fingerprints",
+    "text_stats",
+    "text_stats_table",
 ]
 
 # Tiny per-language marker tables (top function words; zh detected by
@@ -228,4 +231,76 @@ def fingerprints(
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_stats: fully-vectorized character/token statistics straight from
+# the Arrow string buffers — the zero-copy counterpart to the per-row
+# actor stages above (no Python string is ever materialized)
+# ---------------------------------------------------------------------------
+
+_WS_BYTES = (9, 10, 11, 12, 13, 32)  # str.split() whitespace, ASCII range
+
+
+def _string_buffers(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views of a non-null Arrow string column —
+    zero-copy except the offset rebase. Handles sliced arrays."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    return offs.astype(np.int64) - int(offs[0]), data
+
+
+def text_stats_table(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Per-row (n_chars, n_alpha, n_digit, n_tokens) computed with
+    numpy over the raw UTF-8 buffer: byte-class masks + prefix sums —
+    no per-row Python loop. n_tokens counts maximal non-whitespace
+    runs (== len(s.split()) for ASCII text). Null rows count as empty
+    (callers mirror with coalesce(text, '') in SQL). n_chars is BYTE
+    length — equal to the character count for ASCII corpora; document
+    the divergence when feeding multi-byte UTF-8."""
+    col = pc.fill_null(t[text_col], "")
+    offs, data = _string_buffers(col)
+    alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+    digit = (data >= 48) & (data <= 57)
+    ws = np.isin(data, _WS_BYTES)
+    nonws = ~ws
+    # token starts: non-ws byte at a row boundary or after a ws byte
+    tok_start = nonws & np.r_[True, ws[:-1]]
+    row_starts = offs[:-1][offs[:-1] < len(data)]
+    tok_start[row_starts] = nonws[row_starts]
+
+    def rowsum(mask: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+        return cs[offs[1:]] - cs[offs[:-1]]
+
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "n_chars": pa.array(offs[1:] - offs[:-1], type=pa.int64()),
+            "n_alpha": pa.array(rowsum(alpha), type=pa.int64()),
+            "n_digit": pa.array(rowsum(digit), type=pa.int64()),
+            "n_tokens": pa.array(rowsum(tok_start), type=pa.int64()),
+        }
+    )
+
+
+def text_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Vectorized per-document text statistics (stateless task stage —
+    nothing to amortize, so no actor pool)."""
+    return ds.map_batches(
+        lambda t: text_stats_table(t, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )

@@ -1094,6 +1094,36 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_text_stats(sf_dir: str):
+    """Vectorized per-document character/token statistics straight from
+    the Arrow string buffers (ops.text.text_stats) — oracle-checked."""
+    from .ops.text import text_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _ensure_schema(
+        text_stats(ds, "text", "doc_id"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_alpha", pa.int64()),
+                ("n_digit", pa.int64()),
+                ("n_tokens", pa.int64()),
+            ]
+        ),
+    )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs 12-gram Jaccard >= 0.5 via the distributed
+    shingle inverted index (ops.dedup.jaccard_pairs_ds) — the
+    oracle-checked exact twin of the MinHash-LSH estimate."""
+    from .ops.dedup import jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs(ds, "text", "doc_id", k=12, threshold=0.5)
+
+
 def q_profile_sketch(sf_dir: str):
     from .aggregates import profile
 
@@ -1208,6 +1238,8 @@ QUERIES = {
     "q_content_sha": q_content_sha,
     "q_exact_dedup": q_exact_dedup,
     "q_token_counts": q_token_counts,
+    "q_text_stats": q_text_stats,
+    "q_jaccard_pairs": q_jaccard_pairs,
     "q_knn_cosine": q_knn_cosine,
     "q_unique_items": q_unique_items,
     "q_divisible": q_divisible,
@@ -1345,6 +1377,38 @@ ORACLE_SQL = {
         "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws "
         "FROM documents"
+    ),
+    "q_text_stats": (
+        # n_chars is BYTE length (strlen); ASCII corpus so == char count.
+        # n_tokens = maximal non-whitespace runs (str.split semantics);
+        # whitespace class matches ops.text._WS_BYTES exactly.
+        "SELECT doc_id, "
+        "strlen(coalesce(text,''))::BIGINT AS n_chars, "
+        "length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha, "
+        "length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g'))::BIGINT AS n_digit, "
+        "len(list_filter(string_split_regex(coalesce(text,''), "
+        "'[ \t\n\x0b\f\r]+'), x -> x <> ''))::BIGINT AS n_tokens "
+        "FROM documents"
+    ),
+    "q_jaccard_pairs": (
+        # exact distinct-12-gram Jaccard; empty/NULL text yields the
+        # single shingle '' (substr semantics), matching the kernel's
+        # max(1, len-k+1) window count. Threshold on the UNROUNDED
+        # ratio, display rounded to 6dp — both sides identical.
+        "WITH sh AS ("
+        " SELECT DISTINCT doc_id, substr(coalesce(text,''), CAST(i AS INT), 12) AS sh"
+        " FROM (SELECT doc_id, text, unnest(generate_series(1,"
+        " greatest(1, length(coalesce(text,''))-11))) AS i FROM documents)"
+        "), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS ("
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c"
+        " FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
     ),
     "q_knn_cosine": (
         "SELECT vec_id, round(list_cosine_similarity(embedding, "
