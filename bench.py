@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "q_shipping_priority",
     "q_window_sliding",
     "q_sessions",
+    "q_revenue_by_nation",
+    "q_asof",
+    "q_jaccard_pairs",
+    "q_top_tokens",
 ]
 
 

@@ -485,7 +485,7 @@ def refint_anti_join_results(
     cols = list(dist.params["columns"])
     pcols = list(dist.params.get("parent_columns", cols))
     cid = dist.constraint_id
-    from .runtime import join_partitions
+    from .runtime import join_barrier, join_partitions, join_remote_args
 
     P_parts = join_partitions(num_partitions or cs.num_partitions)
 
@@ -510,12 +510,14 @@ def refint_anti_join_results(
         Sum("cnt", alias_name="cnt"), Min("partition_id", alias_name="partition_id")
     )
     parent_keys = parent.select_columns(pcols)
-    missing = child_keys.join(
+    # join_barrier: child_keys is a groupby output — see runtime.join_barrier
+    missing = join_barrier(child_keys).join(
         parent_keys,
         join_type="left_anti",
         num_partitions=P_parts,
         on=tuple(cols),
         right_on=tuple(pcols) if pcols != cols else None,
+        aggregator_ray_remote_args=join_remote_args(),
     )
 
     # total checked = all child non-null keys; computed from child_keys
@@ -613,7 +615,7 @@ def fused_refint_anti_results(
     cid = dist.constraint_id
     cols = list(dist.params["columns"])
     pcols = list(dist.params.get("parent_columns", cols))
-    from .runtime import join_partitions
+    from .runtime import join_barrier, join_partitions, join_remote_args
 
     P_parts = join_partitions(num_partitions or cs.num_partitions)
     from .hashing import KEY_SEP
@@ -675,11 +677,13 @@ def fused_refint_anti_results(
         parent_pre, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    missing = child_keys.join(
+    # join_barrier: child_keys is a groupby output — see runtime.join_barrier
+    missing = join_barrier(child_keys).join(
         parent_keys,
         join_type="left_anti",
         num_partitions=P_parts,
         on=("ref",),
+        aggregator_ray_remote_args=join_remote_args(),
     )
 
     def missing_rows(t: pa.Table) -> pa.Table:

@@ -727,13 +727,14 @@ def drop_near_dups(
     renamed = drop.map_batches(
         lambda t: t.rename_columns([id_col]), batch_format="pyarrow"
     )
-    from ..runtime import join_partitions
+    from ..runtime import join_partitions, join_remote_args
 
     return ds.join(
         renamed,
         join_type="left_anti",
         num_partitions=join_partitions(num_partitions),
         on=(id_col,),
+        aggregator_ray_remote_args=join_remote_args(),
     )
 
 

@@ -502,7 +502,7 @@ _Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
 def q_shipping_priority(sf_dir: str):
     import pyarrow.dataset as pads
 
-    from .runtime import join_partitions
+    from .runtime import join_barrier, join_partitions, join_remote_args
 
     keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
     cutoff = pa.scalar(_Q3_CUTOFF)
@@ -549,12 +549,15 @@ def q_shipping_priority(sf_dir: str):
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
 
-    joined = li.join(
+    # join_barrier: li's upstream is an all-to-all groupby — piping it
+    # straight into the join livelocks Ray 2.49 on small CPU budgets
+    joined = join_barrier(li).join(
         orders,
         join_type="inner",
         num_partitions=join_partitions(None),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
     )
     # ADAPTIVE over-fetch then re-rank on ROUNDED revenue with key
     # tiebreak, mirroring the oracle's ORDER BY round(...,2) DESC,
@@ -644,6 +647,296 @@ def q_sessions(sf_dir: str):
 # ---------------------------------------------------------------------------
 # B14 set ops: semi / anti join via broadcast key membership
 # ---------------------------------------------------------------------------
+
+
+_PRICE_BANDS = [
+    ("p0_1k", 0.0, 1_000.0),
+    ("p1k_10k", 1_000.0, 10_000.0),
+    ("p10k_50k", 10_000.0, 50_000.0),
+    ("p50k_plus", 50_000.0, 1e18),
+]
+
+
+def q_price_bands(sf_dir: str):
+    """Broadcast RANGE JOIN: classify every lineitem row into a price
+    band via np.searchsorted against the (tiny) sorted band-edge table
+    — the small side never shuffles, the classification is one
+    vectorized binary search per batch, and the groupby moves one row
+    per band per batch (per-batch pre-aggregation)."""
+    edges = np.array([b[1] for b in _PRICE_BANDS] + [_PRICE_BANDS[-1][2]])
+    labels = np.array([b[0] for b in _PRICE_BANDS], dtype=object)
+
+    def classify(t: pa.Table) -> pa.Table:
+        px = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, px, side="right") - 1
+        keep = (idx >= 0) & (idx < len(labels))
+        idx, px = idx[keep], px[keep]
+        tt = pa.table(
+            {
+                "band": pa.array(labels[idx], type=pa.string()),
+                "n": pa.array(np.ones(len(px), dtype=np.int64)),
+                "total": pa.array(px, type=pa.float64()),
+            }
+        )
+        agg = tt.group_by("band", use_threads=False).aggregate(
+            [("n", "sum"), ("total", "sum")]
+        )
+        return agg.rename_columns(["band", "n", "total"])
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    schema = pa.schema(
+        [("band", pa.string()), ("n", pa.int64()), ("total", pa.float64())]
+    )
+    if len(t) == 0:
+        return _empty(schema)
+    return pa.table(
+        {
+            "band": t["band"],
+            "n": t["n"],
+            "total": pa.array(
+                [round(v, 2) for v in t["total"].to_pylist()], type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_top_tokens(sf_dir: str):
+    """Top-10 corpus vocabulary tokens: Arrow-native whitespace split +
+    per-batch token-count pre-aggregation BEFORE the shuffle (the
+    explode-then-groupby pattern — the all-to-all moves one row per
+    distinct token per batch, never one row per token occurrence)."""
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(pc.fill_null(t["text"], "")))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        tt = pa.table({"token": toks, "n": pa.array(np.ones(len(toks), dtype=np.int64))})
+        agg = tt.group_by("token", use_threads=False).aggregate([("n", "sum")])
+        return agg.rename_columns(["token", "n"])
+
+    out = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(10)
+    )
+    return _ensure_schema(
+        out, pa.schema([("token", pa.string()), ("n", pa.int64())])
+    )
+
+
+def q_asof(sf_dir: str):
+    """Each click event joined to the user's most recent prior view
+    (backward as-of join, ops.joins.asof_join) — oracle = DuckDB's
+    native ASOF JOIN. Only the matched ts is attached (payload
+    functionally dependent on (user, ts)), so right-ts ties cannot
+    make the result nondeterministic."""
+    import pyarrow.dataset as pads
+
+    from .ops.joins import asof_join
+
+    clicks = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "click",
+    ).drop_columns(["event_type"])
+    views = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "view",
+    ).drop_columns(["event_type"])
+    out = asof_join(
+        clicks,
+        views,
+        by="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols={"ts": "view_ts"},
+        join_type="inner",
+        num_buckets=32,
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("view_ts", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+
+_Q5_LO = np.datetime64("1996-01-01T00:00:00", "us")
+_Q5_HI = np.datetime64("1998-01-01T00:00:00", "us")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 flavor: revenue by nation for ASIA customers served by
+    a supplier in the SAME nation, over a two-year order window.
+
+    Plan (scale notes): region/nation are fixed-size (5/25 rows) —
+    driver-read and folded into dense numpy lookup tables. supplier and
+    the region-filtered customer key→nation maps broadcast once via
+    ``ray.put`` (suppkey/custkey are dense ints, so the lookup is an
+    O(1) gather, not a hash probe); above a ``max_broadcast_keys``-sized
+    customer table, route the customer map through the native join
+    planner instead (same threshold policy as B5 refint — documented,
+    not implemented twice). The orders date cut is PUSHED into the
+    parquet scan; lineitem is pre-aggregated per batch by
+    (l_orderkey, s_nat) before the single native hash join on
+    orderkey, so the join moves one row per (order, supplier-nation)
+    per batch, never a raw lineitem row."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .runtime import join_partitions, join_remote_args
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_reg = reg.filter(pc.equal(reg["r_name"], pa.scalar("ASIA")))[
+        "r_regionkey"
+    ].combine_chunks()
+    nat_asia = nat.filter(
+        pc.is_in(nat["n_regionkey"], value_set=asia_reg)
+    )
+    asia_keys = nat_asia["n_nationkey"].combine_chunks()
+    name_by_key = dict(
+        zip(nat_asia["n_nationkey"].to_pylist(), nat_asia["n_name"].to_pylist())
+    )
+
+    def _dense_map(t: pa.Table, key: str, val: str) -> np.ndarray:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[val].to_numpy(zero_copy_only=False)
+        lut = np.full(int(keys.max()) + 2 if len(keys) else 2, -1, dtype=np.int32)
+        lut[keys] = vals
+        return lut
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=asia_keys))
+    sup_lut_ref = ray.put(_dense_map(sup, "s_suppkey", "s_nationkey"))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=asia_keys))
+    cust_lut_ref = ray.put(_dense_map(cust, "c_custkey", "c_nationkey"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        lut = ray.get(cust_lut_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cnat = np.where(ck < len(lut), lut[np.minimum(ck, len(lut) - 1)], -1)
+        keep = cnat >= 0
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "c_nat": pa.array(cnat[keep], type=pa.int32()),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(_Q5_LO))
+        & (pads.field("o_orderdate") < pa.scalar(_Q5_HI)),
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    _LI_EMPTY = pa.table(
+        {
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "s_nat": pa.array([], type=pa.int32()),
+            "revenue": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LI_EMPTY
+        lut = ray.get(sup_lut_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
+        keep = snat >= 0
+        if not keep.any():
+            return _LI_EMPTY
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pa.array(snat[keep], type=pa.int32()),
+                "revenue": rev,
+            }
+        )
+        agg = small.group_by(["l_orderkey", "s_nat"], use_threads=False).aggregate(
+            [("revenue", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "s_nat", "revenue"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "s_nat": pa.array([], type=pa.int32()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        keep = pc.equal(t["s_nat"], t["c_nat"])
+        t = t.filter(pc.fill_null(keep, False))
+        agg = (
+            t.select(["s_nat", "revenue"])
+            .group_by("s_nat", use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["s_nat", "revenue"])
+
+    out = (
+        joined.map_batches(same_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_nat")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    schema = pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+    if len(t) == 0:
+        return _empty(schema)
+    names = [name_by_key[int(k)] for k in t["s_nat"].to_pylist()]
+    return pa.table(
+        {
+            "n_name": pa.array(names, type=pa.string()),
+            "revenue": pa.array(
+                [round(v, 2) for v in t["revenue"].to_pylist()], type=pa.float64()
+            ),
+        }
+    ).sort_by([("revenue", "descending")])
 
 
 def _mkt_key_array(sf_dir: str, segment: str) -> pa.Array:
@@ -1231,6 +1524,10 @@ QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_window_hourly": q_window_hourly,
     "q_shipping_priority": q_shipping_priority,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_asof": q_asof,
+    "q_top_tokens": q_top_tokens,
+    "q_price_bands": q_price_bands,
     "q_window_sliding": q_window_sliding,
     "q_sessions": q_sessions,
     "q_semi_join": q_semi_join,
@@ -1344,6 +1641,43 @@ ORACLE_SQL = {
         "AND l_shipdate > TIMESTAMP '1998-06-01' "
         "GROUP BY l_orderkey, o_orderdate "
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "q_revenue_by_nation": (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
+    ),
+    "q_asof": (
+        "SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "q_top_tokens": (
+        # whitespace split mirrors Arrow utf8_split_whitespace on the
+        # ASCII corpus; empty tokens dropped on both sides
+        "SELECT token, count(*)::BIGINT AS n FROM ("
+        "SELECT unnest(string_split_regex(coalesce(text,''), "
+        "'[ \t\n\x0b\f\r]+')) AS token FROM documents) "
+        "WHERE token <> '' GROUP BY token "
+        "ORDER BY n DESC, token LIMIT 10"
+    ),
+    "q_price_bands": (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "('p0_1k', 0.0, 1000.0), ('p1k_10k', 1000.0, 10000.0), "
+        "('p10k_50k', 10000.0, 50000.0), ('p50k_plus', 50000.0, 1e18)) "
+        "SELECT band, count(*)::BIGINT AS n, "
+        "round(sum(l_extendedprice), 2) AS total "
+        "FROM lineitem JOIN bands "
+        "ON l_extendedprice >= lo AND l_extendedprice < hi "
+        "GROUP BY band"
     ),
     "q_window_sliding": (
         "WITH w AS (SELECT date_trunc('hour', ts) AS window_start FROM events "
