@@ -1,0 +1,88 @@
+"""grouped_topk (vald/ops/rank.py): partition invariance, null policy,
+tie semantics — the per-batch partial combiner must be invisible in the
+result regardless of how rows are split into blocks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from vald.ops.rank import grouped_topk
+
+
+def _make(n=2000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "k": pa.array(rng.integers(0, 17, n), type=pa.int64()),
+            "v": pa.array(rng.integers(0, 50, n).astype("float64")),
+            "id": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+
+
+def _expected(t: pa.Table, k: int):
+    rows = sorted(
+        zip(
+            t["k"].to_pylist(), t["v"].to_pylist(), t["id"].to_pylist()
+        ),
+        key=lambda r: (r[0], -r[1], r[2]),
+    )
+    out, count, prev = [], 0, None
+    for key, v, i in rows:
+        if key != prev:
+            prev, count = key, 0
+        count += 1
+        if count <= k:
+            out.append((key, v, i, count))
+    return sorted(out)
+
+
+def _run(t: pa.Table, blocks: int, k: int):
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    res = grouped_topk(ds, key="k", order_col="v", tiebreak="id", k=k).to_pandas()
+    return sorted(zip(res["k"], res["v"], res["id"], res["rn"]))
+
+
+@pytest.mark.parametrize("blocks", [1, 4, 16])
+def test_partition_invariance(ray_session, blocks):
+    t = _make()
+    assert _run(t, blocks, 3) == _expected(t, 3)
+
+
+def test_k1_argmax_tie_breaks_to_min_id(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "v": pa.array([5.0, 5.0, 1.0, 9.0]),
+            "id": pa.array([10, 3, 1, 4], type=pa.int64()),
+        }
+    )
+    got = _run(t, 2, 1)
+    assert got == [(1, 5.0, 3, 1), (2, 9.0, 4, 1)]
+
+
+def test_null_key_and_value_rows_dropped(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 1], type=pa.int64()),
+            "v": pa.array([5.0, 9.0, None]),
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    got = _run(t, 1, 2)
+    assert got == [(1, 5.0, 1, 1)]
+
+
+def test_group_smaller_than_k(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 2], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0]),
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    got = _run(t, 1, 5)
+    assert got == [(1, 1.0, 1, 1), (2, 2.0, 2, 2), (2, 3.0, 3, 1)]

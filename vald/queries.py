@@ -1505,6 +1505,236 @@ def q_corpus_violations(sf_dir: str):
     return res.violations_table()
 
 
+# ---------------------------------------------------------------------------
+# B12 grouped top-k / arg-max — partial top-k combiner before the shuffle
+# (vald/ops/rank.py); ROW_NUMBER() window oracles
+# ---------------------------------------------------------------------------
+
+
+def q_top_cust_per_nation(sf_dir: str):
+    """Top-3 customers by account balance per nation, nation name via a
+    driver-side 25-row lookup (fixed-size dim — never shuffled)."""
+    import pyarrow.parquet as pq
+
+    from .ops.rank import grouped_topk
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_by_key = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    top = grouped_topk(
+        cust, key="c_nationkey", order_col="c_acctbal", tiebreak="c_custkey", k=3
+    )
+
+    def add_name(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [name_by_key.get(k) for k in t["c_nationkey"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "n_name": names,
+                "c_custkey": t["c_custkey"],
+                "c_acctbal": t["c_acctbal"],
+                "rn": t["rn"],
+            }
+        )
+
+    out = top.map_batches(add_name, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("n_name", pa.string()),
+                ("c_custkey", pa.int64()),
+                ("c_acctbal", pa.float64()),
+                ("rn", pa.int64()),
+            ]
+        ),
+    )
+
+
+def q_max_by(sf_dir: str):
+    """Arg-max per group: the event (smallest event_id on value ties)
+    achieving the maximum value per event_type — grouped_topk with k=1.
+    Null values are dropped (oracle guards with IS NOT NULL)."""
+    from .ops.rank import grouped_topk
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    top = grouped_topk(
+        ev, key="event_type", order_col="value", tiebreak="event_id", k=1
+    ).select_columns(["event_type", "event_id", "value"])
+    return _ensure_schema(
+        top,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("event_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 big-big join with conditional aggregation (TPC-H Q12 shape adapted
+# to this schema: order priority x return flag). The fact side is
+# pre-aggregated per (l_orderkey, l_returnflag) before the native hash
+# join, so the join moves one row per (order, flag), never a raw line.
+# ---------------------------------------------------------------------------
+
+_Q12_CUT = np.datetime64("1997-01-01T00:00:00", "us")
+
+
+def q_priority_lines(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .runtime import join_barrier, join_partitions, join_remote_args
+
+    _HI = ("1-URGENT", "2-HIGH")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "l_returnflag": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        agg = (
+            pa.table({"l_orderkey": t["l_orderkey"], "l_returnflag": t["l_returnflag"]})
+            .group_by(["l_orderkey", "l_returnflag"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["l_orderkey", "l_returnflag", "n"])
+
+    li = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_shipdate"],
+            filter=pads.field("l_shipdate") >= pa.scalar(_Q12_CUT),
+        )
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_returnflag"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t["o_orderpriority"], value_set=pa.array(_HI, type=pa.string())
+        )
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "is_high": pc.fill_null(hi, False)}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # join_barrier: li's upstream is an all-to-all groupby (Ray 2.49
+    # groupby->join livelock, BENCH/BASELINE.md note 12)
+    joined = join_barrier(li).join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], type=pa.string()),
+                    "high_lines": pa.array([], type=pa.int64()),
+                    "low_lines": pa.array([], type=pa.int64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False)
+        hi = t["is_high"].to_numpy(zero_copy_only=False)
+        small = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high_lines": pa.array(np.where(hi, n, 0), type=pa.int64()),
+                "low_lines": pa.array(np.where(hi, 0, n), type=pa.int64()),
+            }
+        )
+        agg = small.group_by("l_returnflag", use_threads=False).aggregate(
+            [("high_lines", "sum"), ("low_lines", "sum")]
+        )
+        return agg.rename_columns(["l_returnflag", "high_lines", "low_lines"])
+
+    out = (
+        joined.map_batches(split_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_lines", alias_name="high_lines"),
+            Sum("low_lines", alias_name="low_lines"),
+        )
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("high_lines", pa.int64()),
+                ("low_lines", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 exact distinct-count per group: per-batch local distinct, one
+# exchange on the (day, user) pair, shuffle-free per-day count partials
+# ---------------------------------------------------------------------------
+
+
+def q_daily_distinct(sf_dir: str):
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], type=pa.string()),
+                    "user_id": pa.array([], type=pa.int64()),
+                }
+            )
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return (
+            pa.table({"day": day, "user_id": t["user_id"]})
+            .group_by(["day", "user_id"], use_threads=False)
+            .aggregate([])
+        )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"day": t["day"]})
+            .group_by("day", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["day", "n_users"])
+
+    out = (
+        ev.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return _ensure_schema(
+        out, pa.schema([("day", pa.string()), ("n_users", pa.int64())])
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -1543,6 +1773,10 @@ QUERIES = {
     "q_struct_path": q_struct_path,
     "q_not": q_not,
     "q_one_of": q_one_of,
+    "q_top_cust_per_nation": q_top_cust_per_nation,
+    "q_max_by": q_max_by,
+    "q_priority_lines": q_priority_lines,
+    "q_daily_distinct": q_daily_distinct,
     "q_near_dup_groups": q_near_dup_groups,
     "q_embedding_dups": q_embedding_dups,
     "q_curate": q_curate,
@@ -1783,6 +2017,38 @@ ORACLE_SQL = {
         "WHEN json_type(props,'$.k') = 'DOUBLE' "
         "THEN json_extract(props,'$.k')::DOUBLE BETWEEN 50 AND 80 "
         "ELSE TRUE END)"
+    ),
+    "q_top_cust_per_nation": (
+        "SELECT n_name, c_custkey, c_acctbal, rn FROM ("
+        "SELECT c_nationkey, c_custkey, c_acctbal, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey) AS rn "
+        "FROM customer WHERE c_nationkey IS NOT NULL "
+        "AND c_acctbal IS NOT NULL) t "
+        "JOIN nation ON n_nationkey = c_nationkey WHERE rn <= 3"
+    ),
+    "q_max_by": (
+        "SELECT event_type, event_id, value FROM ("
+        "SELECT event_type, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS rn "
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL"
+        ") t WHERE rn = 1"
+    ),
+    "q_priority_lines": (
+        "SELECT l_returnflag, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END)::BIGINT AS high_lines, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END)::BIGINT AS low_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "GROUP BY l_returnflag"
+    ),
+    "q_daily_distinct": (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
