@@ -1690,6 +1690,118 @@ def q_priority_lines(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# B6 grouped exact quantile, binned histogram, and distributed
+# correlation (Chan et al. parallel moment merge) — three more
+# aggregate shapes with SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def q_price_median_by_priority(sf_dir: str):
+    """Exact per-group median via Ray's sort-based Quantile aggregate.
+    Exact mode is the oracle twin; the t-digest sketch (vald/sketches.py)
+    is the 100-TB path — same policy as q_quantiles_exact vs
+    q_profile_sketch."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = ds.groupby("o_orderpriority").aggregate(
+        Quantile("o_totalprice", q=0.5, alias_name="median_price")
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("median_price"),
+            "median_price",
+            pc.round(t["median_price"], ndigits=6),
+        )
+
+    out = out.map_batches(_round, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema([("o_orderpriority", pa.string()), ("median_price", pa.float64())]),
+    )
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width binned histogram: per-batch vectorized floor-divide +
+    local count partial, then one tiny groupby over the bin ids."""
+    ev = _read(sf_dir, "events", ["value"])
+    _W = 5.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].drop_null().to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "bin": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        bins = np.floor(v / _W).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(out, pa.schema([("bin", pa.int64()), ("n", pa.int64())]))
+
+
+def q_corr(sf_dir: str):
+    """Distributed Pearson correlation: per-batch centered moment
+    partials (n, mean_x, mean_y, M2x, M2y, Cxy) merged pairwise with
+    Chan et al.'s update formulas (TR STAN-CS-79-773, public) — one
+    partial row per batch, numerically stable at any scale, no shuffle
+    (the merge list is O(n_batches))."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.is_valid(t["l_quantity"]), pc.is_valid(t["l_extendedprice"]))
+        t = t.filter(both)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        n = len(x)
+        if n == 0:
+            return pa.table({c: pa.array([], type=pa.float64()) for c in
+                             ["n", "mx", "my", "m2x", "m2y", "cxy"]})
+        mx, my = x.mean(), y.mean()
+        return pa.table(
+            {
+                "n": pa.array([float(n)], type=pa.float64()),
+                "mx": pa.array([mx], type=pa.float64()),
+                "my": pa.array([my], type=pa.float64()),
+                "m2x": pa.array([float(((x - mx) ** 2).sum())], type=pa.float64()),
+                "m2y": pa.array([float(((y - my) ** 2).sum())], type=pa.float64()),
+                "cxy": pa.array([float(((x - mx) * (y - my)).sum())], type=pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = mx = my = m2x = m2y = cxy = 0.0
+    for r in parts.itertuples(index=False):
+        if r.n == 0:
+            continue
+        nn = n + r.n
+        dx, dy = r.mx - mx, r.my - my
+        m2x += r.m2x + dx * dx * n * r.n / nn
+        m2y += r.m2y + dy * dy * n * r.n / nn
+        cxy += r.cxy + dx * dy * n * r.n / nn
+        mx += dx * r.n / nn
+        my += dy * r.n / nn
+        n = nn
+    corr = cxy / np.sqrt(m2x * m2y) if n > 1 and m2x > 0 and m2y > 0 else None
+    return pa.table(
+        {"corr_qty_price": pa.array([round(corr, 6) if corr is not None else None],
+                                    type=pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
 # B11 exact distinct-count per group: per-batch local distinct, one
 # exchange on the (day, user) pair, shuffle-free per-day count partials
 # ---------------------------------------------------------------------------
@@ -1777,6 +1889,9 @@ QUERIES = {
     "q_max_by": q_max_by,
     "q_priority_lines": q_priority_lines,
     "q_daily_distinct": q_daily_distinct,
+    "q_price_median_by_priority": q_price_median_by_priority,
+    "q_value_histogram": q_value_histogram,
+    "q_corr": q_corr,
     "q_near_dup_groups": q_near_dup_groups,
     "q_embedding_dups": q_embedding_dups,
     "q_curate": q_curate,
@@ -2049,6 +2164,19 @@ ORACLE_SQL = {
         "SELECT strftime(ts, '%Y-%m-%d') AS day, "
         "COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events "
         "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1"
+    ),
+    "q_price_median_by_priority": (
+        "SELECT o_orderpriority, "
+        "round(quantile_cont(o_totalprice, 0.5), 6) AS median_price "
+        "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1"
+    ),
+    "q_value_histogram": (
+        "SELECT FLOOR(value / 5.0)::BIGINT AS bin, COUNT(*)::BIGINT AS n "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1"
+    ),
+    "q_corr": (
+        "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
+        "FROM lineitem"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
