@@ -1387,6 +1387,22 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_fingerprints(sf_dir: str):
+    """Winnowing-style min-k document fingerprints (ops/text.Fingerprint)
+    — rows-only: the rolling Rabin-Karp hash is not SQL-expressible;
+    determinism + equal-text => equal-fingerprint are pinned in
+    tests/test_ops.py."""
+    from .ops.text import fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = fingerprints(ds, concurrency=(1, 2)).select_columns(
+        ["doc_id", "fingerprint"]
+    )
+    return _ensure_schema(
+        out, pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())])
+    )
+
+
 def q_text_stats(sf_dir: str):
     """Vectorized per-document character/token statistics straight from
     the Arrow string buffers (ops.text.text_stats) — oracle-checked."""
@@ -1899,6 +1915,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_langid": q_langid,
     "q_quality_scores": q_quality_scores,
+    "q_fingerprints": q_fingerprints,
     "q_profile_sketch": q_profile_sketch,
     "q_drift_corpus": q_drift_corpus,
     "q_media_decode": q_media_decode,
