@@ -1818,6 +1818,22 @@ def q_corr(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# B13 deterministic hash sampling — the one sampling mode a SQL oracle
+# can reproduce bit-for-bit (vald/ops/sample.py)
+# ---------------------------------------------------------------------------
+
+
+def q_sample(sf_dir: str):
+    from .ops.sample import hash_sample
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = hash_sample(ev, key="event_id", frac=0.1)
+    return _ensure_schema(
+        out, pa.schema([("event_id", pa.int64()), ("event_type", pa.string())])
+    )
+
+
+# ---------------------------------------------------------------------------
 # B11 exact distinct-count per group: per-batch local distinct, one
 # exchange on the (day, user) pair, shuffle-free per-day count partials
 # ---------------------------------------------------------------------------
@@ -1908,6 +1924,7 @@ QUERIES = {
     "q_price_median_by_priority": q_price_median_by_priority,
     "q_value_histogram": q_value_histogram,
     "q_corr": q_corr,
+    "q_sample": q_sample,
     "q_near_dup_groups": q_near_dup_groups,
     "q_embedding_dups": q_embedding_dups,
     "q_curate": q_curate,
@@ -2194,6 +2211,10 @@ ORACLE_SQL = {
     "q_corr": (
         "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
         "FROM lineitem"
+    ),
+    "q_sample": (
+        "SELECT event_id, event_type FROM events WHERE event_id IS NOT NULL "
+        "AND (event_id * 2654435761) % 4294967296 < 429496729"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
