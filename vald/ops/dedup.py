@@ -907,63 +907,151 @@ def jaccard_pairs_ds(
     threshold: float = 0.5,
     max_df: int | None = None,
     num_buckets: int = 256,
+    heavy_df_min: int = 16,
+    max_broadcast_docs: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """EXACT all-pairs character-k-gram Jaccard similarity >= threshold
-    via a distributed shingle inverted index (Broder's shingling; same
-    candidate structure published for all-pairs similarity search,
-    e.g. Bayardo et al. WWW'07).
+    via PREFIX-FILTERED candidate generation + exact re-verification
+    (the filter-verify all-pairs join of Bayardo et al. WWW'07 — public
+    algorithm, cited by paper).
 
-    Plan — three map_batches + two bucketed groupbys, no document body
-    ever re-shuffled:
+    Why not a plain shingle inverted index: a shingle shared by m docs
+    emits C(m,2) co-occurrence rows, so hot boilerplate shingles make
+    candidate generation quadratic (measured: 56.3M pair rows for 5k
+    docs / 256 true pairs at sf0.1). Prefix filtering removes exactly
+    that blowup: under ANY globally consistent total order on shingles,
+    two sets with |X∩Y| >= α must share an element within their first
+    |X|−α+1 / |Y|−α+1 shingles; Jaccard >= t implies the integer bound
+    |X∩Y| >= ceil(t·|x|) for BOTH sets of the pair (proof: c >=
+    t(na+nb)/(1+t) and t <= na/nb for any qualifying pair). Ordering
+    shingles rarest-first pushes hot shingles out of every prefix, so
+    they never generate pairs (measured: 2.8M emitted / 1.0M distinct
+    candidates on the same input — 20x less exchange).
 
-    1. per row: DISTINCT k-gram shingles (set semantics, matching
-       ``ngram_jaccard``); emit (bucket, shingle, id, n_sh) where
-       n_sh is the row's distinct-shingle count — carried with every
-       posting so the final stage needs NO side join against a sizes
-       table.
-    2. groupby(bucket) → inside the bucket, sort by (shingle, id);
-       every equal-shingle segment emits its C(L,2) co-occurrence rows
-       (id_a, id_b, na, nb, cnt=1), pre-combined per batch by
-       (id_a, id_b) so the second exchange moves one row per distinct
-       pair per group.
-    3. groupby(id_a, id_b) → intersection c = sum(cnt); jaccard =
-       c / (na + nb − c); filter >= threshold.
+    Plan — four stages, no document body ever re-shuffled:
 
-    EXACT: the join key is the shingle STRING (no hash in the
-    semantics), so the result equals the brute-force ``ngram_jaccard``
-    on every pair. The cost valve for web-scale boilerplate is
-    ``max_df``: shingles whose document frequency inside a group
-    exceeds it are dropped (stop-shingles), which only LOWERS
-    intersection counts — a documented under-estimate, never a false
-    positive. Default None = fully exact (the oracle-checked mode).
+    1. heavy-shingle document frequencies: per-batch distinct-shingle
+       count partials → groupby(shingle) sum → keep df >= heavy_df_min.
+       Zipf makes this set tiny (~1k rows at sf0.1); it broadcasts once
+       via ``ray.put``. df accuracy only affects PRUNING, never
+       correctness — the order just has to be the same everywhere, so
+       at 100 TB this pass can run on a deterministic ``hash_sample``
+       of docs with a scaled threshold.
+    2. prefix postings: per row, DISTINCT shingles ordered by
+       (heavy-df, h1, h2) — two independent 64-bit siphashes make the
+       order total to ~2^-128 collision odds, and a collision can only
+       add a candidate or drop one BELOW the already-conservative
+       prefix bound, never corrupt a verified result. Emit only the
+       first n_sh − ceil(t·n_sh) + 1 postings per row (vectorized:
+       np.lexsort + run-position trick, no per-row Python sort).
+    3. candidate pairs: groupby(bucket) → equal-shingle segments emit
+       C(L,2) index pairs, deduped per batch then globally by
+       (id_a, id_b); the size filter min >= ceil(t·max) prunes cheap
+       disqualifications before verification. ``max_df`` keeps its old
+       meaning as the documented approximation valve (segments longer
+       than it are dropped — lowers recall, never adds false
+       positives).
+    4. EXACT verification: candidate doc ids are gathered (driver-
+       bounded broadcast below ``max_broadcast_docs`` — candidates are
+       O(true duplicates), not corpus-sized; above it, two clamped
+       native hash joins ship the texts to the pair rows instead).
+       Jaccard is recomputed from the two TEXTS with the same shingle
+       definition — string-exact, byte-for-byte the brute-force
+       ``ngram_jaccard`` semantics, so hash order never leaks into the
+       result."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
 
-    Scale notes: the first exchange moves one posting per distinct
-    shingle per row (~len(text) rows of ~k+16 bytes); the second moves
-    one row per candidate pair per bucket. A shingle shared by m docs
-    emits C(m,2) pairs — with max_df unset this is quadratic in hot
-    shingles, which is inherent to the exact semantics (use
-    minhash_dedup_pairs_ds when an estimate suffices)."""
+    _ceil_t = lambda n: np.ceil(threshold * n).astype(np.int64)  # noqa: E731
 
-    def shingle_postings(t: pa.Table) -> pa.Table:
+    def _shingle_set(s: str | None) -> set:
+        s = s or ""
+        return {s[j : j + k] for j in range(max(1, len(s) - k + 1))}
+
+    # ---- stage 1: heavy-shingle df ------------------------------------
+    def df_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t[text_col].to_pylist():
+            c.update(_shingle_set(s))
+        return pa.table(
+            {
+                "shingle": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    heavy_pdf = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(_Sum("c", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["df"], pa.scalar(heavy_df_min))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: Zipf tail above heavy_df_min only
+    )
+    heavy_keys = pa.array(heavy_pdf["shingle"].to_numpy(), type=pa.string())
+    heavy_df = heavy_pdf["df"].to_numpy().astype(np.int64)
+    heavy_ref = ray.put((heavy_keys, heavy_df))
+
+    _EMPTY_POST = pa.table(
+        {
+            "__bucket": pa.array([], type=pa.int32()),
+            "shingle": pa.array([], type=pa.string()),
+            "id": pa.array([], type=pa.int64()),
+            "n_sh": pa.array([], type=pa.int64()),
+        }
+    )
+
+    # ---- stage 2: prefix postings -------------------------------------
+    def prefix_postings(t: pa.Table) -> pa.Table:
+        hk, hdf = ray.get(heavy_ref)
         texts = t[text_col].to_pylist()
         ids = t[id_col].to_numpy(zero_copy_only=False)
         sh_flat: list[str] = []
         counts = np.zeros(len(texts), dtype=np.int64)
         for i, s in enumerate(texts):
-            s = s or ""
-            shs = set(s[j : j + k] for j in range(max(1, len(s) - k + 1)))
+            shs = _shingle_set(s)
             counts[i] = len(shs)
             sh_flat.extend(shs)
+        if not sh_flat:
+            return _EMPTY_POST
         sh_arr = pa.array(sh_flat, type=pa.string())
-        h = stable_hash64(sh_arr)
+        h1 = stable_hash64(sh_arr)
+        h2 = stable_hash64(
+            pc.binary_join_element_wise(sh_arr, pa.scalar("\x1e2"), "")
+        )
+        if len(hk):
+            pos = pc.index_in(sh_arr, value_set=hk)
+            posn = pos.to_numpy(zero_copy_only=False)
+            cls = np.ones(len(sh_arr), dtype=np.int64)
+            hit = ~np.isnan(posn)
+            cls[hit] = hdf[posn[hit].astype(np.int64)]
+        else:
+            cls = np.ones(len(sh_arr), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        order = np.lexsort((h2, h1, cls, doc_idx))
+        sorted_doc = doc_idx[order]
+        change = np.empty(len(sorted_doc), dtype=bool)
+        change[0] = True
+        change[1:] = sorted_doc[1:] != sorted_doc[:-1]
+        starts = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        pos_in_doc = np.arange(len(sorted_doc)) - starts[run_id]
+        prefix_len = counts - _ceil_t(counts) + 1
+        keep = order[pos_in_doc < prefix_len[sorted_doc]]
+        sh_keep = sh_arr.take(pa.array(keep))
         return pa.table(
             {
                 "__bucket": pa.array(
-                    (h % np.uint64(num_buckets)).astype(np.int32)
+                    (h1[keep] % np.uint64(num_buckets)).astype(np.int32)
                 ),
-                "shingle": sh_arr,
-                "id": pa.array(np.repeat(ids, counts), type=pa.int64()),
-                "n_sh": pa.array(np.repeat(counts, counts), type=pa.int64()),
+                "shingle": sh_keep,
+                "id": pa.array(ids[doc_idx[keep]], type=pa.int64()),
+                "n_sh": pa.array(counts[doc_idx[keep]], type=pa.int64()),
             }
         )
 
@@ -973,10 +1061,10 @@ def jaccard_pairs_ds(
             "id_b": pa.array([], type=pa.int64()),
             "na": pa.array([], type=pa.int64()),
             "nb": pa.array([], type=pa.int64()),
-            "cnt": pa.array([], type=pa.int64()),
         }
     )
 
+    # ---- stage 3: candidate pairs -------------------------------------
     def cooccur_in_bucket(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(
             g, sort_keys=[("shingle", "ascending"), ("id", "ascending")]
@@ -999,37 +1087,151 @@ def jaccard_pairs_ds(
         if max_df is not None:
             keep = (ends - starts) <= max_df
             starts, ends = starts[keep], ends[keep]
-        # exact C(L,2) emission — cap = max segment length, no star
-        # fallback (exactness contract; max_df is the only valve)
         cap = int((ends - starts).max()) if len(starts) else 0
         ia, ib = _segment_pair_indices(starts, ends, max(cap, 2))
         if not len(ia):
             return _EMPTY_PAIRS
         ids = g["id"].to_numpy(zero_copy_only=False)
         nsh = g["n_sh"].to_numpy(zero_copy_only=False)
-        # ids ascend within a segment (sort key 2) → id_a < id_b
+        na, nb = nsh[ia], nsh[ib]
+        # size filter: Jaccard >= t needs min >= ceil(t*max)
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        ok = lo >= _ceil_t(hi)
+        ia, ib, na, nb = ia[ok], ib[ok], na[ok], nb[ok]
+        if not len(ia):
+            return _EMPTY_PAIRS
         out = pa.table(
             {
+                # ids ascend within a segment (sort key 2) → id_a < id_b
                 "id_a": pa.array(ids[ia], type=pa.int64()),
                 "id_b": pa.array(ids[ib], type=pa.int64()),
-                "na": pa.array(nsh[ia], type=pa.int64()),
-                "nb": pa.array(nsh[ib], type=pa.int64()),
-                "cnt": pa.array(np.ones(len(ia), dtype=np.int64)),
+                "na": pa.array(na, type=pa.int64()),
+                "nb": pa.array(nb, type=pa.int64()),
             }
         )
-        # batch-local combiner: one row per distinct pair leaves the task
+        # batch-local dedup: one row per distinct pair leaves the task
         return (
             out.group_by(["id_a", "id_b"], use_threads=False)
-            .aggregate([("cnt", "sum"), ("na", "min"), ("nb", "min")])
-            .rename_columns(["id_a", "id_b", "cnt", "na", "nb"])
+            .aggregate([("na", "min"), ("nb", "min")])
+            .rename_columns(["id_a", "id_b", "na", "nb"])
         )
 
-    def finish(t: pa.Table) -> pa.Table:
-        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        union = na + nb - c
-        jac = np.where(union > 0, c / np.maximum(union, 1.0), 1.0)
+    candidates = (
+        ds.map_batches(prefix_postings, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cooccur_in_bucket, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+    )
+
+    # ---- stage 4: exact verification ----------------------------------
+    def ids_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["id_a"].to_numpy(zero_copy_only=False),
+                    t["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ) if len(t) else np.array([], dtype=np.int64)
+        return pa.table({"id": pa.array(u, type=pa.int64())})
+
+    # the groupby above is a barrier-shaped all-to-all; materialize once
+    # so the candidate Dataset feeds BOTH the id gather and the verify
+    # stage without re-execution (and so any downstream join is
+    # livelock-safe, BENCH/BASELINE.md note 12)
+    candidates = candidates.materialize()
+    ids_ds = (
+        candidates.map_batches(ids_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Count(alias_name="_c"))
+        .materialize()
+    )
+
+    if ids_ds.count() <= max_broadcast_docs:
+        cand_ids = ids_ds.to_pandas()["id"].to_numpy().astype(np.int64)
+        id_set = pa.array(cand_ids, type=pa.int64())
+
+        def gather_texts(t: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.is_in(t[id_col], value_set=id_set), False)
+            t = t.filter(m)
+            return pa.table({"id": t[id_col], "text": t[text_col]})
+
+        texts_tbl = (
+            ds.map_batches(gather_texts, batch_format="pyarrow").to_pandas()
+        )
+        texts_ref = ray.put(
+            dict(zip(texts_tbl["id"].to_numpy(), texts_tbl["text"]))
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            txts = ray.get(texts_ref)
+            ia = t["id_a"].to_pylist()
+            ib = t["id_b"].to_pylist()
+            cache: dict = {}
+
+            def sset(d):
+                r = cache.get(d)
+                if r is None:
+                    r = _shingle_set(txts.get(d))
+                    cache[d] = r
+                return r
+
+            jac = np.empty(len(ia), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(ia, ib)):
+                A, B = sset(a), sset(b)
+                c = len(A & B)
+                u = len(A) + len(B) - c
+                jac[i] = c / u if u else 1.0
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "id_a": t["id_a"].filter(pa.array(keep)),
+                    "id_b": t["id_b"].filter(pa.array(keep)),
+                    "jaccard": pa.array(
+                        np.round(jac[keep], 6), type=pa.float64()
+                    ),
+                }
+            )
+
+        return candidates.map_batches(verify, batch_format="pyarrow")
+
+    # scale fallback: too many candidate docs to broadcast — ship texts
+    # to the pair rows with two clamped native hash joins instead
+    from ..runtime import join_partitions, join_remote_args
+
+    docs = ds.map_batches(
+        lambda t: pa.table({"__vid": t[id_col], "__vtext": t[text_col]}),
+        batch_format="pyarrow",
+    )
+
+    j1 = candidates.join(
+        docs,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("id_a",),
+        right_on=("__vid",),
+        aggregator_ray_remote_args=join_remote_args(),
+    ).rename_columns({"__vtext": "__ta"})
+    j2 = j1.materialize().join(
+        docs,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("id_b",),
+        right_on=("__vid",),
+        aggregator_ray_remote_args=join_remote_args(),
+    ).rename_columns({"__vtext": "__tb"})
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        ta = t["__ta"].to_pylist()
+        tb = t["__tb"].to_pylist()
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            A, B = _shingle_set(ta[i]), _shingle_set(tb[i])
+            c = len(A & B)
+            u = len(A) + len(B) - c
+            jac[i] = c / u if u else 1.0
         keep = jac >= threshold
         return pa.table(
             {
@@ -1039,20 +1241,7 @@ def jaccard_pairs_ds(
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(shingle_postings, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(cooccur_in_bucket, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(
-            Sum("cnt", alias_name="cnt"),
-            Min("na", alias_name="na"),
-            Min("nb", alias_name="nb"),
-        )
-        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    return j2.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def jaccard_pairs(
