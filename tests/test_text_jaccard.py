@@ -100,6 +100,26 @@ def test_jaccard_pairs_bucket_invariance(ray_session):
     assert pa_a.equals(pa_b)
 
 
+def test_jaccard_join_fallback_path(ray_session):
+    """max_broadcast_docs=0 forces the native-join verification path;
+    result must be identical to the broadcast path."""
+    t = _dup_corpus()
+    a = DD.jaccard_pairs_ds(
+        ray.data.from_arrow(t), "text", "doc_id", k=8, threshold=0.4
+    )
+    b = DD.jaccard_pairs_ds(
+        ray.data.from_arrow(t),
+        "text",
+        "doc_id",
+        k=8,
+        threshold=0.4,
+        max_broadcast_docs=0,
+    )
+    pa_a = DD._pairs_table(a, "jaccard", pa.float64())
+    pa_b = DD._pairs_table(b, "jaccard", pa.float64())
+    assert pa_a.equals(pa_b)
+
+
 def test_jaccard_max_df_underestimates(ray_session):
     """max_df drops hot shingles: pairs must be a SUBSET of the exact
     result with never-higher jaccard (documented under-estimate)."""
