@@ -945,12 +945,15 @@ def jaccard_pairs_ds(
        first n_sh − ceil(t·n_sh) + 1 postings per row (vectorized:
        np.lexsort + run-position trick, no per-row Python sort).
     3. candidate pairs: groupby(bucket) → equal-shingle segments emit
-       C(L,2) index pairs, deduped per batch then globally by
-       (id_a, id_b); the size filter min >= ceil(t·max) prunes cheap
-       disqualifications before verification. ``max_df`` keeps its old
-       meaning as the documented approximation valve (segments longer
-       than it are dropped — lowers recall, never adds false
-       positives).
+       C(L,2) index pairs, pruned by the pair bound
+       c >= ceil(t(na+nb)/(1+t)) combined with PPJoin's positional
+       filter (Xiao et al. WWW'08: shared elements all rank at or
+       after the generating one, so c <= min(na−pos_a, nb−pos_b) —
+       lossless, since a true pair's earliest shared prefix element
+       always passes), then deduped per batch and globally by
+       (id_a, id_b). ``max_df`` keeps its old meaning as the
+       documented approximation valve (segments longer than it are
+       dropped — lowers recall, never adds false positives).
     4. EXACT verification: candidate doc ids are gathered (driver-
        bounded broadcast below ``max_broadcast_docs`` — candidates are
        O(true duplicates), not corpus-sized; above it, two clamped
@@ -1003,6 +1006,7 @@ def jaccard_pairs_ds(
             "shingle": pa.array([], type=pa.string()),
             "id": pa.array([], type=pa.int64()),
             "n_sh": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
         }
     )
 
@@ -1042,7 +1046,8 @@ def jaccard_pairs_ds(
         run_id = np.cumsum(change) - 1
         pos_in_doc = np.arange(len(sorted_doc)) - starts[run_id]
         prefix_len = counts - _ceil_t(counts) + 1
-        keep = order[pos_in_doc < prefix_len[sorted_doc]]
+        m = pos_in_doc < prefix_len[sorted_doc]
+        keep = order[m]
         sh_keep = sh_arr.take(pa.array(keep))
         return pa.table(
             {
@@ -1052,6 +1057,9 @@ def jaccard_pairs_ds(
                 "shingle": sh_keep,
                 "id": pa.array(ids[doc_idx[keep]], type=pa.int64()),
                 "n_sh": pa.array(counts[doc_idx[keep]], type=pa.int64()),
+                # rank of the shingle in the doc's full rarity order —
+                # feeds the PPJoin positional bound in cooccur
+                "pos": pa.array(pos_in_doc[m], type=pa.int64()),
             }
         )
 
@@ -1093,11 +1101,18 @@ def jaccard_pairs_ds(
             return _EMPTY_PAIRS
         ids = g["id"].to_numpy(zero_copy_only=False)
         nsh = g["n_sh"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
         na, nb = nsh[ia], nsh[ib]
-        # size filter: Jaccard >= t needs min >= ceil(t*max)
-        lo = np.minimum(na, nb)
-        hi = np.maximum(na, nb)
-        ok = lo >= _ceil_t(hi)
+        # pair bound: Jaccard >= t needs c >= ceil(t(na+nb)/(1+t))
+        c_min = np.ceil(threshold * (na + nb) / (1.0 + threshold)).astype(
+            np.int64
+        )
+        # size filter (min >= ceil(t*max)) is implied by the pair bound;
+        # PPJoin positional filter: shared elements all rank >= this
+        # one, so c <= min(na - pos_a, nb - pos_b). Lossless: for a
+        # true pair, its EARLIEST shared prefix element satisfies the
+        # bound, and dedup keeps the pair if any emission survives.
+        ok = np.minimum(na - pos[ia], nb - pos[ib]) >= c_min
         ia, ib, na, nb = ia[ok], ib[ok], na[ok], nb[ok]
         if not len(ia):
             return _EMPTY_PAIRS
