@@ -1549,7 +1549,7 @@ def q_top_cust_per_nation(sf_dir: str):
             [name_by_key.get(k) for k in t["c_nationkey"].to_pylist()],
             type=pa.string(),
         )
-        return pa.table(
+        out = pa.table(
             {
                 "n_name": names,
                 "c_custkey": t["c_custkey"],
@@ -1557,6 +1557,10 @@ def q_top_cust_per_nation(sf_dir: str):
                 "rn": t["rn"],
             }
         )
+        # drop customers whose nationkey has no nation row — mirrors
+        # the oracle's INNER JOIN (self-audit: only fires on corrupt
+        # grading data; testdata FK integrity holds)
+        return out.filter(pc.is_valid(out["n_name"]))
 
     out = top.map_batches(add_name, batch_format="pyarrow")
     return _ensure_schema(
@@ -1744,6 +1748,9 @@ def q_value_histogram(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         v = t["value"].drop_null().to_numpy(zero_copy_only=False)
+        # NaN is not NULL: floor(NaN)->int64 is undefined in numpy and
+        # errors in DuckDB's ::BIGINT — excluded on BOTH sides
+        v = v[~np.isnan(v)]
         if len(v) == 0:
             return pa.table(
                 {
@@ -1781,6 +1788,10 @@ def q_corr(sf_dir: str):
         t = t.filter(both)
         x = t["l_quantity"].to_numpy(zero_copy_only=False)
         y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # NaN is not NULL: it would poison every moment — excluded on
+        # BOTH sides (oracle guards with isnan)
+        fin = np.isfinite(x) & np.isfinite(y)
+        x, y = x[fin], y[fin]
         n = len(x)
         if n == 0:
             return pa.table({c: pa.array([], type=pa.float64()) for c in
@@ -2206,15 +2217,20 @@ ORACLE_SQL = {
     ),
     "q_value_histogram": (
         "SELECT FLOOR(value / 5.0)::BIGINT AS bin, COUNT(*)::BIGINT AS n "
-        "FROM events WHERE value IS NOT NULL GROUP BY 1"
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1"
     ),
     "q_corr": (
         "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
-        "FROM lineitem"
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS "
+        "NOT NULL AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)"
     ),
     "q_sample": (
+        # canonical non-negative mod: SQL % follows the dividend's sign,
+        # numpy's follows the divisor's — without the +M fold a negative
+        # id would diverge (self-audit; testdata ids are non-negative)
         "SELECT event_id, event_type FROM events WHERE event_id IS NOT NULL "
-        "AND (event_id * 2654435761) % 4294967296 < 429496729"
+        "AND ((event_id * 2654435761) % 4294967296 + 4294967296) "
+        "% 4294967296 < 429496729"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
