@@ -86,3 +86,31 @@ def test_group_smaller_than_k(ray_session):
     )
     got = _run(t, 1, 5)
     assert got == [(1, 1.0, 1, 1), (2, 2.0, 2, 2), (2, 3.0, 3, 1)]
+
+
+def test_empty_inputs_new_ops(ray_session):
+    """0-row inputs flow through grouped_topk, hash_sample, and the
+    prefix-filtered jaccard without error."""
+    import ray.data
+    from vald.ops.dedup import jaccard_pairs_ds
+    from vald.ops.sample import hash_sample
+
+    empty_kv = pa.table(
+        {
+            "k": pa.array([], type=pa.int64()),
+            "v": pa.array([], type=pa.float64()),
+            "id": pa.array([], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(empty_kv)
+    assert grouped_topk(ds, "k", "v", "id", 3).count() == 0
+    assert hash_sample(ds, "id", 0.5).count() == 0
+
+    empty_docs = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    dd = ray.data.from_arrow(empty_docs)
+    assert jaccard_pairs_ds(dd, "text", "doc_id").count() == 0

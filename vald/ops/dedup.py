@@ -996,8 +996,14 @@ def jaccard_pairs_ds(
         )
         .to_pandas()  # bounded: Zipf tail above heavy_df_min only
     )
-    heavy_keys = pa.array(heavy_pdf["shingle"].to_numpy(), type=pa.string())
-    heavy_df = heavy_pdf["df"].to_numpy().astype(np.int64)
+    if "shingle" in heavy_pdf.columns and len(heavy_pdf):
+        heavy_keys = pa.array(
+            heavy_pdf["shingle"].to_numpy(), type=pa.string()
+        )
+        heavy_df = heavy_pdf["df"].to_numpy().astype(np.int64)
+    else:  # fully-empty input corpus: groupby yields a schemaless frame
+        heavy_keys = pa.array([], type=pa.string())
+        heavy_df = np.array([], dtype=np.int64)
     heavy_ref = ray.put((heavy_keys, heavy_df))
 
     _EMPTY_POST = pa.table(
@@ -1165,7 +1171,12 @@ def jaccard_pairs_ds(
     )
 
     if ids_ds.count() <= max_broadcast_docs:
-        cand_ids = ids_ds.to_pandas()["id"].to_numpy().astype(np.int64)
+        ids_pdf = ids_ds.to_pandas()
+        cand_ids = (
+            ids_pdf["id"].to_numpy().astype(np.int64)
+            if "id" in ids_pdf.columns and len(ids_pdf)
+            else np.array([], dtype=np.int64)  # no candidates at all
+        )
         id_set = pa.array(cand_ids, type=pa.int64())
 
         def gather_texts(t: pa.Table) -> pa.Table:
@@ -1176,9 +1187,12 @@ def jaccard_pairs_ds(
         texts_tbl = (
             ds.map_batches(gather_texts, batch_format="pyarrow").to_pandas()
         )
-        texts_ref = ray.put(
+        texts_map = (
             dict(zip(texts_tbl["id"].to_numpy(), texts_tbl["text"]))
+            if "id" in texts_tbl.columns and len(texts_tbl)
+            else {}
         )
+        texts_ref = ray.put(texts_map)
 
         def verify(t: pa.Table) -> pa.Table:
             txts = ray.get(texts_ref)
