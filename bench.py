@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q_asof",
     "q_jaccard_pairs",
     "q_top_tokens",
+    "q_top_cust_per_nation",
+    "q_priority_lines",
+    "q_daily_distinct",
+    "q_corr",
 ]
 
 
@@ -380,6 +384,81 @@ def _two_level_scaling(flag: str, metric: str, extra_env: dict | None = None) ->
     }
 
 
+JACCARD_ROWS = int(os.environ.get("VALD_JACCARD_ROWS", "100000"))
+JACCARD_DIR = os.environ.get(
+    "VALD_JACCARD_CORPUS", f"/tmp/vald_bench/hidocs_{JACCARD_ROWS}"
+)
+
+
+def _ensure_hidocs() -> None:
+    """High-entropy dup corpus (random-letter vocab): exact all-pairs
+    Jaccard's designed regime — shingle df ~ cluster size, so prefix
+    filtering bounds candidates. The tokNNNN dupdocs corpus is the
+    opposite regime (BENCH/BASELINE.md note 15) and is deliberately NOT
+    used here."""
+    marker = os.path.join(JACCARD_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    from vald.corpus import write_dup_docs
+
+    write_dup_docs(JACCARD_DIR, JACCARD_ROWS, seed=42, hi_entropy=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_jaccard() -> dict:
+    """Exact all-pairs n-gram Jaccard (prefix-filtered filter-verify,
+    vald/ops/dedup.jaccard_pairs_ds) over the high-entropy dup corpus —
+    the compute-heavy r3 op (shingling + bucketed candidate groupby +
+    exact verification)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        object_store_memory=OBJ_STORE,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from vald.ops.dedup import jaccard_pairs_ds
+
+    _ensure_hidocs()
+    _warm_cache(JACCARD_DIR)
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(JACCARD_DIR, override_num_blocks=4 * NUM_CPUS)
+    pairs = jaccard_pairs_ds(
+        ds, "text", "doc_id", k=12, threshold=0.8
+    ).materialize()
+    wall = time.monotonic() - t0
+    n_pairs = pairs.count()
+    ray.shutdown()
+    return {
+        "metric": "jaccard_exact_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_pairs": n_pairs,
+        "n_docs": JACCARD_ROWS,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(JACCARD_ROWS / wall, 1),
+    }
+
+
+def run_jaccard_scaling() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _ensure_hidocs()
+    ray.shutdown()
+    return _two_level_scaling("--jaccard", "jaccard_scaling_efficiency")
+
+
 def run_neardup_scaling() -> dict:
     import ray
 
@@ -659,5 +738,9 @@ if __name__ == "__main__":
         print(json.dumps(run_join_scaling()))
     elif "--join" in sys.argv:
         print(json.dumps(run_join()))
+    elif "--jaccard-scaling" in sys.argv:
+        print(json.dumps(run_jaccard_scaling()))
+    elif "--jaccard" in sys.argv:
+        print(json.dumps(run_jaccard()))
     else:
         print(json.dumps(run_bench()))

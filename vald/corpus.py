@@ -369,8 +369,25 @@ _DOC_WORDS = 64
 _DOC_VOCAB = np.array([f"tok{i:04d}" for i in range(8192)])
 _DOC_MUTATE = 3  # words replaced in a near-dup (Jaccard stays ≳ 0.85)
 
+# High-entropy twin vocabulary: 7 random lowercase letters per token
+# (26^7 space) instead of "tokNNNN", whose constant 3-char prefix makes
+# many 12-byte shingles low-entropy (df in the thousands at 1M docs —
+# the quadratic regime exact all-pairs Jaccard is NOT meant for, see
+# BENCH/BASELINE.md note 15). With random letters almost every shingle
+# has df ~ cluster size, which is the op's designed regime.
+_rng_hi = np.random.RandomState(7)
+_DOC_VOCAB_HI = np.array(
+    [
+        "".join(chr(97 + c) for c in _rng_hi.randint(0, 26, size=7))
+        for _ in range(8192)
+    ]
+)
+del _rng_hi
 
-def dup_docs_batch(idx: np.ndarray, seed: int = 42, dup_pct: int = 30) -> pa.Table:
+
+def dup_docs_batch(
+    idx: np.ndarray, seed: int = 42, dup_pct: int = 30, hi_entropy: bool = False
+) -> pa.Table:
     """(doc_id, text) for the given row indices. Rows with
     ``hash(idx) % 100 < dup_pct`` (and idx ≥ 100) are near-dups: the
     word stream of a base doc up to 1000 rows earlier with
@@ -402,7 +419,8 @@ def dup_docs_batch(idx: np.ndarray, seed: int = 42, dup_pct: int = 30) -> pa.Tab
             np.int64
         )
         wid[dup_rows, mpos] = mval
-    texts = [" ".join(_DOC_VOCAB[row]) for row in wid]
+    vocab = _DOC_VOCAB_HI if hi_entropy else _DOC_VOCAB
+    texts = [" ".join(vocab[row]) for row in wid]
     return pa.table(
         {
             "doc_id": pa.array(idx.astype(np.int64), type=pa.int64()),
@@ -412,20 +430,33 @@ def dup_docs_batch(idx: np.ndarray, seed: int = 42, dup_pct: int = 30) -> pa.Tab
 
 
 def dup_docs_dataset(
-    n_rows: int, seed: int = 42, dup_pct: int = 30, override_num_blocks: int | None = None
+    n_rows: int,
+    seed: int = 42,
+    dup_pct: int = 30,
+    override_num_blocks: int | None = None,
+    hi_entropy: bool = False,
 ) -> "ray.data.Dataset":
     ds = ray.data.range(n_rows, override_num_blocks=override_num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         return dup_docs_batch(
-            np.asarray(batch["id"].to_numpy(zero_copy_only=False)), seed, dup_pct
+            np.asarray(batch["id"].to_numpy(zero_copy_only=False)),
+            seed,
+            dup_pct,
+            hi_entropy,
         )
 
     return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def write_dup_docs(out_dir: str, n_rows: int, seed: int = 42, dup_pct: int = 30) -> None:
+def write_dup_docs(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    dup_pct: int = 30,
+    hi_entropy: bool = False,
+) -> None:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    dup_docs_dataset(n_rows, seed, dup_pct).write_parquet(out_dir)
+    dup_docs_dataset(n_rows, seed, dup_pct, hi_entropy=hi_entropy).write_parquet(out_dir)
