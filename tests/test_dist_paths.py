@@ -150,3 +150,57 @@ def test_fused_unique_hash_first_matches_full_fallback(ray_session):
     assert viol_fb.equals(viol_full)
     dup = verd_full[verd_full.constraint_id == "corpus.key.unique"]
     assert dup["n_violations"].sum() > 0
+
+
+def test_bucketed_group_agg_matches_named_aggregate(ray_session):
+    """bucketed_group_agg is exact: same groups/values as Ray's named
+    aggregate, invariant to the bucket count, null keys grouped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from vald.runtime import bucketed_group_agg
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 5000, size=20_000)
+    sub = rng.choice(["a", "b", None], size=20_000)
+    vals = rng.randint(0, 100, size=20_000)
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "s": pa.array(sub),
+            "v": pa.array(vals, type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    # reference: one-table Arrow hash aggregate (Ray's named aggregate
+    # itself CRASHES on a null string key — numpy object sort — which
+    # the bucketed shape also fixes)
+    ref = (
+        t.group_by(["k", "s"], use_threads=False)
+        .aggregate([("v", "sum")])
+        .rename_columns(["k", "s", "v"])
+        .to_pandas()
+        .fillna({"s": "<null>"})
+        .sort_values(["k", "s"])
+        .reset_index(drop=True)
+    )
+    for nb in (4, 64):
+        got = (
+            bucketed_group_agg(ds, ["k", "s"], [("v", "sum")], num_buckets=nb)
+            .to_pandas()
+            .fillna({"s": "<null>"})
+            .sort_values(["k", "s"])
+            .reset_index(drop=True)[ref.columns.tolist()]
+        )
+        assert got.equals(ref), f"num_buckets={nb} diverged"
+
+    # empty-aggs form = exact distinct
+    dist = (
+        bucketed_group_agg(ds, "k", [], num_buckets=16)
+        .to_pandas()["k"]
+        .sort_values()
+        .to_numpy()
+    )
+    assert (dist == np.unique(keys)).all()

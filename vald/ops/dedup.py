@@ -31,7 +31,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Max, Min
 
 from ..hashing import stable_hash64
 
@@ -409,27 +408,50 @@ def minhash_dedup_pairs_ds(
     return _dedup_pairs_ds(pairs, "jaccard_est", "max")
 
 
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_bucket(t: pa.Table, num_buckets: int) -> pa.Array:
+    """Deterministic shuffle bucket for an (id_a, id_b) pair row."""
+    ph = t["id_a"].to_numpy(zero_copy_only=False).astype(
+        np.uint64
+    ) * _PAIR_MIX + t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.array((ph % np.uint64(num_buckets)).astype(np.int32))
+
+
 def _dedup_pairs_ds(
-    pairs: "ray.data.Dataset", score_col: str, how: str
+    pairs: "ray.data.Dataset",
+    score_col: str,
+    how: str,
+    num_buckets: int = 256,
 ) -> "ray.data.Dataset":
     """Distributed (id_a, id_b) dedup keeping max/min score: per-batch
     local group_by first, so the exchange moves one row per distinct
-    pair per batch."""
+    pair per batch; the global combine shuffles on a pair-hash bucket
+    and merges with vectorized ``pa.Table.group_by`` inside
+    ``map_groups`` — Ray's named-aggregate path on a high-cardinality
+    composite key measured ~10x slower than this shape (see
+    ``jaccard_pairs_ds`` stage 1)."""
 
     def local(t: pa.Table) -> pa.Table:
-        return (
+        out = (
             t.group_by(["id_a", "id_b"], use_threads=False)
             .aggregate([(score_col, how)])
             .rename_columns(["id_a", "id_b", score_col])
         )
+        return out.append_column("__pb", _pair_bucket(out, num_buckets))
 
-    agg = Max(score_col, alias_name=score_col) if how == "max" else Min(
-        score_col, alias_name=score_col
-    )
+    def combine(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([(score_col, how)])
+            .rename_columns(["id_a", "id_b", score_col])
+        )
+
     return (
         pairs.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .aggregate(agg)
+        .groupby("__pb")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -565,17 +587,21 @@ def _star_round(
     )
 
 
-def _edge_dedup(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    from ray.data.aggregate import Count
-
+def _edge_dedup(
+    edges: "ray.data.Dataset", num_buckets: int = 256
+) -> "ray.data.Dataset":
     def local(t: pa.Table) -> pa.Table:
-        return t.group_by(["id_a", "id_b"], use_threads=False).aggregate([])
+        out = t.group_by(["id_a", "id_b"], use_threads=False).aggregate([])
+        return out.append_column("__pb", _pair_bucket(out, num_buckets))
+
+    def combine(g: pa.Table) -> pa.Table:
+        # pa group_by keeps only the key columns — __pb drops here
+        return g.group_by(["id_a", "id_b"], use_threads=False).aggregate([])
 
     return (
         edges.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__c"))
-        .drop_columns(["__c"])
+        .groupby("__pb")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -669,17 +695,29 @@ def near_dup_groups_ds(
     def labels(t: pa.Table) -> pa.Table:
         lo = t["id_a"].to_numpy(zero_copy_only=False)
         hi = t["id_b"].to_numpy(zero_copy_only=False)
+        ids = np.concatenate([hi, lo])
         return pa.table(
             {
-                "id": pa.array(np.concatenate([hi, lo])),
+                "__b": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                        np.int32
+                    )
+                ),
+                "id": pa.array(ids),
                 "group_id": pa.array(np.concatenate([lo, lo])),
             }
         )
 
+    def label_min(g: pa.Table) -> pa.Table:
+        r = g.group_by("id", use_threads=False).aggregate(
+            [("group_id", "min")]
+        )
+        return r.rename_columns(["id", "group_id"])
+
     return (
         edges.map_batches(labels, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("id")
-        .aggregate(Min("group_id", alias_name="group_id"))
+        .groupby("__b")
+        .map_groups(label_min, batch_format="pyarrow")
     )
 
 
@@ -931,12 +969,15 @@ def jaccard_pairs_ds(
     Plan — four stages, no document body ever re-shuffled:
 
     1. heavy-shingle document frequencies: per-batch distinct-shingle
-       count partials → groupby(shingle) sum → keep df >= heavy_df_min.
-       Zipf makes this set tiny (~1k rows at sf0.1); it broadcasts once
-       via ``ray.put``. df accuracy only affects PRUNING, never
-       correctness — the order just has to be the same everywhere, so
-       at 100 TB this pass can run on a deterministic ``hash_sample``
-       of docs with a scaled threshold.
+       count partials keyed by the shingle's 64-bit hash →
+       groupby(hash bucket) → vectorized pa.Table.group_by sum → keep
+       df >= heavy_df_min. Zipf makes this set tiny (~1k rows at
+       sf0.1); it broadcasts once via ``ray.put``. df accuracy only
+       affects PRUNING, never correctness (hash collisions merge two
+       shingles' counts — the rarity order shifts, the verified result
+       cannot) — the order just has to be the same everywhere, so at
+       100 TB this pass can run on a deterministic ``hash_sample`` of
+       docs with a scaled threshold.
     2. prefix postings: per row, DISTINCT shingles ordered by
        (heavy-df, h1, h2) — two independent 64-bit siphashes make the
        order total to ~2^-128 collision odds, and a collision can only
@@ -962,8 +1003,6 @@ def jaccard_pairs_ds(
        definition — string-exact, byte-for-byte the brute-force
        ``ngram_jaccard`` semantics, so hash order never leaks into the
        result."""
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
-
     _ceil_t = lambda n: np.ceil(threshold * n).astype(np.int64)  # noqa: E731
 
     def _shingle_set(s: str | None) -> set:
@@ -971,38 +1010,48 @@ def jaccard_pairs_ds(
         return {s[j : j + k] for j in range(max(1, len(s) - k + 1))}
 
     # ---- stage 1: heavy-shingle df ------------------------------------
+    # Keyed by the shingle's 64-bit hash, NOT the string: df feeds
+    # pruning only (a hash collision merges two shingles' counts — the
+    # rarity ORDER shifts, the verified result cannot), and an int64
+    # bucketed combine avoids Ray's named-aggregate shuffle, which
+    # measured ~10x slower than groupby(int bucket) + vectorized
+    # pa.Table.group_by inside map_groups on a 2.4M-distinct-shingle
+    # corpus (77 s -> 8 s at 5k hi-entropy docs / 8 cpus).
     def df_partial(t: pa.Table) -> pa.Table:
         from collections import Counter
 
         c: Counter = Counter()
         for s in t[text_col].to_pylist():
             c.update(_shingle_set(s))
+        h = stable_hash64(pa.array(list(c.keys()), type=pa.string()))
         return pa.table(
             {
-                "shingle": pa.array(list(c.keys()), type=pa.string()),
+                "__b": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+                "h": pa.array(h.view(np.int64)),
                 "c": pa.array(list(c.values()), type=pa.int64()),
             }
         )
 
+    def df_combine(g: pa.Table) -> pa.Table:
+        r = g.group_by("h", use_threads=False).aggregate([("c", "sum")])
+        r = r.filter(pc.greater_equal(r["c_sum"], pa.scalar(heavy_df_min)))
+        return pa.table({"h": r["h"], "df": r["c_sum"]})
+
     heavy_pdf = (
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("shingle")
-        .aggregate(_Sum("c", alias_name="df"))
-        .map_batches(
-            lambda t: t.filter(
-                pc.greater_equal(t["df"], pa.scalar(heavy_df_min))
-            ),
-            batch_format="pyarrow",
-        )
+        .groupby("__b")
+        .map_groups(df_combine, batch_format="pyarrow")
         .to_pandas()  # bounded: Zipf tail above heavy_df_min only
     )
-    if "shingle" in heavy_pdf.columns and len(heavy_pdf):
-        heavy_keys = pa.array(
-            heavy_pdf["shingle"].to_numpy(), type=pa.string()
-        )
-        heavy_df = heavy_pdf["df"].to_numpy().astype(np.int64)
+    if "h" in heavy_pdf.columns and len(heavy_pdf):
+        hv = heavy_pdf["h"].to_numpy().astype(np.int64)
+        dv = heavy_pdf["df"].to_numpy().astype(np.int64)
+        order = np.argsort(hv)  # searchsorted lookup in stage 2
+        heavy_keys, heavy_df = hv[order], dv[order]
     else:  # fully-empty input corpus: groupby yields a schemaless frame
-        heavy_keys = pa.array([], type=pa.string())
+        heavy_keys = np.array([], dtype=np.int64)
         heavy_df = np.array([], dtype=np.int64)
     heavy_ref = ray.put((heavy_keys, heavy_df))
 
@@ -1034,14 +1083,12 @@ def jaccard_pairs_ds(
         h2 = stable_hash64(
             pc.binary_join_element_wise(sh_arr, pa.scalar("\x1e2"), "")
         )
-        if len(hk):
-            pos = pc.index_in(sh_arr, value_set=hk)
-            posn = pos.to_numpy(zero_copy_only=False)
-            cls = np.ones(len(sh_arr), dtype=np.int64)
-            hit = ~np.isnan(posn)
-            cls[hit] = hdf[posn[hit].astype(np.int64)]
-        else:
-            cls = np.ones(len(sh_arr), dtype=np.int64)
+        cls = np.ones(len(sh_arr), dtype=np.int64)
+        if len(hk):  # hk: SORTED int64 heavy-shingle hashes, hdf aligned
+            h1s = h1.view(np.int64)
+            ins = np.minimum(np.searchsorted(hk, h1s), len(hk) - 1)
+            hit = hk[ins] == h1s
+            cls[hit] = hdf[ins[hit]]
         doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
         order = np.lexsort((h2, h1, cls, doc_idx))
         sorted_doc = doc_idx[order]
@@ -1075,6 +1122,7 @@ def jaccard_pairs_ds(
             "id_b": pa.array([], type=pa.int64()),
             "na": pa.array([], type=pa.int64()),
             "nb": pa.array([], type=pa.int64()),
+            "__pb": pa.array([], type=pa.int32()),
         }
     )
 
@@ -1132,18 +1180,27 @@ def jaccard_pairs_ds(
             }
         )
         # batch-local dedup: one row per distinct pair leaves the task
-        return (
+        out = (
             out.group_by(["id_a", "id_b"], use_threads=False)
             .aggregate([("na", "min"), ("nb", "min")])
             .rename_columns(["id_a", "id_b", "na", "nb"])
         )
+        # pair-hash bucket for the GLOBAL dedup shuffle (same bucketed
+        # map_groups shape as stage 1, for the same measured reason)
+        return out.append_column("__pb", _pair_bucket(out, num_buckets))
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        r = g.group_by(["id_a", "id_b"], use_threads=False).aggregate(
+            [("na", "min"), ("nb", "min")]
+        )
+        return r.rename_columns(["id_a", "id_b", "na", "nb"])
 
     candidates = (
         ds.map_batches(prefix_postings, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(cooccur_in_bucket, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+        .groupby("__pb")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
 
     # ---- stage 4: exact verification ----------------------------------
@@ -1163,20 +1220,50 @@ def jaccard_pairs_ds(
     # stage without re-execution (and so any downstream join is
     # livelock-safe, BENCH/BASELINE.md note 12)
     candidates = candidates.materialize()
-    ids_ds = (
-        candidates.map_batches(ids_partial, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(_Count(alias_name="_c"))
-        .materialize()
-    )
+    n_cand_pairs = candidates.count()
 
-    if ids_ds.count() <= max_broadcast_docs:
-        ids_pdf = ids_ds.to_pandas()
+    if 2 * n_cand_pairs <= max_broadcast_docs:
+        # 2*pairs bounds the distinct-id count, so the per-batch-unique
+        # gather is driver-bounded — skip the distinct shuffle entirely
+        ids_pdf = candidates.map_batches(
+            ids_partial, batch_format="pyarrow"
+        ).to_pandas()
         cand_ids = (
-            ids_pdf["id"].to_numpy().astype(np.int64)
+            np.unique(ids_pdf["id"].to_numpy().astype(np.int64))
             if "id" in ids_pdf.columns and len(ids_pdf)
             else np.array([], dtype=np.int64)  # no candidates at all
         )
+        n_cand_docs = len(cand_ids)
+    else:
+        def ids_bucketed(t: pa.Table) -> pa.Table:
+            t = ids_partial(t)
+            b = (
+                t["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                % np.uint64(num_buckets)
+            ).astype(np.int32)
+            return t.append_column("__b", pa.array(b))
+
+        def ids_distinct(g: pa.Table) -> pa.Table:
+            u = np.unique(g["id"].to_numpy(zero_copy_only=False))
+            return pa.table({"id": pa.array(u, type=pa.int64())})
+
+        ids_ds = (
+            candidates.map_batches(ids_bucketed, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(ids_distinct, batch_format="pyarrow")
+            .materialize()
+        )
+        n_cand_docs = ids_ds.count()
+        cand_ids = None
+        if n_cand_docs <= max_broadcast_docs:
+            ids_pdf = ids_ds.to_pandas()
+            cand_ids = (
+                ids_pdf["id"].to_numpy().astype(np.int64)
+                if "id" in ids_pdf.columns and len(ids_pdf)
+                else np.array([], dtype=np.int64)
+            )
+
+    if cand_ids is not None:
         id_set = pa.array(cand_ids, type=pa.int64())
 
         def gather_texts(t: pa.Table) -> pa.Table:

@@ -68,9 +68,11 @@ def _drop_null_ts(t: pa.Table, ts_col: str) -> pa.Table:
 
 
 def _count_sum(ds: "ray.data.Dataset", keys: list[str], out_col: str):
-    from ray.data.aggregate import Sum
+    # windows × group keys can be high-cardinality; use the bucketed
+    # combine shape (see runtime.bucketed_group_agg) over partials
+    from ..runtime import bucketed_group_agg
 
-    return ds.groupby(keys).aggregate(Sum(out_col, alias_name=out_col))
+    return bucketed_group_agg(ds, keys, [(out_col, "sum")])
 
 
 def tumbling_window(

@@ -210,10 +210,12 @@ def q_unique_key(sf_dir: str):
         agg = t.group_by("o_orderkey", use_threads=False).aggregate([("o_orderkey", "count")])
         return agg.rename_columns(["o_orderkey", "cnt"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderkey")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from .runtime import bucketed_group_agg
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey",
+        [("cnt", "sum")],
     )
     dups = counts.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], pa.scalar(1))), batch_format="pyarrow"
@@ -390,11 +392,12 @@ def q_dedup(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         return t.group_by(["user_id", "event_type"], use_threads=False).aggregate([])
 
-    pairs = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Count(alias_name="cnt"))
-        .drop_columns(["cnt"])
+    from .runtime import bucketed_group_agg
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        [],  # empty aggs = exact global distinct on the pair
     )
     return _ensure_schema(pairs, pa.schema([("user_id", pa.int64()), ("event_type", pa.string())]))
 
@@ -502,7 +505,12 @@ _Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
 def q_shipping_priority(sf_dir: str):
     import pyarrow.dataset as pads
 
-    from .runtime import join_barrier, join_partitions, join_remote_args
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
 
     keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
     cutoff = pa.scalar(_Q3_CUTOFF)
@@ -537,16 +545,15 @@ def q_shipping_priority(sf_dir: str):
         )
         return agg.rename_columns(["l_orderkey", "revenue"])
 
-    li = (
+    li = bucketed_group_agg(
         _read(
             sf_dir,
             "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
             filter=pads.field("l_shipdate") > cutoff,
-        )
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("revenue", "sum")],
     )
 
     # join_barrier: li's upstream is an all-to-all groupby — piping it
@@ -719,11 +726,16 @@ def q_top_tokens(sf_dir: str):
         agg = tt.group_by("token", use_threads=False).aggregate([("n", "sum")])
         return agg.rename_columns(["token", "n"])
 
+    from .runtime import bucketed_group_agg
+
     out = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        bucketed_group_agg(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                tok_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "token",
+            [("n", "sum")],
+        )
         .sort(["n", "token"], descending=[True, False])
         .limit(10)
     )
@@ -1611,7 +1623,12 @@ _Q12_CUT = np.datetime64("1997-01-01T00:00:00", "us")
 def q_priority_lines(sf_dir: str):
     import pyarrow.dataset as pads
 
-    from .runtime import join_barrier, join_partitions, join_remote_args
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
 
     _HI = ("1-URGENT", "2-HIGH")
 
@@ -1631,16 +1648,15 @@ def q_priority_lines(sf_dir: str):
         )
         return agg.rename_columns(["l_orderkey", "l_returnflag", "n"])
 
-    li = (
+    li = bucketed_group_agg(
         _read(
             sf_dir,
             "lineitem",
             ["l_orderkey", "l_returnflag", "l_shipdate"],
             filter=pads.field("l_shipdate") >= pa.scalar(_Q12_CUT),
-        )
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_orderkey", "l_returnflag"])
-        .aggregate(Sum("n", alias_name="n"))
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_returnflag"],
+        [("n", "sum")],
     )
 
     def orders_side(t: pa.Table) -> pa.Table:
@@ -1877,10 +1893,16 @@ def q_daily_distinct(sf_dir: str):
         )
         return agg.rename_columns(["day", "n_users"])
 
+    from .runtime import bucketed_group_agg
+
     out = (
-        ev.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["day", "user_id"])
-        .aggregate(Count(alias_name="_c"))
+        bucketed_group_agg(
+            ev.map_batches(
+                local_distinct, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["day", "user_id"],
+            [],  # empty aggs = exact global distinct on the pair
+        )
         .map_batches(day_partial, batch_format="pyarrow")
         .groupby("day")
         .aggregate(Sum("n_users", alias_name="n_users"))

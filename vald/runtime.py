@@ -4,7 +4,12 @@ from __future__ import annotations
 
 import ray
 
-__all__ = ["join_partitions", "join_remote_args", "join_barrier"]
+__all__ = [
+    "join_partitions",
+    "join_remote_args",
+    "join_barrier",
+    "bucketed_group_agg",
+]
 
 
 def join_barrier(ds):
@@ -61,3 +66,58 @@ def join_partitions(requested: int | None, default: int = 8) -> int:
     except Exception:  # not initialised yet — let the call site's value stand
         return want
     return max(2, min(want, cpus))
+
+
+def bucketed_group_agg(
+    ds,
+    keys: "str | list[str]",
+    aggs: "list[tuple[str, str]]",
+    num_buckets: int = 256,
+):
+    """EXACT grouped aggregation over a high-cardinality key, shaped as
+    hash-bucket shuffle + vectorized ``pa.Table.group_by`` combine.
+
+    Ray 2.49's ``groupby(key).aggregate(...)`` range-partitions on the
+    RAW key (sample + sort) and merges per named aggregate in Python —
+    measured ~10x slower than this shape at high key cardinality
+    (2.4M distinct string keys, 8 cpus: 77 s vs 8 s; see
+    ``jaccard_pairs_ds`` stage 1). Here the exchange is the same bytes
+    but keyed by a small int32 hash bucket, and each bucket's combine
+    is one Arrow hash-aggregate kernel.
+
+    The caller supplies COMBINABLE partials: every (col, fn) in
+    ``aggs`` is re-applied per bucket, so feed pre-aggregated batches
+    whose fn is its own combiner (sum of sums, min of mins, max of
+    maxes; count partials must arrive as a column combined with
+    "sum"). Output columns keep their input names. Grouping is exact —
+    a key lives in exactly one bucket; hash quality only balances
+    buckets, never correctness. NULL keys hash like values (pandas
+    siphash) and group together as in Arrow group_by.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    out_names = key_list + [c for c, _ in aggs]
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def stamp(t: "pa.Table") -> "pa.Table":
+        h = np.zeros(len(t), dtype=np.uint64)
+        for kc in key_list:
+            arr = t[kc].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                h = h * mix + pd.util.hash_array(arr, categorize=False)
+        return t.append_column(
+            "__gb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def combine(g: "pa.Table") -> "pa.Table":
+        r = g.group_by(key_list, use_threads=False).aggregate(aggs)
+        return r.rename_columns(out_names)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(combine, batch_format="pyarrow")
+    )
