@@ -844,8 +844,18 @@ def simhash_dedup_pairs_ds(
         )
         h_all = np.tile(h, nchunks)
         vals = (h_all >> shifts) & np.uint64((1 << width) - 1)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (vals * _PAIR_MIX + chunks.astype(np.uint64))
+                % np.uint64(256)
+            ).astype(np.int32)
         return pa.table(
             {
+                # shuffle on a 256-value hash bucket, not the raw
+                # high-cardinality (chunk, value) composite — the
+                # in-group segmenting below restores exact groups
+                # (BENCH/BASELINE.md note 16)
+                "bucket": pa.array(bucket),
                 "chunk": pa.array(chunks),
                 "value": pa.array(vals, type=pa.uint64()),
                 id_col: pa.array(np.tile(ids, nchunks), type=pa.int64()),
@@ -856,15 +866,24 @@ def simhash_dedup_pairs_ds(
     def pairs_in_group(g: pa.Table) -> pa.Table:
         # VECTORIZED Hamming verify (VERDICT r2: replaces the nested
         # Python pair loop): popcount via uint8-view unpackbits (numpy
-        # 1.26 has no bitwise_count), pair slabs bound the transient
+        # 1.26 has no bitwise_count), pair slabs bound the transient.
+        # The task receives one hash BUCKET of (chunk, value) groups;
+        # sort + run-detection restores the exact group boundaries.
+        order = pc.sort_indices(
+            g, sort_keys=[("chunk", "ascending"), ("value", "ascending")]
+        )
+        g = g.take(order)
         ids = np.asarray(
             g[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
         )
         h = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ch = g["chunk"].to_numpy(zero_copy_only=False)
+        vals = g["value"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(ids)
-        ia, ib = _segment_pair_indices(
-            np.array([0], dtype=np.int64), np.array([n], dtype=np.int64), group_cap
-        )
+        new_seg = np.r_[True, (ch[1:] != ch[:-1]) | (vals[1:] != vals[:-1])]
+        starts = np.flatnonzero(new_seg)
+        ends = np.r_[starts[1:], n]
+        ia, ib = _segment_pair_indices(starts, ends, group_cap)
         a_parts, b_parts, d_parts = [], [], []
         for s in range(0, len(ia), _PAIR_CHUNK):
             ca, cb = ia[s : s + _PAIR_CHUNK], ib[s : s + _PAIR_CHUNK]
@@ -897,7 +916,7 @@ def simhash_dedup_pairs_ds(
 
     pairs = (
         sh.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "value"])
+        .groupby("bucket")
         .map_groups(pairs_in_group, batch_format="pyarrow")
     )
     return _dedup_pairs_ds(pairs, "hamming", "min")
