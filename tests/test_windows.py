@@ -148,3 +148,74 @@ def test_sessionize_data_scaled_default_buckets(ray_session):
     df = _collect(out)
     # 10 rows / 3 per bucket -> 4 buckets; result unchanged regardless
     assert int(df["n_events"].sum()) == 10
+
+
+@pytest.mark.parametrize("buckets", [1, 7])
+def test_cumulative_matches_pandas_and_bucket_invariant(ray_session, buckets):
+    from vald.ops.windows import cumulative
+
+    rng = np.random.RandomState(3)
+    n = 500
+    keys = rng.randint(0, 20, size=n)
+    # duplicate timestamps force the (ts, eid) total-order tiebreak
+    mins = rng.randint(0, 50, size=n)
+    vals = rng.uniform(-5, 5, size=n).round(3)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "ts": pa.array(
+                [T0 + timedelta(minutes=int(m)) for m in mins],
+                type=pa.timestamp("us"),
+            ),
+            "eid": pa.array(eid),
+            "v": pa.array(vals, type=pa.float64()),
+        }
+    )
+    out = (
+        cumulative(
+            ray.data.from_arrow(t).repartition(4),
+            "k",
+            ("ts", "eid"),
+            "v",
+            num_buckets=buckets,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "eid"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        t.to_pandas()
+        .sort_values(["k", "ts", "eid"])
+        .reset_index(drop=True)
+        .assign(
+            cum_n=lambda d: d.groupby("k").cumcount() + 1,
+            cum_sum=lambda d: d.groupby("k")["v"].cumsum(),
+        )
+    )
+    assert (out["cum_n"].to_numpy() == ref["cum_n"].to_numpy()).all()
+    assert np.allclose(out["cum_sum"].to_numpy(), ref["cum_sum"].to_numpy())
+    assert (out["eid"].to_numpy() == ref["eid"].to_numpy()).all()
+
+
+def test_cumulative_null_val_counts_zero(ray_session):
+    from vald.ops.windows import cumulative
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array(
+                [T0, T0 + timedelta(minutes=1), T0 + timedelta(minutes=2)],
+                type=pa.timestamp("us"),
+            ),
+            "eid": pa.array([0, 1, 2], type=pa.int64()),
+            "v": pa.array([2.0, None, 3.0], type=pa.float64()),
+        }
+    )
+    out = (
+        cumulative(ray.data.from_arrow(t), "k", ("ts", "eid"), "v", num_buckets=2)
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert out["cum_sum"].tolist() == [2.0, 2.0, 5.0]
+    assert out["cum_n"].tolist() == [1, 2, 3]

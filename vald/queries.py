@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1912,6 +1913,165 @@ def q_daily_distinct(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# B18 running per-key window aggregate (ROWS UNBOUNDED PRECEDING):
+# ops/windows.cumulative — one key-hash shuffle, per-bucket sort +
+# vectorized cumsum, data-scaled buckets
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .ops.windows import cumulative
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        # NaN exclusion for float parity with the oracle's isnan guard
+        # (self-audit convention; sf testdata has no NaNs)
+        lambda t: t.filter(
+            pc.fill_null(pc.invert(pc.is_nan(t["value"])), True)
+        ),
+        batch_format="pyarrow",
+    )
+    out = cumulative(ds, "user_id", ("ts", "event_id"), "value").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "cum_n": t["cum_n"],
+                "cum_sum": pc.round(t["cum_sum"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("cum_n", pa.int64()),
+                ("cum_sum", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 LEFT OUTER join: dimension rows with no fact match survive with a
+# zero count — customer × orders via the native hash join (clamped,
+# barriered), fact side pre-aggregated per key before the join
+# ---------------------------------------------------------------------------
+
+
+def q_cust_order_counts(sf_dir: str):
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"o_custkey": t["o_custkey"]})
+            .drop_null()
+            .group_by("o_custkey", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["o_custkey", "n_orders"])
+
+    counts = bucketed_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "o_custkey",
+        [("n_orders", "sum")],
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(
+        join_barrier(counts),
+        join_type="left_outer",
+        num_partitions=join_partitions(None),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pc.fill_null(t["n_orders"], 0),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    return _ensure_schema(
+        out, pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6/B15 ROLLUP: multi-level aggregate in ONE distributed pass over the
+# fact table (base (flag, status) cells), subtotal + grand-total levels
+# derived from the tiny cell table on the driver (bounded: |flags| x
+# |statuses| cells, same driver-materialization contract as profiles)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["l_quantity"],
+            }
+        )
+        agg = small.group_by(
+            ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate([("sum_qty", "sum")])
+        return agg.rename_columns(["l_returnflag", "l_linestatus", "sum_qty"])
+
+    cells = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])  # tiny key space: native path
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    )
+    cdf = cells.to_pandas()  # bounded: one row per (flag, status) cell
+    if len(cdf) == 0:
+        base = pd.DataFrame(
+            {"l_returnflag": [], "l_linestatus": [], "sum_qty": []}
+        )
+    else:
+        base = cdf
+    sub = (
+        base.groupby("l_returnflag", as_index=False)["sum_qty"]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [base["sum_qty"].sum() if len(base) else 0.0],
+        }
+    )
+    out = pd.concat([base, sub, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty"]
+    ]
+    out["sum_qty"] = out["sum_qty"].astype(float).round(6)
+    return out
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -1972,6 +2132,9 @@ QUERIES = {
     "q_knn_ivf": q_knn_ivf,
     "q_corpus_verdicts": q_corpus_verdicts,
     "q_corpus_violations": q_corpus_violations,
+    "q_cumulative": q_cumulative,
+    "q_cust_order_counts": q_cust_order_counts,
+    "q_rollup": q_rollup,
 }
 
 ORACLE_SQL = {
@@ -2253,6 +2416,27 @@ ORACLE_SQL = {
         "SELECT event_id, event_type FROM events WHERE event_id IS NOT NULL "
         "AND ((event_id * 2654435761) % 4294967296 + 4294967296) "
         "% 4294967296 < 429496729"
+    ),
+    "q_cumulative": (
+        "SELECT user_id, event_id, "
+        "count(*) OVER w AS cum_n, "
+        "round(sum(COALESCE(value, 0)) OVER w, 6) AS cum_sum "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_cust_order_counts": (
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey"
+    ),
+    "q_rollup": (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        "round(sum(l_quantity), 6) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
