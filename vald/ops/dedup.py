@@ -955,6 +955,90 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _batch_shingle_hashes(
+    col, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT k-gram hashes for a whole Arrow string column,
+    fully vectorized from the string buffers — the batch-level hot loop
+    of ``jaccard_pairs_ds`` (replaces a per-doc Python set
+    comprehension that dominated the pipeline wall: measured ~50 s of
+    an 80 s run at 20k docs / 8 cpus).
+
+    Windows are UTF-8 BYTE k-grams (like ``_shingle_hashes``); for
+    ASCII text byte == character windows exactly, so the prefix-filter
+    recall bound is exact there; on multibyte text candidate
+    generation is byte-aligned while verification stays character-
+    exact (documented approximation — same caveat as the MinHash
+    path). Docs shorter than k (incl. empty / null) contribute ONE
+    shingle — the whole text — matching ``_shingle_set`` and the
+    oracle's substr semantics. The shingle's IDENTITY is its 64-bit
+    rolling hash (length-mixed); a collision merges two shingles and
+    can only ADD candidates — verification is string-exact.
+
+    Returns (doc_idx int64[m], h uint64[m], n_sh int64[n]): distinct
+    (doc, shingle-hash) pairs with doc_idx ascending, and each doc's
+    distinct-shingle count."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    if n == 0:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.uint64),
+            np.array([], dtype=np.int64),
+        )
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    L = np.diff(offsets)
+
+    B = np.uint64(257)
+    MIX = np.uint64(0x100000001B3)
+    di_parts: list[np.ndarray] = []
+    h_parts: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        long_docs = np.flatnonzero(L >= k)
+        if len(long_docs):
+            Wl = L[long_docs] - k + 1
+            doc_rep = np.repeat(long_docs, Wl)
+            tot = int(Wl.sum())
+            seg0 = np.cumsum(Wl) - Wl
+            win_pos = np.arange(tot, dtype=np.int64) - np.repeat(seg0, Wl)
+            starts = np.repeat(offsets[long_docs], Wl) + win_pos
+            acc = np.zeros(tot, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * B + data[starts + j]
+            di_parts.append(doc_rep)
+            h_parts.append(acc * MIX + np.uint64(k))
+        # short docs: one shingle = the whole text; one vectorized pass
+        # per length class (< k classes), length mixed into the hash so
+        # a short text never collides with a full window's prefix
+        for ell in range(k):
+            docs = np.flatnonzero(L == ell)
+            if not len(docs):
+                continue
+            acc = np.zeros(len(docs), dtype=np.uint64)
+            st = offsets[docs]
+            for j in range(ell):
+                acc = acc * B + data[st + j]
+            di_parts.append(docs)
+            h_parts.append(acc * MIX + np.uint64(ell))
+    doc_idx = np.concatenate(di_parts)
+    h = np.concatenate(h_parts)
+    # distinct (doc, h): sort then adjacent-dedup
+    order = np.lexsort((h, doc_idx))
+    doc_idx, h = doc_idx[order], h[order]
+    keep = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (h[1:] != h[:-1])
+    doc_idx, h = doc_idx[keep], h[keep]
+    n_sh = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    return doc_idx, h, n_sh
+
+
 def jaccard_pairs_ds(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -966,6 +1050,7 @@ def jaccard_pairs_ds(
     num_buckets: int = 256,
     heavy_df_min: int = 16,
     max_broadcast_docs: int = 2_000_000,
+    broadcast_corpus_docs: int = 500_000,
 ) -> "ray.data.Dataset":
     """EXACT all-pairs character-k-gram Jaccard similarity >= threshold
     via PREFIX-FILTERED candidate generation + exact re-verification
@@ -998,13 +1083,17 @@ def jaccard_pairs_ds(
        100 TB this pass can run on a deterministic ``hash_sample`` of
        docs with a scaled threshold.
     2. prefix postings: per row, DISTINCT shingles ordered by
-       (heavy-df, h1, h2) — two independent 64-bit siphashes make the
-       order total to ~2^-128 collision odds, and a collision can only
-       add a candidate or drop one BELOW the already-conservative
-       prefix bound, never corrupt a verified result. Emit only the
-       first n_sh − ceil(t·n_sh) + 1 postings per row (vectorized:
-       np.lexsort + run-position trick, no per-row Python sort).
-    3. candidate pairs: groupby(bucket) → equal-shingle segments emit
+       (heavy-df, h) where the 64-bit rolling hash h IS the shingle's
+       identity end-to-end (vectorized straight from the Arrow string
+       buffers — ``_batch_shingle_hashes``; no per-doc Python). A hash
+       tie merges two shingles everywhere consistently, so it can only
+       ADD candidates (bigger co-occurrence segments) and shrink one
+       doc's prefix by at most its multiplicity (~2^-64 per shingle
+       pair per doc; the prefix bound is conservative and the final
+       result is string-exact regardless). Emit only the first
+       n_sh − ceil(t·n_sh) + 1 postings per row (np.lexsort +
+       run-position trick, no per-row Python sort).
+    3. candidate pairs: groupby(bucket) → equal-hash segments emit
        C(L,2) index pairs, pruned by the pair bound
        c >= ceil(t(na+nb)/(1+t)) combined with PPJoin's positional
        filter (Xiao et al. WWW'08: shared elements all rank at or
@@ -1037,19 +1126,17 @@ def jaccard_pairs_ds(
     # pa.Table.group_by inside map_groups on a 2.4M-distinct-shingle
     # corpus (77 s -> 8 s at 5k hi-entropy docs / 8 cpus).
     def df_partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for s in t[text_col].to_pylist():
-            c.update(_shingle_set(s))
-        h = stable_hash64(pa.array(list(c.keys()), type=pa.string()))
+        _, h_u, _ = _batch_shingle_hashes(t[text_col], k)
+        # (doc, h) pairs are distinct per doc → per-hash multiplicity
+        # IS the batch document frequency
+        h, c = np.unique(h_u, return_counts=True)
         return pa.table(
             {
                 "__b": pa.array(
                     (h % np.uint64(num_buckets)).astype(np.int32)
                 ),
                 "h": pa.array(h.view(np.int64)),
-                "c": pa.array(list(c.values()), type=pa.int64()),
+                "c": pa.array(c.astype(np.int64)),
             }
         )
 
@@ -1077,7 +1164,7 @@ def jaccard_pairs_ds(
     _EMPTY_POST = pa.table(
         {
             "__bucket": pa.array([], type=pa.int32()),
-            "shingle": pa.array([], type=pa.string()),
+            "h": pa.array([], type=pa.int64()),
             "id": pa.array([], type=pa.int64()),
             "n_sh": pa.array([], type=pa.int64()),
             "pos": pa.array([], type=pa.int64()),
@@ -1085,31 +1172,25 @@ def jaccard_pairs_ds(
     )
 
     # ---- stage 2: prefix postings -------------------------------------
+    # fully vectorized: shingling via _batch_shingle_hashes (no per-doc
+    # Python), ordering by (heavy-df, h) — the hash IS the shingle's
+    # identity end-to-end (df pass, postings, co-occurrence grouping),
+    # so order totality holds except at 64-bit hash ties, which merge
+    # two shingles and can only ADD candidates (verification is
+    # string-exact; docstring correctness note)
     def prefix_postings(t: pa.Table) -> pa.Table:
         hk, hdf = ray.get(heavy_ref)
-        texts = t[text_col].to_pylist()
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        sh_flat: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, s in enumerate(texts):
-            shs = _shingle_set(s)
-            counts[i] = len(shs)
-            sh_flat.extend(shs)
-        if not sh_flat:
+        doc_idx, h1, counts = _batch_shingle_hashes(t[text_col], k)
+        if not len(h1):
             return _EMPTY_POST
-        sh_arr = pa.array(sh_flat, type=pa.string())
-        h1 = stable_hash64(sh_arr)
-        h2 = stable_hash64(
-            pc.binary_join_element_wise(sh_arr, pa.scalar("\x1e2"), "")
-        )
-        cls = np.ones(len(sh_arr), dtype=np.int64)
+        cls = np.ones(len(h1), dtype=np.int64)
         if len(hk):  # hk: SORTED int64 heavy-shingle hashes, hdf aligned
             h1s = h1.view(np.int64)
             ins = np.minimum(np.searchsorted(hk, h1s), len(hk) - 1)
             hit = hk[ins] == h1s
             cls[hit] = hdf[ins[hit]]
-        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-        order = np.lexsort((h2, h1, cls, doc_idx))
+        order = np.lexsort((h1, cls, doc_idx))
         sorted_doc = doc_idx[order]
         change = np.empty(len(sorted_doc), dtype=bool)
         change[0] = True
@@ -1120,13 +1201,12 @@ def jaccard_pairs_ds(
         prefix_len = counts - _ceil_t(counts) + 1
         m = pos_in_doc < prefix_len[sorted_doc]
         keep = order[m]
-        sh_keep = sh_arr.take(pa.array(keep))
         return pa.table(
             {
                 "__bucket": pa.array(
                     (h1[keep] % np.uint64(num_buckets)).astype(np.int32)
                 ),
-                "shingle": sh_keep,
+                "h": pa.array(h1[keep].view(np.int64)),
                 "id": pa.array(ids[doc_idx[keep]], type=pa.int64()),
                 "n_sh": pa.array(counts[doc_idx[keep]], type=pa.int64()),
                 # rank of the shingle in the doc's full rarity order —
@@ -1148,21 +1228,14 @@ def jaccard_pairs_ds(
     # ---- stage 3: candidate pairs -------------------------------------
     def cooccur_in_bucket(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            g, sort_keys=[("shingle", "ascending"), ("id", "ascending")]
+            g, sort_keys=[("h", "ascending"), ("id", "ascending")]
         )
         g = g.take(order)
-        sh = g["shingle"]
-        if isinstance(sh, pa.ChunkedArray):
-            sh = sh.combine_chunks()
+        sh = g["h"].to_numpy(zero_copy_only=False)
         n = len(g)
         neq = np.ones(n, dtype=bool)
         if n > 1:
-            neq[1:] = np.asarray(
-                pc.not_equal(sh.slice(1), sh.slice(0, n - 1)).to_numpy(
-                    zero_copy_only=False
-                ),
-                dtype=bool,
-            )
+            neq[1:] = sh[1:] != sh[:-1]
         starts = np.flatnonzero(neq)
         ends = np.r_[starts[1:], n]
         if max_df is not None:
@@ -1214,13 +1287,79 @@ def jaccard_pairs_ds(
         )
         return r.rename_columns(["id_a", "id_b", "na", "nb"])
 
-    candidates = (
+    def _verify_pairs(t: pa.Table, txts: dict) -> pa.Table:
+        """String-exact Jaccard over candidate pair rows (shared by the
+        broadcast and fast paths)."""
+        ia = t["id_a"].to_pylist()
+        ib = t["id_b"].to_pylist()
+        cache: dict = {}
+
+        def sset(d):
+            r = cache.get(d)
+            if r is None:
+                r = _shingle_set(txts.get(d))
+                cache[d] = r
+            return r
+
+        jac = np.empty(len(ia), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ia, ib)):
+            A, B = sset(a), sset(b)
+            c = len(A & B)
+            u = len(A) + len(B) - c
+            jac[i] = c / u if u else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(keep)),
+                "id_b": t["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(
+                    np.round(jac[keep], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    def _gather_text_map(source: "ray.data.Dataset", id_filter) -> dict:
+        """Driver-bounded (id -> text) gather; id_filter=None takes all."""
+
+        def gather(t: pa.Table) -> pa.Table:
+            if id_filter is not None:
+                m = pc.fill_null(
+                    pc.is_in(t[id_col], value_set=id_filter), False
+                )
+                t = t.filter(m)
+            return pa.table({"id": t[id_col], "text": t[text_col]})
+
+        tbl = source.map_batches(gather, batch_format="pyarrow").to_pandas()
+        if "id" in tbl.columns and len(tbl):
+            return dict(zip(tbl["id"].to_numpy(), tbl["text"]))
+        return {}
+
+    cand_head = (
         ds.map_batches(prefix_postings, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(cooccur_in_bucket, batch_format="pyarrow")
         .groupby("__pb")
-        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+    # FAST PATH (small/medium corpora, measured latency win): when the
+    # WHOLE corpus fits the driver-broadcast contract, ship (id, text)
+    # once via ray.put and fold verification into the pair-dedup
+    # map_groups — the pipeline ends at the second shuffle, skipping
+    # the candidates materialize, the distinct-id pass and the
+    # candidate-text gather (3 driver round-trips + 1 dataset pass).
+    # At 100 TB n_docs blows the bound and the candidate-bounded paths
+    # below take over (candidates are O(true duplicates), not corpus-
+    # sized, so THOSE stay broadcastable long after the corpus isn't).
+    n_docs = ds.count()
+    if n_docs <= broadcast_corpus_docs:
+        corpus_ref = ray.put(_gather_text_map(ds, None))
+
+        def dedup_verify(g: pa.Table) -> pa.Table:
+            return _verify_pairs(dedup_pairs(g), ray.get(corpus_ref))
+
+        return cand_head.map_groups(dedup_verify, batch_format="pyarrow")
+
+    candidates = cand_head.map_groups(dedup_pairs, batch_format="pyarrow")
 
     # ---- stage 4: exact verification ----------------------------------
     def ids_partial(t: pa.Table) -> pa.Table:
@@ -1284,51 +1423,10 @@ def jaccard_pairs_ds(
 
     if cand_ids is not None:
         id_set = pa.array(cand_ids, type=pa.int64())
-
-        def gather_texts(t: pa.Table) -> pa.Table:
-            m = pc.fill_null(pc.is_in(t[id_col], value_set=id_set), False)
-            t = t.filter(m)
-            return pa.table({"id": t[id_col], "text": t[text_col]})
-
-        texts_tbl = (
-            ds.map_batches(gather_texts, batch_format="pyarrow").to_pandas()
-        )
-        texts_map = (
-            dict(zip(texts_tbl["id"].to_numpy(), texts_tbl["text"]))
-            if "id" in texts_tbl.columns and len(texts_tbl)
-            else {}
-        )
-        texts_ref = ray.put(texts_map)
+        texts_ref = ray.put(_gather_text_map(ds, id_set))
 
         def verify(t: pa.Table) -> pa.Table:
-            txts = ray.get(texts_ref)
-            ia = t["id_a"].to_pylist()
-            ib = t["id_b"].to_pylist()
-            cache: dict = {}
-
-            def sset(d):
-                r = cache.get(d)
-                if r is None:
-                    r = _shingle_set(txts.get(d))
-                    cache[d] = r
-                return r
-
-            jac = np.empty(len(ia), dtype=np.float64)
-            for i, (a, b) in enumerate(zip(ia, ib)):
-                A, B = sset(a), sset(b)
-                c = len(A & B)
-                u = len(A) + len(B) - c
-                jac[i] = c / u if u else 1.0
-            keep = jac >= threshold
-            return pa.table(
-                {
-                    "id_a": t["id_a"].filter(pa.array(keep)),
-                    "id_b": t["id_b"].filter(pa.array(keep)),
-                    "jaccard": pa.array(
-                        np.round(jac[keep], 6), type=pa.float64()
-                    ),
-                }
-            )
+            return _verify_pairs(t, ray.get(texts_ref))
 
         return candidates.map_batches(verify, batch_format="pyarrow")
 
