@@ -1287,9 +1287,15 @@ def jaccard_pairs_ds(
         )
         return r.rename_columns(["id_a", "id_b", "na", "nb"])
 
-    def _verify_pairs(t: pa.Table, txts: dict) -> pa.Table:
+    def _verify_pairs(t: pa.Table, txts) -> pa.Table:
         """String-exact Jaccard over candidate pair rows (shared by the
-        broadcast and fast paths)."""
+        broadcast and fast paths). ``txts`` is (sorted int64 ids,
+        aligned pa.StringArray) — Arrow/numpy so the ray.get in every
+        task is ZERO-COPY from the object store (a broadcast Python
+        dict measured 256 tasks x ~60 MB re-deserialization at 100k
+        docs: 8-cpu wall 412 s vs 39 s at 20k); texts are materialized
+        per NEEDED doc only (.as_py(), cached per batch)."""
+        sids, tarr = txts
         ia = t["id_a"].to_pylist()
         ib = t["id_b"].to_pylist()
         cache: dict = {}
@@ -1297,7 +1303,13 @@ def jaccard_pairs_ds(
         def sset(d):
             r = cache.get(d)
             if r is None:
-                r = _shingle_set(txts.get(d))
+                pos = int(np.searchsorted(sids, d))
+                s = (
+                    tarr[pos].as_py()
+                    if pos < len(sids) and sids[pos] == d
+                    else None
+                )
+                r = _shingle_set(s)
                 cache[d] = r
             return r
 
@@ -1318,8 +1330,9 @@ def jaccard_pairs_ds(
             }
         )
 
-    def _gather_text_map(source: "ray.data.Dataset", id_filter) -> dict:
-        """Driver-bounded (id -> text) gather; id_filter=None takes all."""
+    def _gather_text_map(source: "ray.data.Dataset", id_filter):
+        """Driver-bounded (sorted ids, aligned texts) gather as Arrow —
+        stays zero-copy through ray.put/get; id_filter=None takes all."""
 
         def gather(t: pa.Table) -> pa.Table:
             if id_filter is not None:
@@ -1329,10 +1342,26 @@ def jaccard_pairs_ds(
                 t = t.filter(m)
             return pa.table({"id": t[id_col], "text": t[text_col]})
 
-        tbl = source.map_batches(gather, batch_format="pyarrow").to_pandas()
-        if "id" in tbl.columns and len(tbl):
-            return dict(zip(tbl["id"].to_numpy(), tbl["text"]))
-        return {}
+        parts = [
+            p
+            for p in ray.get(
+                source.map_batches(
+                    gather, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if len(p)
+        ]
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None or len(tbl) == 0:
+            return (
+                np.array([], dtype=np.int64),
+                pa.array([], type=pa.string()),
+            )
+        tbl = tbl.combine_chunks()
+        ids = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        texts = tbl["text"].combine_chunks().take(pa.array(order))
+        return ids[order], texts
 
     cand_head = (
         ds.map_batches(prefix_postings, batch_format="pyarrow")
