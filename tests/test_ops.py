@@ -483,3 +483,111 @@ def test_curate_corpus_spill_and_resume(ray_session, tmp_path):
     out_res, rep_res = curate_corpus(poisoned, spill_dir=spill, **kwargs)
     assert sorted(out_res.to_pandas()["doc_id"]) == [0, 5]
     assert rep_res.to_table().equals(rep_mem.to_table())
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet/RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+class TestLineDedup:
+    def _docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    "keep1\nboiler\nkeep2",
+                    "boiler\nother",
+                    "boiler\nuniq\nboiler",
+                    None,
+                    "boiler",
+                ],
+            }
+        )
+
+    def test_broadcast_and_join_paths_agree(self, ray_session):
+        from vald.ops.dedup import line_dedup_ds
+
+        ds = ray.data.from_arrow(self._docs())
+        a = (
+            line_dedup_ds(ds, "text", "doc_id", min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            line_dedup_ds(ds, "text", "doc_id", min_df=2, max_broadcast_lines=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        # 'boiler' df=4 (distinct docs 1,2,3,5) -> removed everywhere,
+        # BOTH occurrences in doc 3; null-text doc 4 dropped
+        assert a["doc_id"].tolist() == [1, 2, 3, 5]
+        assert a["n_lines"].tolist() == [3, 2, 3, 1]
+        assert a["n_removed"].tolist() == [1, 1, 2, 1]
+        assert a["text"].tolist() == ["keep1\nkeep2", "other", "uniq", ""]
+
+    def test_doc_frequency_is_distinct_docs(self, ray_session):
+        # a line repeated many times INSIDE one doc must not reach min_df
+        from vald.ops.dedup import line_dedup_ds
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["x\nx\nx\nx", "y"],
+            }
+        )
+        out = (
+            line_dedup_ds(ray.data.from_arrow(t), "text", "doc_id", min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_removed"].tolist() == [0, 0]
+
+    def test_empty_corpus(self, ray_session):
+        from vald.ops.dedup import line_dedup_ds
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+        out = line_dedup_ds(ray.data.from_arrow(t), "text", "doc_id").to_pandas()
+        assert len(out) == 0
+
+
+class TestRepetitionStats:
+    def test_counts_and_null_rows(self, ray_session):
+        from vald.ops.text import repetition_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["a a b", None, ""],
+            }
+        )
+        out = (
+            repetition_stats(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # whitespace-run tokenizer: "" -> 0 tokens; null row dropped
+        assert out["doc_id"].tolist() == [1, 3]
+        assert out["n_tokens"].tolist() == [3, 0]
+        assert out["n_distinct"].tolist() == [2, 0]
+
+    def test_literal_delimiter_keeps_empty_tokens(self, ray_session):
+        from vald.ops.text import repetition_stats
+
+        t = pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()), "text": ["a  a"]}
+        )
+        out = repetition_stats(
+            ray.data.from_arrow(t), "text", "doc_id", delimiter=" "
+        ).to_pandas()
+        # 'a', '', 'a' — matches SQL string_split semantics
+        assert out["n_tokens"].tolist() == [3]
+        assert out["n_distinct"].tolist() == [2]

@@ -219,3 +219,67 @@ def test_cumulative_null_val_counts_zero(ray_session):
     )
     assert out["cum_sum"].tolist() == [2.0, 2.0, 5.0]
     assert out["cum_n"].tolist() == [1, 2, 3]
+
+
+@pytest.mark.parametrize("buckets", [2, 7])
+def test_lagged_matches_pandas_and_bucket_invariant(ray_session, buckets):
+    from vald.ops.windows import lagged
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n),
+            "ts": rng.integers(0, 10_000, n),
+            "eid": np.arange(n),
+            "v": rng.normal(size=n),
+        }
+    )
+    t = pa.table(
+        {
+            "k": pa.array(df.k, type=pa.int64()),
+            "ts": pa.array(df.ts, type=pa.int64()),
+            "eid": pa.array(df.eid, type=pa.int64()),
+            "v": pa.array(df.v, type=pa.float64()),
+        }
+    )
+    out = (
+        lagged(
+            ray.data.from_arrow(t), "k", ("ts", "eid"), "v", num_buckets=buckets
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "eid"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    ref["lag_v"] = ref.groupby("k")["v"].shift(1)
+    assert (out["eid"].to_numpy() == ref["eid"].to_numpy()).all()
+    assert np.allclose(
+        out["lag_v"].to_numpy(), ref["lag_v"].to_numpy(), equal_nan=True
+    )
+
+
+def test_lagged_lead_and_offset_2(ray_session):
+    from vald.ops.windows import lagged
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+            "o": pa.array([1, 2, 3, 4, 1], type=pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e"], type=pa.string()),
+        }
+    )
+    lead = (
+        lagged(ray.data.from_arrow(t), "k", ("o",), "v", offset=-1, num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert lead["lead_v"].tolist() == ["b", "c", "d", None, None]
+    two = (
+        lagged(ray.data.from_arrow(t), "k", ("o",), "v", offset=2, num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert two["lag_v"].tolist() == [None, None, "a", "b", None]
+    with pytest.raises(ValueError):
+        lagged(ray.data.from_arrow(t), "k", ("o",), "v", offset=0)

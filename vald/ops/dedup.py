@@ -49,6 +49,7 @@ __all__ = [
     "ngram_jaccard",
     "jaccard_pairs",
     "jaccard_pairs_ds",
+    "line_dedup_ds",
 ]
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -1521,3 +1522,247 @@ def jaccard_pairs(
         ds, text_col, id_col, k=k, threshold=threshold, max_df=max_df
     )
     return _pairs_table(pairs, "jaccard", pa.float64())
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet / RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup_ds(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 2,
+    delimiter: str = "\n",
+    max_broadcast_lines: int = 2_000_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Corpus-level frequent-line removal (the public CCNet / RefinedWeb
+    boilerplate-dedup stage): delete every line whose DOCUMENT frequency
+    (number of distinct docs containing it) is >= ``min_df``, preserving
+    the order of the surviving lines. ``delimiter`` is the literal line
+    separator ("\\n" for prose; " " turns the same operator into a
+    frequent-token filter).
+
+    Returns (id_col, n_lines, n_removed, text_col) — original line
+    count, occurrences removed, and the reassembled cleaned text. Rows
+    with NULL text are dropped (no lines to speak of).
+
+    Shape (100 TB): stage 1 computes line document-frequencies with
+    per-batch pre-aggregation (per-doc DISTINCT lines via one Arrow
+    dictionary-encode, then a local count) before a bucketed combine —
+    the exchange moves one row per distinct line per batch, never one
+    per occurrence, and document bodies never shuffle. Stage 2 removes
+    the frequent set: broadcast once via ``ray.put`` + vectorized
+    ``pc.is_in`` when it fits (boilerplate sets are tiny relative to the
+    corpus — no shuffle at all), else an exploded ``left_anti`` join +
+    one id-bucket reassembly shuffle (same planner shape as B5/
+    ``drop_near_dups``)."""
+    from ..runtime import bucketed_group_agg
+
+    def _explode(t: pa.Table):
+        texts = pc.fill_null(t[text_col], "")
+        lines = pc.split_pattern(texts, pattern=delimiter)
+        flat = pc.list_flatten(lines).combine_chunks()
+        lens = (
+            pc.fill_null(pc.list_value_length(lines), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        return flat, lens, doc_idx
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "line": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+        t = t.filter(pc.is_valid(t[text_col]))
+        if len(t) == 0:
+            return empty
+        flat, _, doc_idx = _explode(t)
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndict = len(enc.dictionary)
+        # distinct (doc, line) pairs -> per-line distinct-doc count
+        pair_codes = np.unique(doc_idx * ndict + codes) % ndict
+        dfc = np.bincount(pair_codes, minlength=ndict).astype(np.int64)
+        return pa.table({"line": enc.dictionary, "df": pa.array(dfc)})
+
+    dfs = bucketed_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "line",
+        [("df", "sum")],
+    )
+    freq = dfs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))).select(
+            ["line"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_freq = freq.count()
+
+    base_cols = [id_col, text_col]
+
+    if n_freq <= max_broadcast_lines:
+        if n_freq == 0:
+            freq_arr = pa.array([], type=pa.string())
+        else:
+            parts = ray.get(freq.to_arrow_refs())
+            freq_arr = pa.concat_tables([p for p in parts if len(p)])[
+                "line"
+            ].combine_chunks()
+        freq_ref = ray.put(freq_arr)
+
+        def clean(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[text_col])).select(base_cols)
+            id_type = t.schema.field(id_col).type
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=id_type),
+                        "n_lines": pa.array([], type=pa.int64()),
+                        "n_removed": pa.array([], type=pa.int64()),
+                        text_col: pa.array([], type=pa.string()),
+                    }
+                )
+            value_set = ray.get(freq_ref)
+            flat, lens, doc_idx = _explode(t)
+            bad = np.asarray(
+                pc.fill_null(pc.is_in(flat, value_set=value_set), False).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            n_docs = len(t)
+            n_removed = np.bincount(
+                doc_idx[bad], minlength=n_docs
+            ).astype(np.int64)
+            kept = flat.filter(pa.array(~bad))
+            kept_per_doc = lens - n_removed
+            offsets = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(kept_per_doc, out=offsets[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()), kept
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_lines": pa.array(lens),
+                    "n_removed": pa.array(n_removed),
+                    text_col: pc.binary_join(la, pa.scalar(delimiter)),
+                }
+            )
+
+        return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- join fallback: frequent set too large to broadcast ----
+    from ..runtime import join_partitions, join_remote_args
+
+    def explode_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col])).select(base_cols)
+        id_type = t.schema.field(id_col).type
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=id_type),
+                    "__pos": pa.array([], type=pa.int64()),
+                    "line": pa.array([], type=pa.string()),
+                    "n_lines": pa.array([], type=pa.int64()),
+                }
+            )
+        flat, lens, doc_idx = _explode(t)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        ndocs = len(t)
+        # one NULL-line SENTINEL row per doc (__pos = -1): a NULL key
+        # never matches in the anti-join, so every doc survives to
+        # reassembly even when ALL of its lines are frequent — no
+        # second recovery join needed
+        sent = pa.table(
+            {
+                id_col: t[id_col],
+                "__pos": pa.array(np.full(ndocs, -1, dtype=np.int64)),
+                "line": pa.nulls(ndocs, type=pa.string()),
+                "n_lines": pa.array(lens),
+            }
+        )
+        body = pa.table(
+            {
+                id_col: t[id_col].take(pa.array(doc_idx)),
+                "__pos": pa.array(pos),
+                "line": flat,
+                "n_lines": pa.array(np.repeat(lens, lens)),
+            }
+        )
+        return pa.concat_tables([sent, body]).combine_chunks()
+
+    exploded = ds.map_batches(
+        explode_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = exploded.join(
+        freq,
+        join_type="left_anti",
+        num_partitions=join_partitions(num_partitions),
+        on=("line",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
+        if len(g) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=id_type),
+                    "n_lines": pa.array([], type=pa.int64()),
+                    "n_removed": pa.array([], type=pa.int64()),
+                    text_col: pa.array([], type=pa.string()),
+                }
+            )
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(id_col, "ascending"), ("__pos", "ascending")]
+            )
+        )
+        ids = g[id_col].combine_chunks()
+        n = len(g)
+        from .windows import _adjacent_change
+
+        new_doc = _adjacent_change(ids, n)
+        starts = np.flatnonzero(new_doc)
+        counts = np.diff(np.r_[starts, n]).astype(np.int64) - 1  # minus sentinel
+        nl = g["n_lines"].to_numpy(zero_copy_only=False).astype(np.int64)[starts]
+        lines = g["line"].combine_chunks()
+        kept_vals = lines.filter(pc.is_valid(lines))  # drop sentinels, order kept
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), kept_vals)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(starts)),
+                "n_lines": pa.array(nl),
+                "n_removed": pa.array(nl - counts),
+                text_col: pc.binary_join(la, pa.scalar(delimiter)),
+            }
+        )
+
+    def stamp_bucket(t: pa.Table) -> pa.Table:
+        from .windows import _bucket_ids
+
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[id_col], max(32, num_partitions)))
+        )
+
+    return (
+        kept.map_batches(stamp_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

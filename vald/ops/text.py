@@ -28,6 +28,8 @@ __all__ = [
     "fingerprints",
     "text_stats",
     "text_stats_table",
+    "repetition_stats",
+    "repetition_table",
 ]
 
 # Tiny per-language marker tables (top function words; zh detected by
@@ -301,6 +303,90 @@ def text_stats(
     nothing to amortize, so no actor pool)."""
     return ds.map_batches(
         lambda t: text_stats_table(t, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def repetition_table(
+    t: pa.Table, text_col: str, id_col: str, *, delimiter: str | None = None
+) -> pa.Table:
+    """Per-row token repetition stats (the Gopher-style duplicate-
+    unigram quality signal): n_tokens, n_distinct — dup fraction is
+    ``1 - n_distinct/n_tokens``. Tokenization is whitespace-run when
+    ``delimiter`` is None, else a literal-delimiter split (matching SQL
+    ``string_split(text, delimiter)``, which keeps empty tokens).
+
+    Fully vectorized: one Arrow split + one dictionary-encode, distinct
+    counting via np.unique over combined (row, code) keys — no per-row
+    Python. Rows with NULL text are dropped."""
+    t = t.filter(pc.is_valid(t[text_col]))
+    id_type = t.schema.field(id_col).type
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=id_type),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "n_distinct": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    texts = t[text_col]
+    if delimiter is None:
+        toks = pc.utf8_split_whitespace(texts)
+    else:
+        toks = pc.split_pattern(texts, pattern=delimiter)
+    flat = pc.list_flatten(toks).combine_chunks()
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    if delimiter is None:
+        # str.split() semantics: whitespace runs never produce empty
+        # tokens ("" splits to zero tokens; Arrow's kernel yields [""])
+        keep = np.asarray(
+            pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            lens = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+    if len(flat) == 0:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(lens),
+                "n_distinct": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndict = max(1, len(enc.dictionary))
+    pair_docs = np.unique(doc_idx * ndict + codes) // ndict
+    n_distinct = np.bincount(pair_docs, minlength=len(t)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "n_tokens": pa.array(lens),
+            "n_distinct": pa.array(n_distinct),
+        }
+    )
+
+
+def repetition_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str | None = None,
+) -> "ray.data.Dataset":
+    """Distributed per-document repetition stats — a stateless
+    ``map_batches`` stage (embarrassingly parallel, no shuffle)."""
+    return ds.map_batches(
+        lambda t: repetition_table(t, text_col, id_col, delimiter=delimiter),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

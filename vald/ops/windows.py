@@ -39,7 +39,7 @@ from ..hashing import stable_hash64
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
-__all__ = ["tumbling_window", "sliding_window", "sessionize", "cumulative"]
+__all__ = ["tumbling_window", "sliding_window", "sessionize", "cumulative", "lagged"]
 
 # B4's documented scaling rule: one shuffle group ≈ one task's memory
 _ROWS_PER_BUCKET = 5_000_000
@@ -378,6 +378,86 @@ def cumulative(
         return out.append_column(
             "cum_n", pa.array(cum_n, type=pa.int64())
         ).append_column("cum_sum", pa.array(cum_sum, type=pa.float64()))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def lagged(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: Sequence[str],
+    val_col: str,
+    *,
+    offset: int = 1,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_BUCKET,
+    min_buckets: int = _MIN_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key shifted value in ``order_cols`` order — the SQL window
+    functions ``LAG(val, offset)`` (``offset > 0``) and
+    ``LEAD(val, -offset)`` (``offset < 0``): emits one row per input
+    row with ``out_col`` holding the value ``offset`` rows earlier in
+    the same key partition, NULL where that row does not exist
+    (including the first ``offset`` rows of every key, exactly the SQL
+    default-NULL behavior).
+
+    ``order_cols`` must be a TOTAL order within each key (same
+    requirement ``cumulative`` documents) or the shift target is
+    ambiguous. ``val_col`` may be any Arrow type (the shift is an Arrow
+    ``take`` with a null index mask, not a numeric cast) and may also
+    be one of the key/order columns.
+
+    Partitioning: identical single key-hash shuffle as ``sessionize`` /
+    ``cumulative`` — all rows of one key land in one bucket task, so
+    shifts never cross tasks; ``num_buckets`` follows the B4
+    data-scaled rule and results are bucket-count-invariant. Rows with
+    a NULL key or NULL order column are dropped (documented in
+    ``cumulative``)."""
+    if offset == 0:
+        raise ValueError("offset must be non-zero (0 is the row itself)")
+    if num_buckets is None:
+        num_buckets = max(min_buckets, math.ceil(ds.count() / rows_per_bucket))
+    order_cols = list(order_cols)
+    name = out_col or (f"lag_{val_col}" if offset > 0 else f"lead_{val_col}")
+    keep = list(dict.fromkeys([key_col, *order_cols, val_col]))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t[key_col])
+        for oc in order_cols:
+            m = pc.and_(m, pc.is_valid(t[oc]))
+        t = t.filter(m).select(keep)
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[key_col], num_buckets))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = len(g)
+        val_type = g.schema.field(val_col).type
+        if n == 0:
+            return g.select(keep).slice(0, 0).append_column(
+                name, pa.array([], type=val_type)
+            )
+        order = pc.sort_indices(
+            g,
+            sort_keys=[(key_col, "ascending")]
+            + [(oc, "ascending") for oc in order_cols],
+        )
+        g = g.take(order)
+        keys = g[key_col].combine_chunks()
+        new_key = _adjacent_change(keys, n)
+        seg_id = np.cumsum(new_key) - 1
+        idx = np.arange(n, dtype=np.int64) - offset
+        ok = (idx >= 0) & (idx < n)
+        ok[ok] &= seg_id[idx[ok]] == seg_id[ok]
+        # Arrow take with a masked index array: invalid slots -> NULL
+        take_idx = pa.array(np.where(ok, idx, 0), type=pa.int64(), mask=~ok)
+        shifted = g[val_col].combine_chunks().take(take_idx)
+        return g.select(keep).append_column(name, shifted)
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)

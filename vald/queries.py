@@ -2072,6 +2072,155 @@ def q_rollup(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# B18 LAG window: per-user inter-event gap via ops.windows.lagged
+# (oracle = SQL LAG window function)
+# ---------------------------------------------------------------------------
+
+
+def q_lag(sf_dir: str):
+    """Per-user gap to the previous event in (ts, event_id) order.
+    First event per user (NULL lag) is filtered on BOTH sides so the
+    value hash never rides on NULL encoding; rows with a NULL key or
+    order column are dropped by the operator (oracle mirrors)."""
+    from .ops.windows import lagged
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    lg = lagged(ev, "user_id", ("ts", "event_id"), "ts", offset=1, out_col="prev_ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev_ts"]))
+        gap = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["prev_ts"], pa.int64())
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "gap_us": gap}
+        )
+
+    out = lg.map_batches(finish, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("gap_us", pa.int64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 EXISTS semi-join with a cross-table predicate (TPC-H Q4 shape):
+# fact side pre-aggregated to max(l_shipdate) per orderkey (bucketed
+# combine — one row per distinct key crosses the exchange), native hash
+# join (barriered per BENCH note 12), tiny final groupby stays native
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority(sf_dir: str):
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"l_orderkey": t["l_orderkey"], "max_ship": t["l_shipdate"]})
+            .drop_null()
+            .group_by("l_orderkey", use_threads=False)
+            .aggregate([("max_ship", "max")])
+        )
+        return agg.rename_columns(["l_orderkey", "max_ship"])
+
+    mx = bucketed_group_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "l_orderkey",
+        [("max_ship", "max")],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = orders.join(
+        join_barrier(mx),
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def exists_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(pc.greater(t["max_ship"], t["o_orderdate"]), False))
+        agg = (
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            )
+            .group_by("o_orderpriority", use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        return agg.rename_columns(["o_orderpriority", "n"])
+
+    out = (
+        joined.map_batches(exists_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")  # ≤ 5 priorities: native path
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(
+        out, pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: corpus-level frequent-line removal (CCNet/RefinedWeb
+# boilerplate dedup, ops.dedup.line_dedup_ds). delimiter=' ' makes the
+# same operator a frequent-token filter the oracle reproduces with
+# string_split + unnest (testdata docs are single-line).
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(sf_dir: str):
+    from .ops.dedup import line_dedup_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = line_dedup_ds(ds, "text", "doc_id", min_df=300, delimiter=" ").map_batches(
+        lambda t: t.select(["doc_id", "n_lines", "n_removed"]),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_lines", pa.int64()), ("n_removed", pa.int64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: per-doc token repetition (the Gopher-style duplicate
+# unigram quality signal, ops.text.repetition_stats) — stateless
+# map_batches stage, no shuffle; literal-space split matches SQL
+# string_split semantics exactly (keeps empty tokens)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition(sf_dir: str):
+    from .ops.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repetition_stats(ds, "text", "doc_id", delimiter=" ")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_distinct", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -2133,6 +2282,10 @@ QUERIES = {
     "q_corpus_verdicts": q_corpus_verdicts,
     "q_corpus_violations": q_corpus_violations,
     "q_cumulative": q_cumulative,
+    "q_lag": q_lag,
+    "q_order_priority": q_order_priority,
+    "q_line_dedup": q_line_dedup,
+    "q_repetition": q_repetition,
     "q_cust_order_counts": q_cust_order_counts,
     "q_rollup": q_rollup,
 }
@@ -2437,6 +2590,35 @@ ORACLE_SQL = {
         "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "q_lag": (
+        "SELECT event_id, user_id, "
+        "CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us FROM ("
+        "SELECT event_id, user_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL) WHERE prev_ts IS NOT NULL"
+    ),
+    "q_order_priority": (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY 1"
+    ),
+    "q_line_dedup": (
+        "WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line "
+        "FROM documents WHERE text IS NOT NULL), "
+        "f AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l) "
+        "GROUP BY line HAVING count(*) >= 300) "
+        "SELECT doc_id, count(*)::BIGINT AS n_lines, "
+        "CAST(sum(CASE WHEN line IN (SELECT line FROM f) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_removed FROM l GROUP BY doc_id"
+    ),
+    "q_repetition": (
+        "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+        "count(DISTINCT line)::BIGINT AS n_distinct FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS line "
+        "FROM documents WHERE text IS NOT NULL) GROUP BY doc_id"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
