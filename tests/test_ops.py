@@ -591,3 +591,119 @@ class TestRepetitionStats:
         # 'a', '', 'a' — matches SQL string_split semantics
         assert out["n_tokens"].tolist() == [3]
         assert out["n_distinct"].tolist() == [2]
+
+
+class TestDupSpans:
+    def _docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    "the cat sat on the mat",
+                    "a cat sat on the rug",
+                    "the cat sat on the mat too",
+                    None,
+                    "tiny doc",  # < width tokens: zero windows, omitted
+                ],
+            }
+        )
+
+    def _brute(self, width=4, min_df=2):
+        texts = {1: "the cat sat on the mat", 2: "a cat sat on the rug",
+                 3: "the cat sat on the mat too", 5: "tiny doc"}
+        df = {}
+        wins = {}
+        for d, tx in texts.items():
+            tk = tx.split()
+            wins[d] = [" ".join(tk[i:i + width]) for i in range(len(tk) - width + 1)]
+            for w in set(wins[d]):
+                df[w] = df.get(w, 0) + 1
+        freq = {w for w, c in df.items() if c >= min_df}
+        return {
+            d: (len(ws), sum(w in freq for w in ws))
+            for d, ws in wins.items()
+            if len(ws) > 0
+        }
+
+    @pytest.mark.parametrize("broadcast", [2_000_000, 0])
+    def test_matches_bruteforce_both_paths(self, ray_session, broadcast):
+        from vald.ops.dedup import dup_span_stats_ds
+
+        out = (
+            dup_span_stats_ds(
+                ray.data.from_arrow(self._docs()),
+                "text",
+                "doc_id",
+                width=4,
+                min_df=2,
+                max_broadcast_grams=broadcast,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        ref = self._brute()
+        assert out["doc_id"].tolist() == sorted(ref)
+        for _, r in out.iterrows():
+            nw, nd = ref[r["doc_id"]]
+            assert (r["n_windows"], r["n_dup_windows"]) == (nw, nd)
+
+
+class TestPackSequences:
+    def test_invariants_and_determinism(self, ray_session):
+        from vald.ops.pack import pack_sequences
+
+        rng = np.random.default_rng(5)
+        n = 500
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "n_chars": pa.array(
+                    rng.integers(1, 900, n), type=pa.int64()
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        a = (
+            pack_sequences(ds, "doc_id", "n_chars", cap=2000, num_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_sequences(ds, "doc_id", "n_chars", cap=2000, num_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)  # deterministic at fixed bucket count
+        assert sorted(a["doc_id"]) == list(range(n))  # every doc exactly once
+        sums = a.groupby("pack_id")["n_chars"].sum()
+        sizes = a.groupby("pack_id")["doc_id"].count()
+        # capacity: multi-doc packs never exceed cap
+        assert (sums[sizes > 1] <= 2000).all()
+        # pack_pos is 0..k-1 within each pack
+        assert (
+            a.sort_values(["pack_id", "pack_pos"])
+            .groupby("pack_id")["pack_pos"]
+            .apply(lambda s: s.tolist() == list(range(len(s))))
+            .all()
+        )
+
+    def test_oversized_doc_gets_own_pack(self, ray_session):
+        from vald.ops.pack import pack_sequences
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "n_chars": pa.array([5000, 10, 10], type=pa.int64()),
+            }
+        )
+        out = (
+            pack_sequences(
+                ray.data.from_arrow(t), "doc_id", "n_chars", cap=100, num_buckets=1
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        big_pack = out[out.doc_id == 1]["pack_id"].iloc[0]
+        assert (out[out.pack_id == big_pack]["doc_id"] == 1).all()

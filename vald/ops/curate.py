@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-__all__ = ["CurationReport", "curate_corpus"]
+__all__ = ["CurationReport", "curate_corpus", "quantile_filter"]
 
 
 @dataclass
@@ -271,3 +271,35 @@ def _near_dup_stage(
     if counts:
         rep.n_after_near_dedup = ds.count()
     return ds, rep
+
+
+def quantile_filter(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    *,
+    keep_upper: bool = True,
+) -> "ray.data.Dataset":
+    """Quality filtering by a GLOBAL quantile threshold (the standard
+    percentile cut in curation pipelines: keep docs whose score clears
+    the corpus p-quantile). Computes the exact interpolated quantile
+    with Ray's sort-based ``Quantile`` aggregate in one pass over just
+    ``col``, then applies the scalar threshold with a vectorized
+    compare — the corpus itself streams, only the score column is
+    sorted. ``keep_upper`` keeps rows >= threshold (quality floor),
+    else rows <= threshold (outlier trim). NULL scores never pass
+    (SQL-comparison semantics); the matching oracle is
+    ``WHERE col >= (SELECT quantile_cont(col, q) FROM t)``."""
+    from ray.data.aggregate import Quantile
+
+    thr = ds.select_columns([col]).aggregate(Quantile(col, q=q, alias_name="__q"))[
+        "__q"
+    ]
+    if thr is None:  # empty input / all-null column: nothing can pass
+        return ds.filter(lambda row: False)
+    op = pc.greater_equal if keep_upper else pc.less_equal
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(op(t[col], pa.scalar(thr)), False))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -50,6 +50,7 @@ __all__ = [
     "jaccard_pairs",
     "jaccard_pairs_ds",
     "line_dedup_ds",
+    "dup_span_stats_ds",
 ]
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -1765,4 +1766,284 @@ def line_dedup_ds(
         kept.map_batches(stamp_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(reassemble, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-passage detection (token n-gram spans shared across docs)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats_ds(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    width: int = 4,
+    min_df: int = 2,
+    max_broadcast_grams: int = 2_000_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Duplicate-passage statistics: for every doc, how many of its
+    token ``width``-grams (sliding window, stride 1, whitespace tokens)
+    also appear in >= ``min_df`` distinct documents — the cross-doc
+    span-duplication signal behind substring-dedup pipelines (public
+    "deduplicating training data" recipe), computed EXACTLY on the gram
+    strings (no hash-collision approximation, so a SQL oracle can
+    reproduce it).
+
+    Returns (id_col, n_windows, n_dup_windows); docs with fewer than
+    ``width`` tokens have zero windows and are omitted (mirrors the SQL
+    formulation). Rows with NULL text are dropped.
+
+    Shape (100 TB): gram construction is w Arrow slices +
+    ``binary_join_element_wise`` (no per-row Python); stage 1 ships one
+    row per distinct gram per batch (per-doc DISTINCT via one
+    dictionary-encode) into a bucketed combine; stage 2 broadcasts the
+    frequent-gram set when it fits (``ray.put`` once, ``pc.is_in`` per
+    batch — duplicated passages are rare relative to the corpus), else
+    falls back to an exploded inner join + per-doc count + LEFT OUTER
+    join back to the window totals (same planner shape as B5)."""
+    from ..runtime import bucketed_group_agg
+
+    def _grams(t: pa.Table):
+        """(grams, doc_idx, n_windows_per_doc) for non-null-text rows."""
+        texts = pc.fill_null(t[text_col], "")
+        toks = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = (
+            pc.fill_null(pc.list_value_length(toks), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # str.split() semantics: drop empty tokens (Arrow yields [""]
+        # for an empty string)
+        doc_idx_tok = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        nonempty = np.asarray(
+            pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        if not nonempty.all():
+            flat = flat.filter(pa.array(nonempty))
+            doc_idx_tok = doc_idx_tok[nonempty]
+            lens = np.bincount(doc_idx_tok, minlength=len(t)).astype(np.int64)
+        m = len(flat)
+        nw = np.maximum(lens - width + 1, 0)
+        if m < width:
+            return pa.array([], type=pa.string()), np.empty(0, np.int64), nw
+        k = m - width + 1
+        slices = [flat.slice(j, k) for j in range(width)]
+        grams = pc.binary_join_element_wise(*slices, pa.scalar(" "))
+        # a window is valid iff it does not cross a doc boundary
+        valid = doc_idx_tok[:k] == doc_idx_tok[width - 1 :]
+        grams = grams.filter(pa.array(valid))
+        if isinstance(grams, pa.ChunkedArray):
+            grams = grams.combine_chunks()
+        return grams, doc_idx_tok[:k][valid], nw
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+        t = t.filter(pc.is_valid(t[text_col]))
+        if len(t) == 0:
+            return empty
+        grams, doc_idx, _ = _grams(t)
+        if len(grams) == 0:
+            return empty
+        enc = grams.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndict = len(enc.dictionary)
+        pair_codes = np.unique(doc_idx * ndict + codes) % ndict
+        dfc = np.bincount(pair_codes, minlength=ndict).astype(np.int64)
+        return pa.table({"gram": enc.dictionary, "df": pa.array(dfc)})
+
+    dfs = bucketed_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "gram",
+        [("df", "sum")],
+    )
+    freq = dfs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))).select(
+            ["gram"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_freq = freq.count()
+
+    def _out_schema(id_type):
+        return pa.table(
+            {
+                id_col: pa.array([], type=id_type),
+                "n_windows": pa.array([], type=pa.int64()),
+                "n_dup_windows": pa.array([], type=pa.int64()),
+            }
+        )
+
+    if n_freq <= max_broadcast_grams:
+        if n_freq == 0:
+            freq_arr = pa.array([], type=pa.string())
+        else:
+            parts = ray.get(freq.to_arrow_refs())
+            freq_arr = pa.concat_tables([p for p in parts if len(p)])[
+                "gram"
+            ].combine_chunks()
+        freq_ref = ray.put(freq_arr)
+
+        def stats(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[text_col]))
+            id_type = t.schema.field(id_col).type
+            if len(t) == 0:
+                return _out_schema(id_type)
+            value_set = ray.get(freq_ref)
+            grams, doc_idx, nw = _grams(t)
+            ndocs = len(t)
+            if len(grams):
+                bad = np.asarray(
+                    pc.fill_null(
+                        pc.is_in(grams, value_set=value_set), False
+                    ).to_numpy(zero_copy_only=False),
+                    dtype=bool,
+                )
+                ndup = np.bincount(doc_idx[bad], minlength=ndocs).astype(np.int64)
+            else:
+                ndup = np.zeros(ndocs, dtype=np.int64)
+            keep = nw > 0  # mirror SQL: zero-window docs have no rows
+            return pa.table(
+                {
+                    id_col: t[id_col].filter(pa.array(keep)),
+                    "n_windows": pa.array(nw[keep]),
+                    "n_dup_windows": pa.array(ndup[keep]),
+                }
+            )
+
+        return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- fallback: frequent-gram set too large to broadcast ----
+    # join-free shape: co-group exploded occurrences with the frequent
+    # grams by gram-hash bucket (one groupby), emit per-doc dup-count
+    # partials, then one bucketed per-doc sum over (window totals ∪
+    # dup partials). Avoids Ray 2.49 joins over join-derived inputs
+    # (empty partitions surface schema-less blocks that crash Acero).
+    from .windows import _bucket_ids
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    gram_buckets = max(64, num_partitions)
+
+    def occ_tagged(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=id_type),
+                    "__n": pa.array([], type=pa.int64()),
+                    "__isfreq": pa.array([], type=pa.int8()),
+                }
+            )
+        grams, doc_idx, _ = _grams(t)
+        # pre-aggregate per (gram, doc) so the exchange moves distinct
+        # pairs with an occurrence count, never one row per window
+        occ = pa.table(
+            {"gram": grams, id_col: t[id_col].take(pa.array(doc_idx))}
+        )
+        agg = occ.group_by(["gram", id_col], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        agg = agg.rename_columns(["gram", id_col, "__n"])
+        return pa.table(
+            {
+                "gram": agg["gram"],
+                id_col: agg[id_col],
+                "__n": pc.cast(agg["__n"], pa.int64()),
+                "__isfreq": pa.array(np.zeros(len(agg), dtype=np.int8)),
+            }
+        )
+
+    freq_tagged = freq.map_batches(
+        lambda t: pa.table(
+            {
+                "gram": t["gram"],
+                id_col: pa.nulls(len(t), type=id_type),
+                "__n": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "__isfreq": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["gram"], gram_buckets))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=id_type),
+                "n_windows": pa.array([], type=pa.int64()),
+                "n_dup_windows": pa.array([], type=pa.int64()),
+            }
+        )
+        isf = pc.equal(g["__isfreq"], pa.scalar(1, type=pa.int8()))
+        fr = g.filter(isf)["gram"].combine_chunks()
+        occ = g.filter(pc.invert(isf))
+        if len(occ) == 0 or len(fr) == 0:
+            return empty
+        bad = pc.fill_null(pc.is_in(occ["gram"], value_set=fr), False)
+        occd = occ.filter(bad)
+        if len(occd) == 0:
+            return empty
+        agg = (
+            occd.select([id_col, "__n"])
+            .group_by(id_col, use_threads=False)
+            .aggregate([("__n", "sum")])
+        )
+        agg = agg.rename_columns([id_col, "n_dup_windows"])
+        return pa.table(
+            {
+                id_col: agg[id_col],
+                "n_windows": pa.array(np.zeros(len(agg), dtype=np.int64)),
+                "n_dup_windows": pc.cast(agg["n_dup_windows"], pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(occ_tagged, batch_format="pyarrow", zero_copy_batch=True)
+        .union(freq_tagged)
+        .map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=id_type),
+                    "n_windows": pa.array([], type=pa.int64()),
+                    "n_dup_windows": pa.array([], type=pa.int64()),
+                }
+            )
+        _, _, nw = _grams(t)
+        keep = nw > 0  # mirror SQL: zero-window docs have no rows
+        kt = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: kt[id_col],
+                "n_windows": pa.array(nw[keep]),
+                "n_dup_windows": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    base = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_agg(
+        base.union(partials),
+        id_col,
+        [("n_windows", "sum"), ("n_dup_windows", "sum")],
     )

@@ -44,3 +44,38 @@ def hash_sample(
         return t.filter(pa.array(valid & (h < threshold)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key: str,
+    n: int,
+) -> "ray.data.Dataset":
+    """Deterministic fixed-``n``-per-group sample (balanced subsampling
+    for curation): keep the ``n`` rows whose Knuth hash of ``key`` is
+    smallest within each ``group_col`` value. Seedless and
+    repartition-stable like ``hash_sample``; the SQL twin is
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    (key*2654435761)%2**32, key) <= n``.
+
+    Built on ``ops.rank.grouped_topk`` (per-batch partial top-k
+    combiner before the shuffle), so the exchange moves at most
+    ``n × groups`` rows per batch. Same int64-domain note as
+    ``hash_sample``; NULL keys/groups are dropped."""
+    import pyarrow.compute as pc
+
+    from .rank import grouped_topk
+
+    def stamp(t: pa.Table) -> pa.Table:
+        col = t[key]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        k = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * _KNUTH) % _M32
+        return t.filter(pa.array(valid)).append_column(
+            "__h", pa.array(h[valid], type=pa.int64())
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(stamped, group_col, "__h", key, n, descending=False)
+    return out.drop_columns(["__h", "rn"])

@@ -2221,6 +2221,100 @@ def q_repetition(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# B13 stratified sampling: deterministic fixed-n-per-group subsample
+# (ops.sample.stratified_sample = Knuth-hash order + grouped_topk) —
+# oracle = ROW_NUMBER() over the same hash, QUALIFY <= n
+# ---------------------------------------------------------------------------
+
+
+def q_stratified(sf_dir: str):
+    from .ops.sample import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = stratified_sample(ds, "event_type", "event_id", 20)
+    return _ensure_schema(
+        out, pa.schema([("event_id", pa.int64()), ("event_type", pa.string())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation: global-quantile quality cut (ops.curate.quantile_filter) —
+# one sorted pass over the score column, scalar threshold broadcast,
+# corpus streams through a vectorized compare
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_filter(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        # NaN exclusion for float parity with the oracle isnan guard
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t["value"]),
+                pc.fill_null(pc.invert(pc.is_nan(t["value"])), True),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    from .ops.curate import quantile_filter
+
+    out = quantile_filter(ds, "value", 0.9)
+    return _ensure_schema(
+        out, pa.schema([("event_id", pa.int64()), ("value", pa.float64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: duplicate-passage detection (ops.dedup.
+# dup_span_stats_ds) — per-doc count of token 4-grams shared with >= 2
+# distinct docs, EXACT on gram strings so the oracle reproduces it with
+# list indexing + LATERAL generate_series
+# ---------------------------------------------------------------------------
+
+
+def q_dup_passages(sf_dir: str):
+    from .ops.dedup import dup_span_stats_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_span_stats_ds(ds, "text", "doc_id", width=4, min_df=2)
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_windows", pa.int64()),
+                ("n_dup_windows", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: sequence packing (ops.pack.pack_sequences) —
+# next-fit-decreasing into fixed-capacity context windows, bucket-local
+# greedy (rows-only: greedy packing has no SQL formulation; invariants
+# are pytest-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_pack(sf_dir: str):
+    from .ops.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = pack_sequences(ds, "doc_id", "n_chars", cap=2000, num_buckets=8)
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("pack_id", pa.int64()),
+                ("pack_pos", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -2286,6 +2380,10 @@ QUERIES = {
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
     "q_repetition": q_repetition,
+    "q_stratified": q_stratified,
+    "q_quantile_filter": q_quantile_filter,
+    "q_dup_passages": q_dup_passages,
+    "q_pack": q_pack,
     "q_cust_order_counts": q_cust_order_counts,
     "q_rollup": q_rollup,
 }
@@ -2619,6 +2717,30 @@ ORACLE_SQL = {
         "count(DISTINCT line)::BIGINT AS n_distinct FROM ("
         "SELECT doc_id, unnest(string_split(text, ' ')) AS line "
         "FROM documents WHERE text IS NOT NULL) GROUP BY doc_id"
+    ),
+    "q_stratified": (
+        "SELECT event_id, event_type FROM events "
+        "WHERE event_id IS NOT NULL AND event_type IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 20"
+    ),
+    "q_quantile_filter": (
+        "SELECT event_id, value FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(value) AND value >= ("
+        "SELECT quantile_cont(value, 0.9) FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(value))"
+    ),
+    "q_dup_passages": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS gram "
+        "FROM d, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(l)-3, 0))) AS i) g), "
+        "f AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w) "
+        "GROUP BY gram HAVING count(*) >= 2) "
+        "SELECT doc_id, count(*)::BIGINT AS n_windows, "
+        "CAST(sum(CASE WHEN gram IN (SELECT gram FROM f) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_windows FROM w GROUP BY doc_id"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
