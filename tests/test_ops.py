@@ -707,3 +707,177 @@ class TestPackSequences:
         )
         big_pack = out[out.doc_id == 1]["pack_id"].iloc[0]
         assert (out[out.pack_id == big_pack]["doc_id"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# decontamination (ops.decontam)
+# ---------------------------------------------------------------------------
+
+
+class TestDecontam:
+    WIDTH = 3
+
+    @staticmethod
+    def _brute_grams(text: str, width: int) -> set[str]:
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + width])
+            for i in range(max(len(toks) - width + 1, 0))
+        }
+
+    def _corpus(self):
+        texts = [
+            "alpha beta gamma delta epsilon zeta",          # eval doc
+            "zzz alpha beta gamma yyy xxx",                  # overlaps eval
+            "one two three four five six seven",             # clean
+            "delta epsilon zeta eta theta",                  # overlaps eval
+            "short txt",                                     # < width tokens
+            None,                                            # NULL text
+            "unrelated words entirely here today",           # clean
+        ]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        return ray.data.from_arrow(t), texts
+
+    def test_stats_matches_bruteforce(self, ray_session):
+        from vald.ops.decontam import decontaminate
+
+        ds, texts = self._corpus()
+        eval_ds = ray.data.from_arrow(
+            pa.table({"doc_id": [0], "text": [texts[0]]})
+        )
+        out = (
+            decontaminate(ds, eval_ds, "text", "doc_id", width=self.WIDTH)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        eval_grams = self._brute_grams(texts[0], self.WIDTH)
+        for i, txt in enumerate(texts):
+            if txt is None:
+                assert i not in out.index
+                continue
+            toks = txt.split()
+            nw = max(len(toks) - self.WIDTH + 1, 0)
+            if nw == 0:
+                assert i not in out.index
+                continue
+            hits = sum(
+                1
+                for j in range(nw)
+                if " ".join(toks[j : j + self.WIDTH]) in eval_grams
+            )
+            assert out.loc[i, "n_windows"] == nw
+            assert out.loc[i, "n_eval_windows"] == hits, f"doc {i}"
+
+    def test_filter_drops_contaminated_keeps_rest(self, ray_session):
+        from vald.ops.decontam import decontaminate
+
+        ds, texts = self._corpus()
+        eval_ds = ray.data.from_arrow(
+            pa.table({"doc_id": [0], "text": [texts[0]]})
+        )
+        kept = set(
+            decontaminate(
+                ds, eval_ds, "text", "doc_id", width=self.WIDTH, mode="filter"
+            )
+            .to_pandas()["doc_id"]
+            .dropna()
+        )
+        # contaminated: 0 (the eval doc itself), 1, 3; the NULL-text row
+        # (5) and the too-short doc (4) cannot be contaminated → kept
+        assert kept == {2, 4, 5, 6}
+
+    def test_empty_eval_set_flags_nothing(self, ray_session):
+        from vald.ops.decontam import decontaminate
+
+        ds, texts = self._corpus()
+        eval_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+        out = decontaminate(
+            ds, eval_ds, "text", "doc_id", width=self.WIDTH
+        ).to_pandas()
+        assert (out["n_eval_windows"] == 0).all()
+        n_docs = sum(
+            1
+            for x in texts
+            if x is not None and len(x.split()) >= self.WIDTH
+        )
+        assert len(out) == n_docs
+
+    def test_eval_gram_bound_enforced(self, ray_session):
+        from vald.ops.decontam import decontaminate
+
+        ds, texts = self._corpus()
+        eval_ds = ray.data.from_arrow(
+            pa.table({"doc_id": [0], "text": [texts[0]]})
+        )
+        with pytest.raises(ValueError, match="max_eval_grams"):
+            decontaminate(
+                ds, eval_ds, "text", "doc_id", width=self.WIDTH,
+                max_eval_grams=1,
+            )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (ops.text.regex_stats / scrub_text)
+# ---------------------------------------------------------------------------
+
+
+class TestPii:
+    def _corpus(self):
+        texts = [
+            "reach me at alice.smith+dev@example.co.uk or bob@x.io thanks",
+            "server 192.168.0.1 and 10.0.0.255 are up",
+            "call +1 555-123-4567 today; ssn 123-45-6789 on file",
+            "no pii at all in this document",
+            None,
+        ]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        return ray.data.from_arrow(t)
+
+    def test_preset_counts(self, ray_session):
+        out = (
+            TX.regex_stats(self._corpus(), "text", "doc_id")
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out.loc[0, ["n_email", "n_ipv4", "n_phone", "n_ssn"]]) == [2, 0, 0, 0]
+        assert out.loc[1, "n_ipv4"] == 2
+        assert out.loc[2, "n_phone"] == 1 and out.loc[2, "n_ssn"] == 1
+        assert out.loc[3].sum() == 0
+        assert out.loc[4].sum() == 0  # NULL text counts as zero hits
+
+    def test_scrub_redacts_and_preserves_null(self, ray_session):
+        out = (
+            TX.scrub_text(self._corpus(), "text")
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert "<EMAIL>" in out.loc[0, "text"] and "@" not in out.loc[0, "text"]
+        assert "<IPV4>" in out.loc[1, "text"] and "192.168" not in out.loc[1, "text"]
+        assert "<PHONE>" in out.loc[2, "text"] and "<SSN>" in out.loc[2, "text"]
+        assert out.loc[3, "text"] == "no pii at all in this document"
+        assert out.loc[4, "text"] is None or out.loc[4, "text"] != out.loc[4, "text"]
+
+    def test_scrub_out_col_and_single_replacement(self, ray_session):
+        out = (
+            TX.scrub_text(
+                self._corpus(), "text",
+                {"email": TX.PII_PATTERNS["email"]},
+                replacement="[X]", out_col="clean",
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert "[X]" in out.loc[0, "clean"]
+        # original column untouched when scrubbing into out_col
+        assert "@" in out.loc[0, "text"]

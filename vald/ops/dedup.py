@@ -1774,6 +1774,47 @@ def line_dedup_ds(
 # ---------------------------------------------------------------------------
 
 
+def token_grams(t: pa.Table, text_col: str, width: int):
+    """(grams, doc_idx, n_windows_per_doc) for non-null-text rows of a
+    batch: every token ``width``-gram (sliding window, stride 1,
+    whitespace tokens, ``' '``-joined) plus the row index it came from.
+    Pure Arrow/numpy: tokenize once, build grams as ``width`` shifted
+    Arrow slices joined element-wise — no per-row Python. Shared by
+    ``dup_span_stats_ds`` and ``vald.ops.decontam``."""
+    texts = pc.fill_null(t[text_col], "")
+    toks = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(toks).combine_chunks()
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # str.split() semantics: drop empty tokens (Arrow yields [""]
+    # for an empty string)
+    doc_idx_tok = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    nonempty = np.asarray(
+        pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx_tok = doc_idx_tok[nonempty]
+        lens = np.bincount(doc_idx_tok, minlength=len(t)).astype(np.int64)
+    m = len(flat)
+    nw = np.maximum(lens - width + 1, 0)
+    if m < width:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64), nw
+    k = m - width + 1
+    slices = [flat.slice(j, k) for j in range(width)]
+    grams = pc.binary_join_element_wise(*slices, pa.scalar(" "))
+    # a window is valid iff it does not cross a doc boundary
+    valid = doc_idx_tok[:k] == doc_idx_tok[width - 1 :]
+    grams = grams.filter(pa.array(valid))
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    return grams, doc_idx_tok[:k][valid], nw
+
+
 def dup_span_stats_ds(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -1807,39 +1848,7 @@ def dup_span_stats_ds(
     from ..runtime import bucketed_group_agg
 
     def _grams(t: pa.Table):
-        """(grams, doc_idx, n_windows_per_doc) for non-null-text rows."""
-        texts = pc.fill_null(t[text_col], "")
-        toks = pc.utf8_split_whitespace(texts)
-        flat = pc.list_flatten(toks).combine_chunks()
-        lens = (
-            pc.fill_null(pc.list_value_length(toks), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        # str.split() semantics: drop empty tokens (Arrow yields [""]
-        # for an empty string)
-        doc_idx_tok = np.repeat(np.arange(len(t), dtype=np.int64), lens)
-        nonempty = np.asarray(
-            pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False),
-            dtype=bool,
-        )
-        if not nonempty.all():
-            flat = flat.filter(pa.array(nonempty))
-            doc_idx_tok = doc_idx_tok[nonempty]
-            lens = np.bincount(doc_idx_tok, minlength=len(t)).astype(np.int64)
-        m = len(flat)
-        nw = np.maximum(lens - width + 1, 0)
-        if m < width:
-            return pa.array([], type=pa.string()), np.empty(0, np.int64), nw
-        k = m - width + 1
-        slices = [flat.slice(j, k) for j in range(width)]
-        grams = pc.binary_join_element_wise(*slices, pa.scalar(" "))
-        # a window is valid iff it does not cross a doc boundary
-        valid = doc_idx_tok[:k] == doc_idx_tok[width - 1 :]
-        grams = grams.filter(pa.array(valid))
-        if isinstance(grams, pa.ChunkedArray):
-            grams = grams.combine_chunks()
-        return grams, doc_idx_tok[:k][valid], nw
+        return token_grams(t, text_col, width)
 
     def df_partial(t: pa.Table) -> pa.Table:
         empty = pa.table(

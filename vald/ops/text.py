@@ -390,3 +390,93 @@ def repetition_stats(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (regex extraction machinery)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (pyarrow's regex kernels and DuckDB both embed RE2,
+# so engine and oracle semantics agree by construction). These are the
+# standard curation-pipeline PII classes; callers pass their own dict to
+# regex_stats/scrub_text for anything else.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[ \-.]?\(?\d{2,4}\)?[ \-.]?\d{3,4}[ \-.]?\d{3,4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def regex_stats_table(
+    t: pa.Table, text_col: str, id_col: str, patterns: dict[str, str]
+) -> pa.Table:
+    """Per-row non-overlapping match counts for each named pattern —
+    one vectorized ``pc.count_substring_regex`` call per pattern (RE2
+    compiled once inside Arrow per kernel call; zero per-row Python)."""
+    texts = pc.fill_null(t[text_col], "")
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {id_col: t[id_col]}
+    for name, pat in patterns.items():
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(texts, pat), pa.int64()
+        )
+    return pa.table(cols)
+
+
+def regex_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """Per-document PII/pattern hit counts (stateless, no shuffle).
+    Default patterns = ``PII_PATTERNS``."""
+    pats = dict(PII_PATTERNS if patterns is None else patterns)
+    return ds.map_batches(
+        lambda t: regex_stats_table(t, text_col, id_col, pats),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def scrub_table(
+    t: pa.Table,
+    text_col: str,
+    patterns: dict[str, str],
+    *,
+    replacement: str | None = None,
+    out_col: str | None = None,
+) -> pa.Table:
+    """Redact every match of every pattern. Each class is replaced by
+    ``<NAME>`` (e.g. ``<EMAIL>``) unless a single ``replacement`` token
+    is given. NULL text stays NULL."""
+    out = pc.fill_null(t[text_col], "")
+    for name, pat in patterns.items():
+        repl = replacement if replacement is not None else f"<{name.upper()}>"
+        out = pc.replace_substring_regex(out, pat, repl)
+    out = pc.if_else(pc.is_valid(t[text_col]), out, pa.scalar(None, pa.string()))
+    dest = out_col or text_col
+    if dest in t.column_names:
+        return t.set_column(t.column_names.index(dest), dest, out)
+    return t.append_column(dest, out)
+
+
+def scrub_text(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    *,
+    replacement: str | None = None,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """PII scrubbing as a streaming stage: ``replace_substring_regex``
+    per pattern, in place (or into ``out_col``). Embarrassingly
+    parallel — the 100-TB path is exactly this per-batch kernel."""
+    pats = dict(PII_PATTERNS if patterns is None else patterns)
+    return ds.map_batches(
+        lambda t: scrub_table(
+            t, text_col, pats, replacement=replacement, out_col=out_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -2315,6 +2315,184 @@ def q_pack(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data op: benchmark decontamination (ops.decontam) — flag docs
+# sharing token n-grams with an eval set; the eval set here is the
+# deterministic Knuth-hash sample of the corpus itself so the oracle can
+# rebuild it in SQL (same literal threshold on both sides)
+# ---------------------------------------------------------------------------
+
+# int(0.05 * 2**32) — MUST match ops.sample.hash_sample's rounding
+_DECONTAM_FRAC = 0.05
+_DECONTAM_THRESHOLD = int(_DECONTAM_FRAC * (1 << 32))
+
+
+def q_decontam(sf_dir: str):
+    from .ops.decontam import decontaminate
+    from .ops.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_ds = hash_sample(ds, "doc_id", _DECONTAM_FRAC)
+    out = decontaminate(ds, eval_ds, "text", "doc_id", width=5, mode="stats")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_windows", pa.int64()),
+                ("n_eval_windows", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: PII detection + scrubbing (ops.text.regex_stats /
+# scrub_text). Both pyarrow and DuckDB embed RE2, so non-overlapping
+# match counts and global replacement agree by construction. The email
+# preset exercises the zero-hit direction on this corpus; the keyword
+# pattern exercises real hits and the rewrite path (value-hash covers
+# every scrubbed string).
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_KW = r"(stream|spark)[a-z]*"
+
+
+def q_pii_scrub(sf_dir: str):
+    from .ops.text import regex_stats_table, scrub_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        stats = regex_stats_table(
+            t, "text", "doc_id", {"email": _PII_EMAIL, "kw": _PII_KW}
+        )
+        scrubbed = scrub_table(t, "text", {"kw": _PII_KW}, out_col="scrubbed")
+        return stats.append_column("scrubbed", scrubbed["scrubbed"])
+
+    return _ensure_schema(
+        ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_email", pa.int64()),
+                ("n_kw", pa.int64()),
+                ("scrubbed", pa.string()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14/B6 composition — TPC-H Q17 shape: correlated per-group average.
+# Broadcast the (selective) part-key set, pre-aggregate per-part
+# avg(l_quantity) with a bucketed combine, broadcast the resulting
+# thresholds (bounded by the dimension selectivity, same assumption as
+# the B5 broadcast-refint path), then one more streaming pass filters
+# and partial-sums. Two scans of the fact table, zero shuffles of it.
+# ---------------------------------------------------------------------------
+
+
+def q_small_qty_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .runtime import bucketed_group_agg
+
+    part = _read(
+        sf_dir,
+        "part",
+        ["p_partkey"],
+        filter=(pads.field("p_brand") == "Brand#13") & (pads.field("p_size") < 15),
+    )
+    keys = pc.unique(
+        pa.concat_tables(
+            [p for p in ray.get(part.to_arrow_refs()) if len(p)]
+            or [_empty(pa.schema([("p_partkey", pa.int64())]))]
+        )["p_partkey"].combine_chunks()
+    )
+    if len(keys) == 0:
+        return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
+    keys_ref = ray.put(keys)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(keys_ref)), False
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": t["l_quantity"],
+                "price": t["l_extendedprice"],
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    sub = line.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("l_partkey", use_threads=False).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+        return agg.rename_columns(["l_partkey", "s", "c"])
+
+    thr_tbl = pa.Table.from_pandas(
+        bucketed_group_agg(
+            sub.map_batches(
+                qty_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "l_partkey",
+            [("s", "sum"), ("c", "sum")],
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    if len(thr_tbl) == 0:
+        return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
+    tk = thr_tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    thr = 0.2 * (
+        thr_tbl["s"].to_numpy(zero_copy_only=False)
+        / thr_tbl["c"].to_numpy(zero_copy_only=False)
+    )
+    order = np.argsort(tk)
+    tk, thr = tk[order], thr[order]
+    thr_ref = ray.put((tk, thr))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        tks, thrs = ray.get(thr_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(tks, pk)
+        pos = np.clip(pos, 0, len(tks) - 1)
+        sel = (tks[pos] == pk) & (
+            t["qty"].to_numpy(zero_copy_only=False) < thrs[pos]
+        )
+        return pa.table(
+            {
+                "rev": pa.array(
+                    [float(t["price"].to_numpy(zero_copy_only=False)[sel].sum())],
+                    type=pa.float64(),
+                ),
+                "n": pa.array([int(sel.sum())], type=pa.int64()),
+            }
+        )
+
+    total = sub.map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+    if not total["n"]:
+        return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
+    return pa.table(
+        {
+            "avg_yearly": pa.array(
+                [round((total["rev"] or 0.0) / 7.0, 2)], type=pa.float64()
+            )
+        }
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -2386,6 +2564,9 @@ QUERIES = {
     "q_pack": q_pack,
     "q_cust_order_counts": q_cust_order_counts,
     "q_rollup": q_rollup,
+    "q_decontam": q_decontam,
+    "q_pii_scrub": q_pii_scrub,
+    "q_small_qty_revenue": q_small_qty_revenue,
 }
 
 ORACLE_SQL = {
@@ -2741,6 +2922,33 @@ ORACLE_SQL = {
         "SELECT doc_id, count(*)::BIGINT AS n_windows, "
         "CAST(sum(CASE WHEN gram IN (SELECT gram FROM f) THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_dup_windows FROM w GROUP BY doc_id"
+    ),
+    "q_decontam": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, "
+        "l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS gram "
+        "FROM d, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(l)-4, 0))) AS i) g), "
+        "e AS (SELECT DISTINCT gram FROM w "
+        f"WHERE (doc_id * 2654435761) % 4294967296 < {_DECONTAM_THRESHOLD}) "
+        "SELECT doc_id, count(*)::BIGINT AS n_windows, "
+        "CAST(sum(CASE WHEN gram IN (SELECT gram FROM e) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_eval_windows FROM w GROUP BY doc_id"
+    ),
+    "q_pii_scrub": (
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email, "
+        f"len(regexp_extract_all(text, '{_PII_KW}'))::BIGINT AS n_kw, "
+        f"regexp_replace(text, '{_PII_KW}', '<KW>', 'g') AS scrubbed "
+        "FROM documents WHERE text IS NOT NULL"
+    ),
+    "q_small_qty_revenue": (
+        "SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly "
+        "FROM lineitem, part WHERE p_partkey = l_partkey "
+        "AND p_brand = 'Brand#13' AND p_size < 15 "
+        "AND l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = p_partkey)"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
