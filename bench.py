@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "q_priority_lines",
     "q_daily_distinct",
     "q_corr",
+    "q_small_qty_revenue",
+    "q_global_rank",
+    "q_big_orders",
 ]
 
 

@@ -114,3 +114,107 @@ def test_empty_inputs_new_ops(ray_session):
     )
     dd = ray.data.from_arrow(empty_docs)
     assert jaccard_pairs_ds(dd, "text", "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# global_rank (exact distributed ROW_NUMBER + NTILE)
+# ---------------------------------------------------------------------------
+
+
+class TestGlobalRank:
+    def _table(self, n=3000, seed=11, dup_every=5):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, n // dup_every, n).astype("float64")  # heavy ties
+        vals[::97] = 42.0  # a hot value spanning many rows
+        t = pa.table(
+            {
+                "v": pa.array(vals),
+                "id": pa.array(rng.permutation(n).astype("int64")),
+            }
+        )
+        return t
+
+    @staticmethod
+    def _expected(t, descending=False):
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(
+            ["v", "id"], ascending=[not descending, True]
+        )
+        df["rnk"] = np.arange(1, len(df) + 1, dtype="int64")
+        return df.set_index("id")["rnk"]
+
+    @pytest.mark.parametrize("buckets", [1, 7, 64])
+    def test_bucket_count_invariance(self, ray_session, buckets):
+        from vald.ops.rank import global_rank
+
+        t = self._table()
+        out = (
+            global_rank(
+                ray.data.from_arrow(t).repartition(6), "v", "id",
+                num_buckets=buckets,
+            )
+            .to_pandas()
+            .set_index("id")
+        )
+        exp = self._expected(t)
+        assert out["rnk"].sort_index().equals(exp.sort_index())
+
+    def test_descending(self, ray_session):
+        from vald.ops.rank import global_rank
+
+        t = self._table(n=800)
+        out = (
+            global_rank(
+                ray.data.from_arrow(t).repartition(4), "v", "id",
+                descending=True, num_buckets=8,
+            )
+            .to_pandas()
+            .set_index("id")
+        )
+        exp = self._expected(t, descending=True)
+        assert out["rnk"].sort_index().equals(exp.sort_index())
+
+    def test_ntile_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from vald.ops.rank import global_rank
+
+        t = self._table(n=1003)  # total % n != 0 exercises uneven tiles
+        out = (
+            global_rank(
+                ray.data.from_arrow(t).repartition(4), "v", "id",
+                ntile=7, num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        ref = duckdb.connect().execute(
+            "SELECT id, NTILE(7) OVER (ORDER BY v, id) AS tile "
+            "FROM t ORDER BY id"
+        ).fetchdf()
+        assert list(out["tile"]) == list(ref["tile"])
+
+    def test_temporal_order_col_and_null_drop(self, ray_session):
+        from vald.ops.rank import global_rank
+
+        ts = pa.array(
+            [1_000_000 * x if x is not None else None for x in [5, 3, None, 9, 1]],
+            type=pa.timestamp("us"),
+        )
+        t = pa.table({"ts": ts, "id": pa.array([0, 1, 2, 3, 4], type=pa.int64())})
+        out = (
+            global_rank(ray.data.from_arrow(t), "ts", "id", num_buckets=2)
+            .to_pandas()
+            .set_index("id")["rnk"]
+            .sort_index()
+        )
+        assert 2 not in out.index  # NULL ts dropped
+        assert list(out.loc[[0, 1, 3, 4]]) == [3, 2, 4, 1]
+
+    def test_string_order_col_rejected(self, ray_session):
+        from vald.ops.rank import global_rank
+
+        t = pa.table({"s": ["b", "a"], "id": pa.array([0, 1], type=pa.int64())})
+        with pytest.raises(Exception):
+            global_rank(ray.data.from_arrow(t), "s", "id").to_pandas()

@@ -88,3 +88,154 @@ def grouped_topk(
         .groupby(key)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _ntile_from_rank(rank: np.ndarray, total: int, n: int) -> np.ndarray:
+    """SQL NTILE(n) semantics from a 1-based ROW_NUMBER: the first
+    ``total % n`` tiles get ``ceil(total/n)`` rows, the rest get
+    ``floor(total/n)`` (matches DuckDB/postgres)."""
+    q, r = divmod(total, n)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    tile = np.empty(len(rank), dtype=np.int64)
+    in_big = rank <= big
+    if q == 0:
+        # fewer rows than tiles: every row its own tile
+        return rank.astype(np.int64)
+    tile[in_big] = (rank[in_big] - 1) // (q + 1) + 1
+    tile[~in_big] = r + (rank[~in_big] - big - 1) // q + 1
+    return tile
+
+
+def global_rank(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    tiebreak: str,
+    *,
+    descending: bool = False,
+    ntile: int | None = None,
+    num_buckets: int = 64,
+    sample_seed: int = 42,
+    rank_col: str = "rnk",
+    tile_col: str = "tile",
+) -> "ray.data.Dataset":
+    """Exact distributed global ranking — the scalable twin of
+    ``ROW_NUMBER() OVER (ORDER BY order_col [DESC], tiebreak)`` (B12),
+    with optional ``NTILE(ntile)`` derived from the same rank.
+
+    Shape (100 TB): classic sample-partition-rank. (1) sample the order
+    column to pick ``num_buckets - 1`` range boundaries (boundary
+    quality affects only balance, never correctness — every row's rank
+    is exact for any boundaries); (2) one streaming pass counts rows
+    per bucket (a ``num_buckets``-row exchange, nothing else moves);
+    (3) prefix-sum the counts into bucket offsets on the driver
+    (``num_buckets`` ints, broadcast in the task closure); (4) shuffle
+    ONLY the (order, tiebreak) projection by bucket and sort each
+    bucket locally: rank = bucket offset + local position. Equal order
+    values always land in one bucket (``searchsorted`` side='right'),
+    so cross-bucket ties are impossible; a single hot value therefore
+    serializes into one bucket — the documented skew caveat shared with
+    every range partitioner (B8 notes).
+
+    ``num_buckets`` must scale with input (~rows / 5M, the B4 rule).
+    NULL order or tiebreak values are dropped (SQL oracles add the
+    matching ``IS NOT NULL`` guards). ``order_col`` must be numeric or
+    temporal (object-dtype sort ambiguity is not worth supporting —
+    rank on a key, not on raw text)."""
+
+    def _nums(col) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object:
+            raise TypeError(
+                f"global_rank needs a numeric/temporal column, got {col.type}"
+            )
+        if arr.dtype.kind in "mM":
+            # temporal → int64 so quantile/negation/searchsorted all work;
+            # epoch order == chronological order
+            return arr.astype("int64")
+        return arr
+
+    proj = ds.map_batches(
+        lambda t: t.select([order_col, tiebreak]).filter(
+            pc.and_(pc.is_valid(t[order_col]), pc.is_valid(t[tiebreak]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # (1) boundaries from a bounded sample (balance only, never values).
+    # count() runs on the INPUT dataset — parquet reads answer it from
+    # metadata without executing the projection pipeline.
+    sample = proj.random_sample(
+        min(1.0, (200.0 * num_buckets) / max(ds.count(), 1)),
+        seed=sample_seed,
+    ).to_pandas()
+    if len(sample):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        bounds = np.unique(
+            np.quantile(_nums(pa.Array.from_pandas(sample[order_col])), qs)
+        )
+    else:
+        bounds = np.empty(0)
+    if descending:
+        # bucket 0 must hold the LARGEST values so offsets ascend in
+        # rank order; flip boundaries and search from the right
+        bounds = bounds[::-1]
+
+    def _bucket_of(vals: np.ndarray) -> np.ndarray:
+        if len(bounds) == 0:
+            return np.zeros(len(vals), dtype=np.int64)
+        if descending:
+            # first bucket = values > bounds[0] (flipped, descending)
+            return np.searchsorted(-bounds, -vals, side="right").astype(np.int64)
+        return np.searchsorted(bounds, vals, side="right").astype(np.int64)
+
+    # (2) per-bucket counts — a tiny exchange
+    def counts(t: pa.Table) -> pa.Table:
+        b = _bucket_of(_nums(t[order_col]))
+        c = np.bincount(b, minlength=len(bounds) + 1)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(len(c), dtype=np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    ctbl = (
+        proj.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .sum("c")
+        .to_pandas()
+        .sort_values("b")
+    )
+    nb = len(bounds) + 1
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    if len(ctbl):
+        per_bucket[ctbl["b"].to_numpy()] = ctbl["sum(c)"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+    total = int(per_bucket.sum())
+
+    # (3)+(4) shuffle the projection by bucket, sort locally, stamp rank
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(_bucket_of(_nums(t[order_col])))
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__b"][0].as_py())
+        order = _nums(g[order_col])
+        tb = _nums(g[tiebreak])
+        perm = np.lexsort((tb, -order if descending else order))
+        g = g.take(pa.array(perm)).drop_columns("__b")
+        rnk = offsets[b] + np.arange(1, len(g) + 1, dtype=np.int64)
+        g = g.append_column(rank_col, pa.array(rnk))
+        if ntile:
+            g = g.append_column(
+                tile_col, pa.array(_ntile_from_rank(rnk, total, ntile))
+            )
+        return g
+
+    return (
+        proj.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )

@@ -2493,6 +2493,123 @@ def q_small_qty_revenue(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# B12 — exact distributed global ranking + NTILE (ops.rank.global_rank):
+# sample-partition-rank with a num_buckets-row count exchange; only the
+# (order, tiebreak) projection ever shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q_global_rank(sf_dir: str):
+    from .ops.rank import global_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = global_rank(
+        ds, "o_totalprice", "o_orderkey", ntile=7, num_buckets=16
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("o_totalprice", pa.float64()),
+                ("o_orderkey", pa.int64()),
+                ("rnk", pa.int64()),
+                ("tile", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14/B4 composition — TPC-H Q18 shape (large-volume orders): grouped
+# HAVING filter on the fact table, then enrich the (rare) survivors from
+# two dimension tables. The per-orderkey sums pre-aggregate per batch,
+# the bucketed combine sees one row per distinct key per batch, and the
+# HAVING survivors broadcast — orders/customer stream through `pc.is_in`
+# filters, nothing big ever shuffles.
+# ---------------------------------------------------------------------------
+
+_BIG_ORDER_QTY = 210.0
+
+
+def q_big_orders(sf_dir: str):
+    from .runtime import bucketed_group_agg
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_orderkey"]))
+        agg = t.group_by("l_orderkey", use_threads=False).aggregate(
+            [("l_quantity", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "qty"])
+
+    sums = bucketed_group_agg(
+        line.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("qty", "sum")],
+    )
+    big = pa.Table.from_pandas(
+        sums.map_batches(
+            lambda t: t.filter(pc.greater(t["qty"], pa.scalar(_BIG_ORDER_QTY))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    if len(big) == 0:
+        return _empty(
+            pa.schema(
+                [
+                    ("c_name", pa.string()),
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                    ("sum_qty", pa.float64()),
+                ]
+            )
+        )
+    okeys = big["l_orderkey"].combine_chunks()
+    okeys_ref = ray.put(okeys)
+    orders = pa.Table.from_pandas(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.is_in(t["o_orderkey"], value_set=ray.get(okeys_ref)), False
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas(),
+        preserve_index=False,
+    )
+    ckeys_ref = ray.put(pc.unique(orders["o_custkey"].combine_chunks()))
+    cust = pa.Table.from_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.is_in(t["c_custkey"], value_set=ray.get(ckeys_ref)), False
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas(),
+        preserve_index=False,
+    )
+    # driver-side final assembly over the (bounded) survivor set
+    df = (
+        big.to_pandas()
+        .merge(orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    )
+    df["sum_qty"] = df["qty"].round(2)
+    out = df[["c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -2567,6 +2684,8 @@ QUERIES = {
     "q_decontam": q_decontam,
     "q_pii_scrub": q_pii_scrub,
     "q_small_qty_revenue": q_small_qty_revenue,
+    "q_global_rank": q_global_rank,
+    "q_big_orders": q_big_orders,
 }
 
 ORACLE_SQL = {
@@ -2949,6 +3068,20 @@ ORACLE_SQL = {
         "AND p_brand = 'Brand#13' AND p_size < 15 "
         "AND l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem l2 "
         "WHERE l2.l_partkey = p_partkey)"
+    ),
+    "q_global_rank": (
+        "SELECT o_totalprice, o_orderkey, "
+        "ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS rnk, "
+        "NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS tile "
+        "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+    ),
+    "q_big_orders": (
+        "WITH j AS (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem "
+        "WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey "
+        f"HAVING sum(l_quantity) > {_BIG_ORDER_QTY}) "
+        "SELECT c_name, o_orderkey, o_totalprice, round(qty, 2) AS sum_qty "
+        "FROM j JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
