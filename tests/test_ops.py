@@ -881,3 +881,71 @@ class TestPii:
         assert "[X]" in out.loc[0, "clean"]
         # original column untouched when scrubbing into out_col
         assert "@" in out.loc[0, "text"]
+
+
+# ---------------------------------------------------------------------------
+# document chunking (ops.text.split_documents)
+# ---------------------------------------------------------------------------
+
+
+class TestSplitDocuments:
+    def _brute(self, texts, max_tokens, overlap):
+        stride = max_tokens - overlap
+        rows = []
+        for i, txt in enumerate(texts):
+            if txt is None:
+                continue
+            toks = txt.split()
+            w = 0
+            while w * stride < len(toks):
+                c = toks[w * stride : w * stride + max_tokens]
+                rows.append((i, w, " ".join(c), len(c)))
+                w += 1
+        return sorted(rows)
+
+    @pytest.mark.parametrize("max_tokens,overlap", [(4, 0), (4, 3), (5, 2), (100, 10)])
+    def test_matches_bruteforce(self, ray_session, max_tokens, overlap):
+        texts = [
+            "t1 t2 t3 t4 t5 t6 t7 t8 t9",
+            "one",
+            None,
+            "   ",
+            "a b c d",          # exactly max_tokens for (4, *)
+            "w " * 23,          # long doc, trailing space
+        ]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        out = (
+            TX.split_documents(
+                ray.data.from_arrow(t), "text", "doc_id",
+                max_tokens=max_tokens, overlap=overlap,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+        )
+        got = sorted(
+            (int(r.doc_id), int(r.chunk_id), r.chunk, int(r.n_tokens))
+            for r in out.itertuples()
+        )
+        assert got == self._brute(texts, max_tokens, overlap)
+
+    def test_coverage_reconstructs_doc(self, ray_session):
+        # overlap=0 chunks concatenate back to the original token stream
+        txt = " ".join(f"tok{i}" for i in range(57))
+        t = pa.table({"doc_id": [0], "text": [txt]})
+        out = (
+            TX.split_documents(
+                ray.data.from_arrow(t), "text", "doc_id",
+                max_tokens=10, overlap=0,
+            )
+            .to_pandas()
+            .sort_values("chunk_id")
+        )
+        assert " ".join(out["chunk"]) == txt
+        assert out["n_tokens"].sum() == 57
+
+    def test_bad_overlap_rejected(self, ray_session):
+        t = pa.table({"doc_id": [0], "text": ["a b"]})
+        with pytest.raises(ValueError):
+            TX.split_documents(
+                ray.data.from_arrow(t), max_tokens=4, overlap=4
+            )

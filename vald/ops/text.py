@@ -480,3 +480,111 @@ def scrub_text(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: split long docs into sliding token windows
+# (context-length splitting for training pipelines)
+# ---------------------------------------------------------------------------
+
+
+def split_table(
+    t: pa.Table,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+    stride: int,
+) -> pa.Table:
+    """Explode one batch into sliding-window chunks: chunk ``w`` of a
+    doc covers whitespace tokens ``[w*stride, w*stride + max_tokens)``;
+    windows start while ``w*stride < n_tokens``. Vectorized: tokenize
+    once, rebuild the token lists with empty tokens dropped (str.split
+    semantics), then ONE ``list_slice`` + ``binary_join`` per window
+    index — the Python loop is over window indexes (longest doc /
+    stride), never over rows."""
+    ids = t[id_col]
+    texts = pc.fill_null(t[text_col], "")
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    nonempty = np.asarray(
+        pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        lens = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    toks = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat)
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=t.schema.field(id_col).type),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "chunk": pa.array([], type=pa.string()),
+            "n_tokens": pa.array([], type=pa.int64()),
+        }
+    )
+    if lens.max(initial=0) == 0:
+        return empty
+    pieces = []
+    max_w = int((lens.max() - 1) // stride) + 1
+    for w in range(max_w):
+        start = w * stride
+        active = np.flatnonzero(lens > start)
+        if len(active) == 0:
+            break
+        sub = pc.list_slice(
+            toks.take(pa.array(active)), start, start + max_tokens
+        )
+        pieces.append(
+            pa.table(
+                {
+                    id_col: ids.take(pa.array(active)),
+                    "chunk_id": pa.array(
+                        np.full(len(active), w, dtype=np.int64)
+                    ),
+                    "chunk": pc.binary_join(sub, " "),
+                    "n_tokens": pc.cast(pc.list_value_length(sub), pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(pieces) if pieces else empty
+
+
+def split_documents(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> "ray.data.Dataset":
+    """Split documents into overlapping fixed-token-budget chunks —
+    the context-length splitter of a training pipeline. Stateless
+    ``map_batches`` explode: each batch emits its own chunks, nothing
+    shuffles, output rows carry ``(id, chunk_id, chunk, n_tokens)``.
+    NULL or all-whitespace docs produce no chunks. ``overlap`` tokens
+    are shared between consecutive chunks (``stride = max_tokens -
+    overlap``); the final chunk may be shorter than ``max_tokens``.
+
+    Scale note: chunk text is a reslice of the input tokens, so output
+    bytes ~= input bytes x (1 + overlap/stride); keep ``batch_size``
+    modest for very large docs (the multimodal rule)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    return ds.map_batches(
+        lambda t: split_table(t, text_col, id_col, max_tokens, stride),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -2610,6 +2610,37 @@ def q_big_orders(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# ---------------------------------------------------------------------------
+# Training-data op: context-length chunking (ops.text.split_documents) —
+# sliding token windows with overlap, stateless explode, no shuffle.
+# Caveat shared with every string_split oracle here: DuckDB keeps empty
+# tokens on consecutive separators, the engine drops them (str.split
+# semantics); this corpus is single-spaced so both agree.
+# ---------------------------------------------------------------------------
+
+_SPLIT_MAX, _SPLIT_OVERLAP = 40, 10
+
+
+def q_split_docs(sf_dir: str):
+    from .ops.text import split_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = split_documents(
+        ds, "text", "doc_id", max_tokens=_SPLIT_MAX, overlap=_SPLIT_OVERLAP
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("chunk_id", pa.int64()),
+                ("chunk", pa.string()),
+                ("n_tokens", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -2686,6 +2717,7 @@ QUERIES = {
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_global_rank": q_global_rank,
     "q_big_orders": q_big_orders,
+    "q_split_docs": q_split_docs,
 }
 
 ORACLE_SQL = {
@@ -3074,6 +3106,19 @@ ORACLE_SQL = {
         "ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS rnk, "
         "NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS tile "
         "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+    ),
+    "q_split_docs": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL), "
+        "c AS (SELECT doc_id, i AS chunk_id, "
+        f"l[i*{_SPLIT_MAX - _SPLIT_OVERLAP}+1 : "
+        f"least(i*{_SPLIT_MAX - _SPLIT_OVERLAP}+{_SPLIT_MAX}, len(l))] AS toks "
+        "FROM d, LATERAL (SELECT unnest(generate_series(0, "
+        f"(len(l)-1)//{_SPLIT_MAX - _SPLIT_OVERLAP})) AS i) g "
+        "WHERE len(l) > 0) "
+        "SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
+        "array_to_string(toks, ' ') AS chunk, len(toks)::BIGINT AS n_tokens "
+        "FROM c"
     ),
     "q_big_orders": (
         "WITH j AS (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem "
