@@ -2641,6 +2641,497 @@ def q_split_docs(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q10 flavor: revenue lost to returned items per customer —
+# selective fact filter (l_returnflag='R') + date-windowed orders join
+# + grouped revenue + adaptive rounded top-20 + driver-side dimension
+# enrichment of the 20 survivors only.
+# ---------------------------------------------------------------------------
+
+_Q10_LO = np.datetime64("1997-01-01T00:00:00", "us")
+_Q10_HI = np.datetime64("1997-07-01T00:00:00", "us")
+
+
+def q_returned_items(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.fill_null(pc.equal(t["l_returnflag"], pa.scalar("R")), False)
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        agg = (
+            pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+            .group_by("l_orderkey", use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["l_orderkey", "revenue"])
+
+    li = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+            filter=pads.field("l_returnflag") == "R",
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("revenue", "sum")],
+    )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(_Q10_LO))
+        & (pads.field("o_orderdate") < pa.scalar(_Q10_HI)),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    joined = join_barrier(li).join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"o_custkey": t["o_custkey"], "revenue": t["revenue"]})
+            .group_by("o_custkey", use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["c_custkey", "revenue"])
+
+    per_cust = bucketed_group_agg(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        "c_custkey",
+        [("revenue", "sum")],
+    )
+
+    # adaptive over-fetch on ROUNDED revenue with custkey tiebreak
+    # (same provably-complete fetch rule as q_shipping_priority)
+    limit = 40
+    while True:
+        df = (
+            per_cust.sort(["revenue", "c_custkey"], descending=[True, False])
+            .limit(limit)
+            .to_pandas()
+        )
+        exhausted = len(df) < limit
+        df["revenue"] = df["revenue"].round(2)
+        out20 = df.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True]
+        ).head(20)
+        if (
+            exhausted
+            or len(out20) < 20
+            or float(df["revenue"].min()) < float(out20["revenue"].iloc[-1])
+        ):
+            df = out20
+            break
+        limit *= 4
+
+    # dimension enrichment on the 20 survivors only — driver-side gather
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    cust = cust.filter(
+        pc.is_in(
+            cust["c_custkey"],
+            value_set=pa.array(df["c_custkey"].tolist(), type=pa.int64()),
+        )
+    ).to_pandas()
+    df = df.merge(cust, on="c_custkey", how="left")
+    return pa.table(
+        {
+            "c_custkey": pa.array(df["c_custkey"].tolist(), type=pa.int64()),
+            "c_name": pa.array(df["c_name"].tolist(), type=pa.string()),
+            "revenue": pa.array(df["revenue"].tolist(), type=pa.float64()),
+            "c_acctbal": pa.array(df["c_acctbal"].tolist(), type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 flavor: promo revenue share over a ship-date window —
+# broadcast promo part-key set (dimension side read once on the
+# driver, ray.put), ONE streaming pass over lineitem with two scalar
+# accumulators; no shuffle at all.
+# ---------------------------------------------------------------------------
+
+_Q14_LO = np.datetime64("1997-03-01T00:00:00", "us")
+_Q14_HI = np.datetime64("1997-06-01T00:00:00", "us")
+
+
+def q_promo_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo = part.filter(pc.equal(part["p_type"], pa.scalar("PROMO")))[
+        "p_partkey"
+    ].combine_chunks()
+    promo_ref = ray.put(promo)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        m = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(promo_ref)), False
+        )
+        return pa.table(
+            {
+                "promo": [pc.sum(pc.if_else(m, rev, pa.scalar(0.0))).as_py() or 0.0],
+                "total": [pc.sum(rev).as_py() or 0.0],
+            }
+        )
+
+    totals = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q14_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q14_HI)),
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("promo", alias_name="promo"), Sum("total", alias_name="total"))
+    )
+    pct = round(100.0 * (totals["promo"] or 0.0) / (totals["total"] or 1.0), 4)
+    return pa.table({"promo_pct": pa.array([pct], type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 flavor: distinct supplier count per part attribute triple,
+# excluding a (broadcast) supplier blocklist — dimension attrs folded
+# to a dense part-key LUT so the fact rows carry ONE int32, exact
+# distinct via local per-batch dedup + bucketed pair exchange, then a
+# shuffle-free grouped count (the q_daily_distinct shape).
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_cnt(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .runtime import bucketed_group_agg
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    excl_ref = ray.put(
+        sup.filter(pc.less(sup["s_acctbal"], pa.scalar(0.0)))[
+            "s_suppkey"
+        ].combine_chunks()
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.not_equal(part["p_brand"], pa.scalar("Brand#4")),
+        pc.not_equal(part["p_type"], pa.scalar("PROMO")),
+    )
+    part = part.filter(keep).combine_chunks()
+    # several partkeys can share one (brand, type, size) triple — the
+    # count is distinct suppliers per TRIPLE, so factorize triples on
+    # the driver and map partkey -> dense triple id
+    pdf = part.to_pandas()
+    triple_id = (
+        pdf.groupby(["p_brand", "p_type", "p_size"], sort=False)
+        .ngroup()
+        .to_numpy()
+    )
+    rep = pdf.drop_duplicates(["p_brand", "p_type", "p_size"]).assign(
+        _tid=lambda d: triple_id[d.index]
+    ).set_index("_tid")
+    pk = pdf["p_partkey"].to_numpy()
+    lut = np.full(int(pk.max()) + 2 if len(pk) else 2, -1, dtype=np.int64)
+    lut[pk] = triple_id.astype(np.int64)
+    lut_ref = ray.put(lut)
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "p_idx": pa.array([], type=pa.int64()),
+            "l_suppkey": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if len(t) == 0:
+            return _EMPTY_PAIRS
+        t = t.filter(
+            pc.invert(
+                pc.fill_null(
+                    pc.is_in(t["l_suppkey"], value_set=ray.get(excl_ref)), False
+                )
+            )
+        )
+        lt = ray.get(lut_ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.where(k < len(lt), lt[np.minimum(k, len(lt) - 1)], -1)
+        m = idx >= 0
+        if not m.any():
+            return _EMPTY_PAIRS
+        return (
+            pa.table(
+                {
+                    "p_idx": pa.array(idx[m], type=pa.int64()),
+                    "l_suppkey": t["l_suppkey"].filter(pa.array(m)),
+                }
+            )
+            .group_by(["p_idx", "l_suppkey"], use_threads=False)
+            .aggregate([])
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"p_idx": t["p_idx"]})
+            .group_by("p_idx", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["p_idx", "supplier_cnt"])
+
+    counts = (
+        bucketed_group_agg(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+                local_pairs, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["p_idx", "l_suppkey"],
+            [],  # exact global distinct on the (part, supplier) pair
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("p_idx")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    idx = counts["p_idx"].to_numpy().astype(np.int64)
+    sel = rep.loc[idx]
+    return pa.table(
+        {
+            "p_brand": pa.array(sel["p_brand"].tolist(), type=pa.string()),
+            "p_type": pa.array(sel["p_type"].tolist(), type=pa.string()),
+            "p_size": pa.array(
+                sel["p_size"].to_numpy().astype(np.int32), type=pa.int32()
+            ),
+            "supplier_cnt": pa.array(
+                counts["supplier_cnt"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 flavor: suppliers who were the LAST shipper on a
+# multi-supplier 'F' order (EXISTS + NOT EXISTS double correlation).
+# Plan: broadcast the F-order key set (route through the native join
+# above the B5 planner threshold), bucket the surviving fact rows by
+# order key, and resolve both correlated subqueries VECTORIZED inside
+# each bucket: per-(order,supplier) ship-date maxima, per-order top-2
+# distinct-supplier maxima, a row waits iff its supplier set has a
+# rival and its ship date >= the best rival max. Only per-supplier
+# partial counts leave the bucket.
+# ---------------------------------------------------------------------------
+
+
+def q_waiting_orders(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    forders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_orderstatus"],
+        filter=pads.field("o_orderstatus") == "F",
+    ).to_pandas()
+    fkeys_ref = ray.put(
+        pa.array(forders["o_orderkey"].to_numpy(), type=pa.int64())
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        return t.filter(
+            pc.fill_null(
+                pc.is_in(t["l_orderkey"], value_set=ray.get(fkeys_ref)), False
+            )
+        )
+
+    def waits(g: pd.DataFrame) -> pd.DataFrame:
+        # per-(order,supplier) max ship date
+        pairs = (
+            g.groupby(["l_orderkey", "l_suppkey"], sort=False)["l_shipdate"]
+            .max()
+            .reset_index()
+        )
+        grp = pairs.groupby("l_orderkey", sort=False)["l_shipdate"]
+        top1 = grp.transform("max")
+        n_at_top = (
+            pairs["l_shipdate"]
+            .eq(top1)
+            .groupby(pairs["l_orderkey"], sort=False)
+            .transform("sum")
+        )
+        # second-best pair max per order (for the sole top supplier)
+        below = pairs["l_shipdate"].where(pairs["l_shipdate"] < top1)
+        top2 = below.groupby(pairs["l_orderkey"], sort=False).transform("max")
+        nsupp = grp.transform("size")
+        is_sole_top = pairs["l_shipdate"].eq(top1) & n_at_top.eq(1)
+        pairs["other_max"] = np.where(is_sole_top, top2, top1)
+        pairs = pairs[nsupp > 1].drop(columns=["l_shipdate"])
+        m = g.merge(pairs, on=["l_orderkey", "l_suppkey"], how="inner")
+        m = m[m["l_shipdate"] >= m["other_max"]]
+        out = (
+            m.groupby("l_suppkey", sort=False).size().rename("n").reset_index()
+        )
+        return out
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    # B4 data-scaled bucket rule from parquet metadata (no extra scan)
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    nb = max(8, -(-n_rows // 2_000_000))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(nb)
+        return t.append_column("__b", pa.array(b.astype(np.int32)))
+
+    partials = (
+        li.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: waits(g.drop(columns=["__b"])), batch_format="pandas"
+        )
+    )
+    counts = (
+        partials.groupby("l_suppkey")  # 100s of suppliers: native path
+        .aggregate(Sum("n", alias_name="numwait"))
+        .to_pandas()
+    )
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = counts.merge(
+        names, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    )
+    return pa.table(
+        {
+            "s_name": pa.array(out["s_name"].tolist(), type=pa.string()),
+            "numwait": pa.array(
+                out["numwait"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 flavor: high-balance customers with no 'F'-status orders,
+# grouped by market segment — scalar AVG subquery (one streaming
+# aggregate, broadcast), distributed distinct of the F-customer keys,
+# then a broadcast anti-join (B5 planner shape: pc.is_in under the
+# threshold, left_anti join above it) and a tiny native groupby.
+# ---------------------------------------------------------------------------
+
+
+def q_top_balance(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .runtime import bucketed_group_agg
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(
+            pc.fill_null(pc.greater(t["c_acctbal"], pa.scalar(0.0)), False)
+        )
+        return pa.table(
+            {
+                "s": [pc.sum(pos["c_acctbal"]).as_py() or 0.0],
+                "n": [len(pos)],
+            }
+        )
+
+    tot = cust.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    avg_bal = (tot["s"] or 0.0) / max(tot["n"] or 0, 1)
+
+    def fo_local(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_null().group_by("o_custkey", use_threads=False).aggregate([])
+        )
+
+    fcust = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_custkey", "o_orderstatus"],
+            filter=pads.field("o_orderstatus") == "F",
+        ).map_batches(fo_local, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+        [],  # exact distinct F-customer keys
+    ).to_pandas()
+    fkeys_ref = ray.put(
+        pa.array(fcust["o_custkey"].to_numpy(), type=pa.int64())
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        hi = pc.fill_null(pc.greater(t["c_acctbal"], pa.scalar(avg_bal)), False)
+        no_f = pc.invert(
+            pc.fill_null(
+                pc.is_in(t["c_custkey"], value_set=ray.get(fkeys_ref)), False
+            )
+        )
+        t = t.filter(pc.and_(hi, no_f))
+        agg = (
+            pa.table(
+                {"c_mktsegment": t["c_mktsegment"], "bal": t["c_acctbal"]}
+            )
+            .group_by("c_mktsegment", use_threads=False)
+            .aggregate([([], "count_all"), ("bal", "sum")])
+        )
+        return agg.rename_columns(["c_mktsegment", "numcust", "totacctbal"])
+
+    out = (
+        cust.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")  # 5 segments: native path
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal", alias_name="totacctbal"),
+        )
+        .to_pandas()
+    )
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"].tolist(), type=pa.string()),
+            "numcust": pa.array(out["numcust"].to_numpy().astype(np.int64)),
+            "totacctbal": pa.array(
+                out["totacctbal"].to_numpy().astype(np.float64)
+            ),
+        }
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -2718,6 +3209,11 @@ QUERIES = {
     "q_global_rank": q_global_rank,
     "q_big_orders": q_big_orders,
     "q_split_docs": q_split_docs,
+    "q_returned_items": q_returned_items,
+    "q_promo_revenue": q_promo_revenue,
+    "q_supplier_cnt": q_supplier_cnt,
+    "q_waiting_orders": q_waiting_orders,
+    "q_top_balance": q_top_balance,
 }
 
 ORACLE_SQL = {
@@ -3127,6 +3623,60 @@ ORACLE_SQL = {
         "SELECT c_name, o_orderkey, o_totalprice, round(qty, 2) AS sum_qty "
         "FROM j JOIN orders ON o_orderkey = l_orderkey "
         "JOIN customer ON c_custkey = o_custkey"
+    ),
+    "q_returned_items": (
+        "SELECT c.c_custkey, c.c_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "c.c_acctbal "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE l.l_returnflag = 'R' "
+        "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-07-01' "
+        "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
+        "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
+        "c.c_custkey LIMIT 20"
+    ),
+    "q_promo_revenue": (
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-03-01' "
+        "AND l_shipdate < TIMESTAMP '1997-06-01'"
+    ),
+    "q_supplier_cnt": (
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO' "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "AND l_suppkey IS NOT NULL "
+        "GROUP BY p_brand, p_type, p_size"
+    ),
+    "q_waiting_orders": (
+        "SELECT s.s_name, count(*)::BIGINT AS numwait FROM supplier s "
+        "JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
+        "WHERE o.o_orderstatus = 'F' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey "
+        "AND l3.l_shipdate > l1.l_shipdate) "
+        "GROUP BY s.s_name"
+    ),
+    "q_top_balance": (
+        "SELECT c_mktsegment, count(*)::BIGINT AS numcust, "
+        "round(sum(c_acctbal), 2) AS totacctbal FROM customer "
+        "WHERE c_acctbal > "
+        "(SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL) "
+        "GROUP BY c_mktsegment"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
