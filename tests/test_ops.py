@@ -949,3 +949,191 @@ class TestSplitDocuments:
             TX.split_documents(
                 ray.data.from_arrow(t), max_tokens=4, overlap=4
             )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (ops.shuffle.hash_shuffle)
+# ---------------------------------------------------------------------------
+
+
+class TestHashShuffle:
+    def test_order_matches_hash_sort(self, ray_session):
+        from vald.ops.shuffle import hash_shuffle, shuffle_hash
+
+        ids = np.array([5, 1, 9, 3, 7, 2, 8, 0, 6, 4], dtype=np.int64)
+        t = pa.table({"k": ids, "payload": [f"p{i}" for i in ids]})
+        out = hash_shuffle(ray.data.from_arrow(t), "k").to_pandas()
+        h = shuffle_hash(ids)
+        expect = ids[np.lexsort((ids, h))]
+        assert out["k"].tolist() == expect.tolist()
+        # payload rides along
+        assert out["payload"].tolist() == [f"p{i}" for i in expect]
+
+    def test_deterministic_and_salted(self, ray_session):
+        from vald.ops.shuffle import hash_shuffle
+
+        t = pa.table({"k": list(range(200))})
+        a = hash_shuffle(ray.data.from_arrow(t), "k").to_pandas()["k"].tolist()
+        b = hash_shuffle(ray.data.from_arrow(t), "k").to_pandas()["k"].tolist()
+        assert a == b  # same run-to-run order
+        c = hash_shuffle(
+            ray.data.from_arrow(t), "k", salt=1
+        ).to_pandas()["k"].tolist()
+        assert sorted(c) == sorted(a) and c != a  # epoch re-salt permutes
+
+    def test_null_keys_dropped(self, ray_session):
+        from vald.ops.shuffle import hash_shuffle
+
+        t = pa.table({"k": pa.array([1, None, 2], type=pa.int64())})
+        out = hash_shuffle(ray.data.from_arrow(t), "k").to_pandas()
+        assert sorted(out["k"].tolist()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# per-group z-score normalization (ops.stats.group_zscore)
+# ---------------------------------------------------------------------------
+
+
+class TestGroupZscore:
+    def test_matches_pandas(self, ray_session):
+        import pandas as pd
+
+        from vald.ops.stats import group_zscore
+
+        rng = np.random.default_rng(7)
+        n = 1000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                "v": rng.normal(50, 20, n),
+            }
+        )
+        out = (
+            group_zscore(
+                ray.data.from_arrow(pa.Table.from_pandas(df)), "g", "v"
+            )
+            .to_pandas()
+            .sort_index()
+        )
+        mean = df.groupby("g")["v"].transform("mean")
+        std = df.groupby("g")["v"].transform(lambda s: s.std(ddof=0))
+        expect = (df["v"] - mean) / std
+        got = out.sort_values("v").reset_index(drop=True)["z"]
+        want = (
+            pd.DataFrame({"v": df["v"], "z": expect})
+            .sort_values("v")
+            .reset_index(drop=True)["z"]
+        )
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_nan_null_and_zero_variance(self, ray_session):
+        from vald.ops.stats import group_zscore
+
+        t = pa.table(
+            {
+                "g": ["a", "a", "a", "b", "b", None],
+                "v": pa.array(
+                    [1.0, 2.0, None, 5.0, 5.0, 1.0], type=pa.float64()
+                ),
+            }
+        )
+        out = group_zscore(ray.data.from_arrow(t), "g", "v").to_pandas()
+        # null value + null group dropped
+        assert len(out) == 4
+        # zero-variance group -> NULL z
+        bz = out[out["g"] == "b"]["z"]
+        assert bz.isna().all()
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (ops.importance)
+# ---------------------------------------------------------------------------
+
+
+class TestImportance:
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+
+        from vald.ops.importance import importance_weights
+
+        corpus = [
+            "machine learning models train on curated data sets",
+            "the cat sat on the mat and the dog sat too",
+            "distributed systems process large data sets with care",
+            "poetry about cats and dogs sitting on mats",
+            None,
+            "one",  # fewer tokens than a bigram -> NULL score
+        ]
+        target = [
+            "machine learning needs curated data",
+            "distributed data processing systems",
+        ]
+        B, W = 1 << 12, 2
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        out = (
+            importance_weights(
+                ray.data.from_arrow(t),
+                target,
+                width=W,
+                num_features=B,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        # brute force with the same stable hash
+        def grams(s):
+            tk = s.split()
+            return [" ".join(tk[i : i + W]) for i in range(len(tk) - W + 1)]
+
+        def fid(g):
+            # int() BEFORE the modulo: np.uint64 % python-int promotes
+            # to float64 and silently loses precision
+            return int(
+                pd.util.hash_array(
+                    np.array([g], dtype=object), categorize=False
+                )[0]
+            ) % B
+
+        tgt = np.zeros(B)
+        for s in target:
+            for g in grams(s):
+                tgt[fid(g)] += 1
+        bg = np.zeros(B)
+        for s in corpus:
+            if s is None:
+                continue
+            for g in grams(s):
+                bg[fid(g)] += 1
+        ratio = (
+            np.log(tgt + 1)
+            - np.log(tgt.sum() + B)
+            - np.log(bg + 1)
+            + np.log(bg.sum() + B)
+        )
+        for i, s in enumerate(corpus):
+            row = out.iloc[i]
+            gs = grams(s) if s else []
+            if len(gs) == 0:
+                assert row["n_grams"] == 0 and np.isnan(row["score"])
+            else:
+                want = float(np.mean([ratio[fid(g)] for g in gs]))
+                assert row["n_grams"] == len(gs)
+                assert abs(row["score"] - want) < 1e-9, (i, row["score"], want)
+
+    def test_target_like_docs_score_higher(self, ray_session):
+        from vald.ops.importance import importance_weights
+
+        corpus = [
+            "alpha beta gamma delta " * 5,
+            "omega psi chi phi " * 5,
+        ]
+        target = ["alpha beta gamma delta"]
+        t = pa.table({"doc_id": [0, 1], "text": corpus})
+        out = (
+            importance_weights(ray.data.from_arrow(t), target)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["score"].iloc[0] > out["score"].iloc[1]

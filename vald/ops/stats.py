@@ -1,0 +1,151 @@
+"""Per-group feature normalization (training-data op).
+
+``group_zscore`` standardizes a numeric column within groups —
+``z = (x - mean_g) / std_g`` — the classic feature-scaling step before
+training, and the per-domain score normalization used when combining
+quality signals across heterogeneous sources (a perplexity of 80 means
+something different per language/domain).
+
+Shape (100 TB): two streaming passes, no row shuffle. Pass 1 reduces
+each batch to per-group moment partials (n, sum, sum of squares — the
+Chan-mergeable moments, exact under any combination order up to IEEE
+rounding) and combines them through ``bucketed_group_agg``; the
+resulting per-group table is GROUPS-sized, collected on the driver
+(``max_groups`` guards the bound explicitly) and broadcast once via
+``ray.put``. Pass 2 stamps z per batch with one vectorized gather —
+group labels are factorized against the broadcast table, so the hot
+path is numpy take, not a hash probe per row.
+
+NaN/NULL policy: NULL and NaN values contribute to no moments and
+produce no output row (SQL oracles add the matching guards);
+zero-variance groups emit NULL z (division by zero is not data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..runtime import bucketed_group_agg
+
+
+def group_moments(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    *,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Exact per-group (n, sum, sumsq) over NULL/NaN-cleaned values —
+    one batch-local pre-aggregation, one bucketed combine."""
+
+    _EMPTY = pa.table(
+        {
+            key: pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.float64()),
+            "ss": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(t[key]),
+            pc.and_(
+                pc.is_valid(t[val]),
+                pc.invert(pc.is_nan(pc.cast(t[val], pa.float64()))),
+            ),
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        if len(t) == 0:
+            return _EMPTY.cast(
+                pa.schema(
+                    [
+                        (key, t.schema.field(key).type),
+                        ("n", pa.int64()),
+                        ("s", pa.float64()),
+                        ("ss", pa.float64()),
+                    ]
+                )
+            )
+        v = pc.cast(t[val], pa.float64())
+        small = pa.table(
+            {
+                key: t[key],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "s": v,
+                "ss": pc.multiply(v, v),
+            }
+        )
+        agg = small.group_by(key, use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return agg.rename_columns([key, "n", "s", "ss"])
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key,
+        [("n", "sum"), ("s", "sum"), ("ss", "sum")],
+        num_buckets=num_buckets,
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def group_zscore(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    *,
+    out_col: str = "z",
+    max_groups: int = 2_000_000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Stamp ``out_col = (val - mean_group) / std_pop_group`` onto the
+    rows whose value participated in the moments (NULL/NaN rows drop).
+    The group-stats table must fit the driver — ``max_groups`` guards
+    the broadcast assumption the way B5's planner threshold does."""
+    stats = group_moments(ds, key, val, num_buckets=num_buckets)
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"group_zscore: {len(stats)} groups exceeds max_groups="
+            f"{max_groups}; normalize per-partition or raise the bound"
+        )
+    n = stats["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = stats["s"].to_numpy(zero_copy_only=False)
+    ss = stats["ss"].to_numpy(zero_copy_only=False)
+    mean = s / np.maximum(n, 1.0)
+    var = np.maximum(ss / np.maximum(n, 1.0) - mean * mean, 0.0)
+    std = np.sqrt(var)
+    # broadcast the labels + (mean, std) arrays once
+    labels_ref = ray.put(stats[key].combine_chunks())
+    mean_ref = ray.put(mean)
+    std_ref = ray.put(std)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(t[key]),
+            pc.and_(
+                pc.is_valid(t[val]),
+                pc.invert(pc.is_nan(pc.cast(t[val], pa.float64()))),
+            ),
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        labels = ray.get(labels_ref)
+        idx = pc.index_in(t[key], value_set=labels).to_numpy(
+            zero_copy_only=False
+        )
+        m = ray.get(mean_ref)[idx]
+        sd = ray.get(std_ref)[idx]
+        v = pc.cast(t[val], pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0.0, (v - m) / sd, np.nan)
+        zcol = pa.array(z, type=pa.float64())
+        zcol = pc.if_else(pc.is_nan(zcol), pa.scalar(None, pa.float64()), zcol)
+        return t.append_column(out_col, zcol)
+
+    return ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)

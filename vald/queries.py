@@ -3132,6 +3132,92 @@ def q_top_balance(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data op: deterministic global shuffle (ops.shuffle) — the
+# shuffle ORDER itself is oracle-checked by ranking the hash-order
+# with ops.rank.global_rank against ROW_NUMBER() over the same
+# SQL-reproducible hash expression.
+# ---------------------------------------------------------------------------
+
+
+def q_shuffle(sf_dir: str):
+    from .ops.rank import global_rank
+    from .ops.shuffle import shuffle_hash
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_id"]))
+        k = pc.fill_null(t["event_id"], 0).to_numpy(zero_copy_only=False)
+        return t.append_column("__h", pa.array(shuffle_hash(k)))
+
+    ranked = global_rank(
+        ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True),
+        "__h",
+        "event_id",
+        rank_col="pos",
+    ).select_columns(["event_id", "pos"])
+    return _ensure_schema(
+        ranked, pa.schema([("event_id", pa.int64()), ("pos", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: per-group feature normalization (ops.stats
+# .group_zscore) — two streaming passes, moments exchange only,
+# broadcast stats gather. Oracle: SQL window AVG / STDDEV_POP.
+# ---------------------------------------------------------------------------
+
+
+def q_zscore(sf_dir: str):
+    from .ops.stats import group_zscore
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = group_zscore(ds, "event_type", "value").map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "z": pc.round(t["z"], 4),
+            }
+        ).filter(pc.is_valid(t["event_id"])),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out, pa.schema([("event_id", pa.int64()), ("z", pa.float64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: DSIR-style importance weighting (ops.importance) —
+# hashed-n-gram log-likelihood ratio vs a deterministic target sample.
+# Hashed feature space + logs are not SQL-expressible: rows-only here;
+# brute-force parity lives in tests/test_ops.py::TestImportance.
+# ---------------------------------------------------------------------------
+
+
+def q_importance(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .ops.importance import importance_weights
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # deterministic target sample: the q_sample Knuth-hash rule on doc_id
+    k = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    target = docs.filter(pa.array((k * 2654435761) % (1 << 32) < (1 << 32) // 10))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = importance_weights(ds, target["text"].combine_chunks())
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_grams", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -3214,6 +3300,9 @@ QUERIES = {
     "q_supplier_cnt": q_supplier_cnt,
     "q_waiting_orders": q_waiting_orders,
     "q_top_balance": q_top_balance,
+    "q_shuffle": q_shuffle,
+    "q_zscore": q_zscore,
+    "q_importance": q_importance,
 }
 
 ORACLE_SQL = {
@@ -3678,8 +3767,21 @@ ORACLE_SQL = {
         "WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL) "
         "GROUP BY c_mktsegment"
     ),
+    "q_shuffle": (
+        "SELECT event_id, ROW_NUMBER() OVER (ORDER BY "
+        "((event_id * 2654435761) % 4294967296 + 4294967296) % 4294967296, "
+        "event_id)::BIGINT AS pos "
+        "FROM events WHERE event_id IS NOT NULL"
+    ),
+    "q_zscore": (
+        "SELECT event_id, round((value - avg(value) OVER w) "
+        "/ stddev_pop(value) OVER w, 4) AS z "
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+        "AND event_type IS NOT NULL AND event_id IS NOT NULL "
+        "WINDOW w AS (PARTITION BY event_type)"
+    ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
     # q_drift_corpus q_media_decode q_knn_ivf q_corpus_verdicts
-    # q_corpus_violations
+    # q_corpus_violations q_importance (hashed feature space + logs)
 }
