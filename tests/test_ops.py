@@ -1137,3 +1137,108 @@ class TestImportance:
             .sort_values("doc_id")
         )
         assert out["score"].iloc[0] > out["score"].iloc[1]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (ops.text.tfidf_ds) and pivoted counts (ops.stats.pivot_counts)
+# ---------------------------------------------------------------------------
+
+
+class TestTfidf:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        corpus = [
+            "a b b c",
+            "b c c d",
+            None,
+            "",
+            "a a a a",
+        ]
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        out = (
+            TX.tfidf_ds(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        # brute force: N counts docs with non-null text (empty included)
+        docs = {i: s.split() for i, s in enumerate(corpus) if s is not None}
+        N = len(docs)
+        df = Counter()
+        for toks in docs.values():
+            for term in set(toks):
+                df[term] += 1
+        want = []
+        for i, toks in docs.items():
+            for term, tf in sorted(Counter(toks).items()):
+                want.append(
+                    (i, term, tf, df[term], tf * math.log(N / df[term]))
+                )
+        got = [
+            (int(r.doc_id), r.term, int(r.tf), int(r.df), float(r.tfidf))
+            for r in out.itertuples()
+        ]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:4] == w[:4]
+            assert abs(g[4] - w[4]) < 1e-12
+
+    def test_vocab_bound(self, ray_session):
+        t = pa.table({"doc_id": [0], "text": ["a b c d e"]})
+        with pytest.raises(ValueError):
+            TX.tfidf_ds(
+                ray.data.from_arrow(t), "text", "doc_id",
+                max_broadcast_terms=2,
+            )
+
+
+class TestPivotCounts:
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+
+        from vald.ops.stats import pivot_counts
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 20, 500),
+                "c": rng.choice(["x", "y", "z"], 500),
+            }
+        )
+        # inject a NULL key and a NULL category
+        df.loc[0, "k"] = None
+        df.loc[1, "c"] = None
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        out = (
+            pivot_counts(ray.data.from_arrow(t), "k", "c")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        clean = df.dropna(subset=["k"])
+        want = (
+            pd.crosstab(clean["k"], clean["c"])
+            .reindex(columns=["x", "y", "z"], fill_value=0)
+            .reset_index()
+        )
+        want.columns = ["k", "n_x", "n_y", "n_z"]
+        want = want.sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == want["k"].tolist()
+        for c in ["n_x", "n_y", "n_z"]:
+            assert out[c].tolist() == want[c].tolist()
+
+    def test_explicit_categories(self, ray_session):
+        from vald.ops.stats import pivot_counts
+
+        t = pa.table({"k": [1, 1, 2], "c": ["a", "b", "a"]})
+        out = (
+            pivot_counts(
+                ray.data.from_arrow(t), "k", "c", categories=["a", "missing"]
+            )
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert out["n_a"].tolist() == [1, 1]
+        assert out["n_missing"].tolist() == [0, 0]

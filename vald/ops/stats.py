@@ -149,3 +149,81 @@ def group_zscore(
         return t.append_column(out_col, zcol)
 
     return ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Pivoted count features (one-hot / wide feature extraction)
+# ---------------------------------------------------------------------------
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    key: str,
+    cat: str,
+    categories: "list | None" = None,
+    *,
+    prefix: str = "n_",
+    max_categories: int = 10_000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Pivot a categorical column into per-key count features: one row
+    per distinct ``key``, one ``<prefix><category>`` int64 column per
+    category — the classic one-hot/count feature-engineering step
+    before training.
+
+    Shape (100 TB): when ``categories`` is not supplied, one cheap
+    distinct pass discovers them (bounded by ``max_categories`` — a
+    pivot wider than that is a modeling bug, not a dataset). The pivot
+    itself is ONE pass: each batch reduces to a per-key wide partial
+    (indicator columns summed by one Arrow hash-aggregate), and the
+    partials combine through ``bucketed_group_agg`` keyed on ``key`` —
+    the exchange moves one wide row per distinct key per batch. NULL
+    keys are dropped; NULL categories count toward no column.
+    """
+    from ..runtime import bucketed_group_agg
+
+    if categories is None:
+        def cat_local(t: pa.Table) -> pa.Table:
+            return (
+                t.select([cat])
+                .drop_null()
+                .group_by(cat, use_threads=False)
+                .aggregate([])
+            )
+
+        found = bucketed_group_agg(
+            ds.map_batches(
+                cat_local, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            cat,
+            [],
+            num_buckets=min(num_buckets, 16),
+        ).to_pandas()
+        if len(found) > max_categories:
+            raise ValueError(
+                f"pivot_counts: {len(found)} categories exceeds "
+                f"max_categories={max_categories}"
+            )
+        categories = sorted(found[cat].tolist())
+    cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key]))
+        small = {key: t[key]}
+        for c, name in zip(categories, cols):
+            small[name] = pc.cast(
+                pc.fill_null(pc.equal(t[cat], pa.scalar(c)), False), pa.int64()
+            )
+        agg = (
+            pa.table(small)
+            .group_by(key, use_threads=False)
+            .aggregate([(name, "sum") for name in cols])
+        )
+        return agg.rename_columns([key] + cols)
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key,
+        [(name, "sum") for name in cols],
+        num_buckets=num_buckets,
+    )

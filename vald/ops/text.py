@@ -588,3 +588,142 @@ def split_documents(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF scoring (vocabulary-level feature extraction)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_ds(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    max_broadcast_terms: int = 2_000_000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact corpus TF-IDF: one output row per (doc, distinct term) with
+    ``tf`` (occurrences in the doc), ``df`` (distinct docs containing
+    the term), and ``tfidf = tf * ln(N / df)`` where ``N`` counts docs
+    with non-null text. Terms are whitespace tokens (str.split
+    semantics — empty tokens dropped), reusing ``dedup.token_grams``
+    at width 1.
+
+    Shape (100 TB): stage 1 computes term document-frequencies with
+    per-batch pre-aggregation (per-doc DISTINCT terms via one Arrow
+    dictionary-encode) before a bucketed combine — one row per distinct
+    term per batch moves, never one per occurrence; the batch doc count
+    rides the same exchange as a NULL-term row (bucketed_group_agg
+    groups NULL keys like values), so N needs no second pass. The
+    (term, df) vocabulary then broadcasts once via ``ray.put``
+    (``max_broadcast_terms`` guards the driver bound; above it, route
+    stage 2 through a join on term — the B5 planner shape). Stage 2 is
+    embarrassingly parallel: per-batch tf via dictionary-encode +
+    np.unique on (row, code) pairs, df looked up with one vectorized
+    ``pc.index_in`` gather."""
+    from ..runtime import bucketed_group_agg
+
+    from .dedup import token_grams
+
+    _EMPTY_DF = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        n_docs = len(t)
+        toks, doc_idx, _ = token_grams(t, text_col, 1)
+        if len(toks) == 0:
+            if n_docs == 0:
+                return _EMPTY_DF
+            return pa.table(
+                {
+                    "term": pa.array([None], type=pa.string()),
+                    "df": pa.array([n_docs], type=pa.int64()),
+                }
+            )
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndict = len(enc.dictionary)
+        # distinct (doc, term) pairs -> per-term distinct-doc count
+        pair = np.unique(doc_idx * ndict + codes)
+        dfc = np.bincount(pair % ndict, minlength=ndict).astype(np.int64)
+        out = pa.table(
+            {
+                "term": enc.dictionary,
+                "df": pa.array(dfc),
+            }
+        )
+        # the batch's doc count rides the exchange as the NULL-term row
+        return pa.concat_tables(
+            [
+                out,
+                pa.table(
+                    {
+                        "term": pa.array([None], type=pa.string()),
+                        "df": pa.array([n_docs], type=pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "term",
+        [("df", "sum")],
+        num_buckets=num_buckets,
+    ).to_pandas()
+    null_row = vocab["term"].isna()
+    n_total = int(vocab.loc[null_row, "df"].sum())
+    vocab = vocab[~null_row]
+    if len(vocab) > max_broadcast_terms:
+        raise ValueError(
+            f"tfidf_ds: vocabulary {len(vocab)} exceeds max_broadcast_terms="
+            f"{max_broadcast_terms}; route stage 2 through a term join"
+        )
+    terms_ref = ray.put(pa.array(vocab["term"].tolist(), type=pa.string()))
+    df_ref = ray.put(vocab["df"].to_numpy().astype(np.int64))
+
+    id_type = None  # resolved per batch
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=t.schema.field(id_col).type),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "tfidf": pa.array([], type=pa.float64()),
+            }
+        )
+        toks, doc_idx, _ = token_grams(t, text_col, 1)
+        if len(toks) == 0:
+            return empty
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndict = len(enc.dictionary)
+        pair, tf = np.unique(doc_idx * ndict + codes, return_counts=True)
+        rows = (pair // ndict).astype(np.int64)
+        term_codes = (pair % ndict).astype(np.int64)
+        term_arr = enc.dictionary.take(pa.array(term_codes))
+        idx = pc.index_in(term_arr, value_set=ray.get(terms_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        dfs = ray.get(df_ref)[idx.astype(np.int64)]
+        tfidf = tf.astype(np.float64) * np.log(float(n_total) / dfs)
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(rows)),
+                "term": term_arr,
+                "tf": pa.array(tf.astype(np.int64)),
+                "df": pa.array(dfs),
+                "tfidf": pa.array(tfidf, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

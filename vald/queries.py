@@ -3218,6 +3218,59 @@ def q_importance(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Text op: exact corpus TF-IDF (ops.text.tfidf_ds) — distinct-term df
+# partials + bucketed combine, vocabulary broadcast, per-batch tf.
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf(sf_dir: str):
+    from .ops.text import tfidf_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_ds(ds, "text", "doc_id").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("tfidf"),
+            "tfidf",
+            pc.round(t["tfidf"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+                ("tfidf", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-engineering op: pivoted count features (ops.stats
+# .pivot_counts) — one wide partial per batch, one bucketed combine.
+# ---------------------------------------------------------------------------
+
+
+def q_pivot(sf_dir: str):
+    from .ops.stats import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_counts(ds, "user_id", "event_type")
+    schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [
+            (f"n_{c}", pa.int64())
+            for c in ["click", "error", "purchase", "signup", "view"]
+        ]
+    )
+    return _ensure_schema(out, schema)
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -3303,6 +3356,8 @@ QUERIES = {
     "q_shuffle": q_shuffle,
     "q_zscore": q_zscore,
     "q_importance": q_importance,
+    "q_tfidf": q_tfidf,
+    "q_pivot": q_pivot,
 }
 
 ORACLE_SQL = {
@@ -3779,6 +3834,30 @@ ORACLE_SQL = {
         "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
         "AND event_type IS NOT NULL AND event_id IS NOT NULL "
         "WINDOW w AS (PARTITION BY event_type)"
+    ),
+    "q_tfidf": (
+        # single-spaced corpus: string_split and the engine's
+        # str.split-semantics tokenizer agree (the shared caveat of
+        # every string_split oracle here)
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents WHERE text IS NOT NULL), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok "
+        "WHERE term <> '' GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
+        "WHERE term <> '' GROUP BY term), "
+        "n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL) "
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf "
+        "FROM tf JOIN df USING (term), n"
+    ),
+    "q_pivot": (
+        "SELECT user_id, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+        "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
