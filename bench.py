@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "q_small_qty_revenue",
     "q_global_rank",
     "q_big_orders",
+    "q_returned_items",
+    "q_supplier_cnt",
+    "q_waiting_orders",
+    "q_shuffle",
+    "q_zscore",
+    "q_tfidf",
 ]
 
 
