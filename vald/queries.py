@@ -3271,6 +3271,69 @@ def q_pivot(sf_dir: str):
     return _ensure_schema(out, schema)
 
 
+# ---------------------------------------------------------------------------
+# B14 full-outer join: per-day 'P'-status vs 'F'-status order counts —
+# days that saw only one status keep a NULL on the other side. Both
+# sides pre-aggregate per batch before ONE native full_outer hash join
+# (Ray coalesces the key across sides).
+# ---------------------------------------------------------------------------
+
+
+def q_status_days(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def side(status: str, out: str):
+        def partial(t: pa.Table) -> pa.Table:
+            agg = (
+                pa.table(
+                    {
+                        "day": t["o_orderdate"],
+                        out: pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                )
+                .drop_null()
+                .group_by("day", use_threads=False)
+                .aggregate([(out, "sum")])
+            )
+            return agg.rename_columns(["day", out])
+
+        return bucketed_group_agg(
+            _read(
+                sf_dir,
+                "orders",
+                ["o_orderdate", "o_orderstatus"],
+                filter=pads.field("o_orderstatus") == status,
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "day",
+            [(out, "sum")],
+        )
+
+    joined = join_barrier(side("P", "n_p")).join(
+        join_barrier(side("F", "n_f")),
+        join_type="full_outer",
+        num_partitions=join_partitions(None),
+        on=("day",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+    return _ensure_schema(
+        joined,
+        pa.schema(
+            [
+                ("day", pa.timestamp("us")),
+                ("n_p", pa.int64()),
+                ("n_f", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -3358,6 +3421,7 @@ QUERIES = {
     "q_importance": q_importance,
     "q_tfidf": q_tfidf,
     "q_pivot": q_pivot,
+    "q_status_days": q_status_days,
 }
 
 ORACLE_SQL = {
@@ -3858,6 +3922,16 @@ ORACLE_SQL = {
         "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
         "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
         "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
+    ),
+    "q_status_days": (
+        "WITH p AS (SELECT o_orderdate AS day, count(*)::BIGINT AS n_p "
+        "FROM orders WHERE o_orderstatus = 'P' AND o_orderdate IS NOT NULL "
+        "GROUP BY 1), "
+        "f AS (SELECT o_orderdate AS day, count(*)::BIGINT AS n_f "
+        "FROM orders WHERE o_orderstatus = 'F' AND o_orderdate IS NOT NULL "
+        "GROUP BY 1) "
+        "SELECT COALESCE(p.day, f.day) AS day, p.n_p, f.n_f "
+        "FROM p FULL OUTER JOIN f ON p.day = f.day"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
