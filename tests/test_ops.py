@@ -1242,3 +1242,47 @@ class TestPivotCounts:
         )
         assert out["n_a"].tolist() == [1, 1]
         assert out["n_missing"].tolist() == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM log-prob quality score (ops.text.unigram_logprob_ds)
+# ---------------------------------------------------------------------------
+
+
+class TestUnigramLogprob:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        corpus = ["a b b", "b c", None, "", "a"]
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        out = (
+            TX.unigram_logprob_ds(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        lm = Counter(tok for s in corpus if s for tok in s.split())
+        total = sum(lm.values())
+        # NULL text dropped; empty text scored with n_tokens=0, NULL lp
+        assert out["doc_id"].tolist() == [0, 1, 3, 4]
+        for r in out.itertuples():
+            s = corpus[r.doc_id]
+            toks = s.split()
+            assert r.n_tokens == len(toks)
+            if not toks:
+                assert np.isnan(r.logprob)
+            else:
+                want = sum(math.log(lm[x] / total) for x in toks) / len(toks)
+                assert abs(r.logprob - want) < 1e-12
+
+    def test_gibberish_scores_lower(self, ray_session):
+        common = "the quick brown fox jumps over the lazy dog"
+        corpus = [common] * 20 + ["zxqj vvwk pqrs ttyu"]
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        out = (
+            TX.unigram_logprob_ds(ray.data.from_arrow(t), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["logprob"].iloc[-1] < out["logprob"].iloc[0]

@@ -727,3 +727,96 @@ def tfidf_ds(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-probability scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_ds(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    max_broadcast_terms: int = 2_000_000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM — the shape of CCNet's LM quality filter (docs far below
+    the corpus-typical log-prob are boilerplate/gibberish candidates;
+    CCNet uses a pretrained KenLM, this op is the self-trained unigram
+    variant with the identical pipeline shape). ``logprob =
+    mean_tokens ln(count(term) / total_tokens)``; every scored term was
+    counted, so no smoothing term is needed and a SQL oracle can
+    reproduce the number exactly (queries.q_logprob).
+
+    Shape (100 TB): stage 1 counts term OCCURRENCES with per-batch
+    pre-aggregation before a bucketed combine (same exchange discipline
+    as tfidf_ds's df pass: one row per distinct term per batch); the
+    vocabulary broadcasts once (``max_broadcast_terms`` guard). Stage 2
+    is embarrassingly parallel: token log-probs gathered with one
+    ``pc.index_in``, per-doc means via one segment sum."""
+    from ..runtime import bucketed_group_agg
+
+    from .dedup import token_grams
+
+    _EMPTY_CNT = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        toks, _, _ = token_grams(t, text_col, 1)
+        if len(toks) == 0:
+            return _EMPTY_CNT
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"term": enc.dictionary, "cnt": pa.array(cnt)})
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(
+            cnt_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "term",
+        [("cnt", "sum")],
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if len(vocab) > max_broadcast_terms:
+        raise ValueError(
+            f"unigram_logprob_ds: vocabulary {len(vocab)} exceeds "
+            f"max_broadcast_terms={max_broadcast_terms}; route scoring "
+            "through a term join"
+        )
+    total = float(vocab["cnt"].sum())
+    terms_ref = ray.put(pa.array(vocab["term"].tolist(), type=pa.string()))
+    logp_ref = ray.put(np.log(vocab["cnt"].to_numpy().astype(np.float64) / total))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        toks, doc_idx, nw = token_grams(t, text_col, 1)
+        tot = np.zeros(len(t), dtype=np.float64)
+        if len(toks):
+            idx = pc.index_in(toks, value_set=ray.get(terms_ref)).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(tot, doc_idx, ray.get(logp_ref)[idx.astype(np.int64)])
+        n = nw.astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lp = np.where(n > 0, tot / np.maximum(n, 1), np.nan)
+        lp_col = pa.array(lp, type=pa.float64())
+        lp_col = pc.if_else(
+            pc.is_nan(lp_col), pa.scalar(None, pa.float64()), lp_col
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n),
+                "logprob": lp_col,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

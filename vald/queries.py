@@ -3334,6 +3334,37 @@ def q_status_days(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Text op: CCNet-style unigram-LM quality score (ops.text
+# .unigram_logprob_ds) — mean token log-prob under the corpus's own
+# unigram model; self-trained, so the SQL oracle reproduces it exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_logprob(sf_dir: str):
+    from .ops.text import unigram_logprob_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_logprob_ds(ds, "text", "doc_id").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("logprob"),
+            "logprob",
+            pc.round(t["logprob"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("logprob", pa.float64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -3422,6 +3453,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_pivot": q_pivot,
     "q_status_days": q_status_days,
+    "q_logprob": q_logprob,
 }
 
 ORACLE_SQL = {
@@ -3932,6 +3964,22 @@ ORACLE_SQL = {
         "GROUP BY 1) "
         "SELECT COALESCE(p.day, f.day) AS day, p.n_p, f.n_f "
         "FROM p FULL OUTER JOIN f ON p.day = f.day"
+    ),
+    "q_logprob": (
+        # NULL-text docs produce no row; docs whose tokens are all
+        # empty-after-split keep n_tokens=0 with NULL logprob
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents WHERE text IS NOT NULL), "
+        "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), "
+        "lm AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY term), "
+        "tot AS (SELECT count(*) AS total FROM tok2), "
+        "per_doc AS (SELECT tok2.doc_id, count(*)::BIGINT AS n_tokens, "
+        "round(avg(ln(lm.cnt::DOUBLE / tot.total)), 6) AS logprob "
+        "FROM tok2 JOIN lm USING (term), tot GROUP BY tok2.doc_id) "
+        "SELECT d.doc_id, COALESCE(per_doc.n_tokens, 0) AS n_tokens, "
+        "per_doc.logprob "
+        "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
+        "LEFT JOIN per_doc USING (doc_id)"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
