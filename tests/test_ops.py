@@ -1286,3 +1286,164 @@ class TestUnigramLogprob:
             .sort_values("doc_id")
         )
         assert out["logprob"].iloc[-1] < out["logprob"].iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup (ops.cluster)
+# ---------------------------------------------------------------------------
+
+
+def _blob_table(rng, centers, per, dim=8, spread=0.02):
+    rows, labels = [], []
+    for ci, c in enumerate(centers):
+        pts = c + rng.randn(per, dim) * spread
+        rows.append(pts)
+        labels.extend([ci] * per)
+    m = np.vstack(rows).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": list(range(len(m))),
+            "embedding": [r.tolist() for r in m],
+            "blob": labels,
+        }
+    )
+    return t, m, np.array(labels)
+
+
+def _brute_spherical_lloyd(x, init, iters):
+    # driver-side reference with the same semantics as kmeans_fit_ds:
+    # cosine assignment, mean, renormalize, empty cluster keeps centroid
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    x = norm(x.astype(np.float64))
+    cent = norm(init.astype(np.float64))
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                new[c] = x[mask].mean(axis=0)
+        cent = norm(new)
+    return cent.astype(np.float32)
+
+
+class TestCluster:
+    def test_fit_matches_driver_reference(self, ray_session):
+        from vald.ops import cluster as CL
+
+        rng = np.random.RandomState(3)
+        centers = np.eye(3, 8) * 1.0
+        t, m, _ = _blob_table(rng, centers, per=40)
+        init = m[[0, 40, 80]]
+        got = CL.kmeans_fit_ds(
+            ray.data.from_arrow(t), k=3, init=init, iters=5, tol=0.0
+        )
+        want = _brute_spherical_lloyd(m, init, iters=5)
+        assert np.allclose(got, want, atol=1e-5)
+
+    def test_assign_recovers_blobs(self, ray_session):
+        from vald.ops import cluster as CL
+
+        rng = np.random.RandomState(5)
+        centers = np.eye(3, 8) * 1.0
+        t, m, labels = _blob_table(rng, centers, per=50)
+        ds = ray.data.from_arrow(t)
+        cents = CL.kmeans_fit_ds(ds, k=3, iters=10, seed=1)
+        out = CL.kmeans_assign_ds(ds, cents).to_pandas().sort_values("vec_id")
+        # clusters are a permutation of blob labels (purity 1.0)
+        df = out.assign(blob=labels)
+        purity = df.groupby("cluster")["blob"].agg(lambda s: s.value_counts().iloc[0] / len(s))
+        assert (purity == 1.0).all()
+        assert (out["centroid_sim"] > 0.9).all()
+
+    def test_semdedup_drops_duplicates(self, ray_session):
+        from vald.ops import cluster as CL
+
+        rng = np.random.RandomState(7)
+        centers = np.eye(2, 8) * 1.0
+        t, m, _ = _blob_table(rng, centers, per=20, spread=0.2)
+        # append exact copies of rows 0..4 with new ids
+        dup = m[:5]
+        t2 = pa.table(
+            {
+                "vec_id": list(range(len(m), len(m) + 5)),
+                "embedding": [r.tolist() for r in dup],
+                "blob": [0] * 5,
+            }
+        )
+        both = pa.concat_tables([t, t2])
+        out = CL.semdedup_ds(
+            ray.data.from_arrow(both),
+            threshold=0.9999,
+            k=2,
+            iters=5,
+            seed=2,
+        ).to_pandas()
+        # each duplicated vector survives exactly once
+        assert len(out) == len(m)
+        assert set(out.columns) == {"vec_id", "embedding", "blob"}
+        surv = set(out["vec_id"])
+        for orig, copy in zip(range(5), range(len(m), len(m) + 5)):
+            assert (orig in surv) ^ (copy in surv)
+
+    def test_semdedup_single_cluster_matches_greedy(self, ray_session):
+        from vald.ops import cluster as CL
+
+        rng = np.random.RandomState(11)
+        m = rng.randn(30, 6).astype(np.float32)
+        t = pa.table(
+            {"vec_id": list(range(30)), "embedding": [r.tolist() for r in m]}
+        )
+        cents = np.ones((1, 6), dtype=np.float32)
+        out = CL.semdedup_ds(
+            ray.data.from_arrow(t),
+            threshold=0.5,
+            centroids=cents,
+        ).to_pandas()
+
+        # brute-force greedy reference: ascending centroid sim, tie id
+        def norm(a):
+            n = np.linalg.norm(a, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return a / n
+
+        x = norm(m.astype(np.float64))
+        c = norm(cents.astype(np.float64))
+        sim_c = (x @ c.T)[:, 0]
+        order = np.lexsort((np.arange(30), sim_c))
+        sims = x @ x.T
+        kept = []
+        for i in order:
+            if not kept or sims[i, kept].max() < 0.5:
+                kept.append(int(i))
+        assert sorted(out["vec_id"]) == sorted(kept)
+
+    def test_semdedup_hot_cluster_valve(self, ray_session):
+        from vald.ops import cluster as CL
+
+        rng = np.random.RandomState(13)
+        m = rng.randn(64, 4).astype(np.float32)
+        t = pa.table(
+            {"vec_id": list(range(64)), "embedding": [r.tolist() for r in m]}
+        )
+        cents = np.ones((1, 4), dtype=np.float32)
+        # cap forces hash sub-splits; with threshold>1 nothing can be
+        # dropped so every row must still come through exactly once
+        out = CL.semdedup_ds(
+            ray.data.from_arrow(t),
+            threshold=1.1,
+            centroids=cents,
+            group_cap=10,
+        ).to_pandas()
+        assert sorted(out["vec_id"]) == list(range(64))
+
+    def test_kmeans_needs_k_rows(self, ray_session):
+        from vald.ops import cluster as CL
+
+        t = pa.table({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+        with pytest.raises(ValueError):
+            CL.kmeans_fit_ds(ray.data.from_arrow(t), k=3, iters=1)

@@ -3365,6 +3365,87 @@ def q_logprob(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Clustering + semantic dedup (ops.cluster) — iterative, not
+# SQL-expressible; rows-only driver checks + parity tests in
+# tests/test_ops.py::TestCluster.
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans(sf_dir: str):
+    """Full-data spherical k-means over the embeddings table: fit k=8
+    centroids with distributed Lloyd passes, stamp assignments, return
+    per-cluster size + mean centroid cosine (8 rows)."""
+    from .ops.cluster import kmeans_assign_ds, kmeans_fit_ds
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit_ds(ds, k=8, iters=5, seed=7)
+    stamped = kmeans_assign_ds(ds, cents)
+    out = stamped.groupby("cluster").aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Mean("centroid_sim")
+    )
+    return _ensure_schema(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster": pc.cast(t["cluster"], pa.int32()),
+                    "n": pc.cast(t["count()"], pa.int64()),
+                    "mean_sim": pc.round(
+                        pc.cast(t["mean(centroid_sim)"], pa.float64()), 6
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [("cluster", pa.int32()), ("n", pa.int64()), ("mean_sim", pa.float64())]
+        ),
+    )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup over a planted-duplicate embedding corpus (the real
+    embeddings table has no near-dups, measured in q_embedding_dups):
+    150 clusters × 3 jittered copies + 800 singletons → survivors.
+    Returns surviving vec_ids; the 150 planted triples should each
+    collapse to ~1 exemplar at threshold 0.95."""
+    import numpy as np
+
+    from .ops.cluster import semdedup_ds
+
+    rng = np.random.RandomState(5)
+    dim, rows, ids = 32, [], []
+    vid = 0
+    for _ in range(150):
+        c = rng.standard_normal(dim)
+        c /= np.linalg.norm(c)
+        for _ in range(3):
+            rows.append((c + 0.02 * rng.standard_normal(dim)).astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    for _ in range(800):
+        v = rng.standard_normal(dim)
+        rows.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(vid)
+        vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in rows], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = semdedup_ds(
+        ray.data.from_arrow(t),
+        threshold=0.95,
+        k=16,
+        iters=5,
+        seed=3,
+    ).select_columns(["vec_id"])
+    return _ensure_schema(out, pa.schema([("vec_id", pa.int64())]))
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -3454,6 +3535,8 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_status_days": q_status_days,
     "q_logprob": q_logprob,
+    "q_kmeans": q_kmeans,
+    "q_semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {
