@@ -1447,3 +1447,78 @@ class TestCluster:
         t = pa.table({"vec_id": [0], "embedding": [[1.0, 0.0]]})
         with pytest.raises(ValueError):
             CL.kmeans_fit_ds(ray.data.from_arrow(t), k=3, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (ops.sample.select_by_budget)
+# ---------------------------------------------------------------------------
+
+
+class TestSelectByBudget:
+    def _table(self):
+        return pa.table(
+            {
+                "id": list(range(10)),
+                "grp": ["a", "a", "a", "b", "b", None, "a", "b", "a", "b"],
+                "q": [9.0, 8.0, 7.0, 9.0, None, 5.0, 6.0, 3.0, 5.0, 2.0],
+                "tok": [4, 3, 5, 6, 2, 1, 2, 4, None, 3],
+            }
+        )
+
+    def _reference(self, budget):
+        import pandas as pd
+
+        df = self._table().to_pandas()
+        df = df.dropna(subset=["grp", "q", "tok"])
+        df = df.sort_values(["grp", "q", "id"], ascending=[True, False, True])
+        df["cum_tokens"] = df.groupby("grp")["tok"].cumsum().astype(int)
+        return df[df["cum_tokens"] <= budget]
+
+    def test_matches_pandas_window(self, ray_session):
+        from vald.ops.sample import select_by_budget
+
+        for budget in (5, 9, 100):
+            out = (
+                select_by_budget(
+                    ray.data.from_arrow(self._table()),
+                    "grp",
+                    [("q", "descending"), ("id", "ascending")],
+                    "tok",
+                    budget,
+                )
+                .to_pandas()
+                .sort_values("id")
+            )
+            ref = self._reference(budget).sort_values("id")
+            assert out["id"].tolist() == ref["id"].tolist()
+            assert out["cum_tokens"].tolist() == ref["cum_tokens"].tolist()
+
+    def test_bucket_count_invariance(self, ray_session):
+        from vald.ops.sample import select_by_budget
+
+        outs = []
+        for nb in (1, 7):
+            out = (
+                select_by_budget(
+                    ray.data.from_arrow(self._table()),
+                    "grp",
+                    [("q", "descending"), ("id", "ascending")],
+                    "tok",
+                    9,
+                    num_buckets=nb,
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        assert outs[0].equals(outs[1])
+
+    def test_empty_input(self, ray_session):
+        from vald.ops.sample import select_by_budget
+
+        t = self._table().slice(0, 0)
+        out = select_by_budget(
+            ray.data.from_arrow(t), "grp", [("q", "descending")], "tok", 5
+        ).to_pandas()
+        assert len(out) == 0

@@ -79,3 +79,92 @@ def stratified_sample(
     stamped = ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_topk(stamped, group_col, "__h", key, n, descending=False)
     return out.drop_columns(["__h", "rn"])
+
+
+def select_by_budget(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols,
+    token_col: str,
+    budget: int,
+    *,
+    out_col: str = "cum_tokens",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-group token-budget selection — the curation step "take the
+    best documents from each source until its token budget is spent":
+    within each ``group_col`` value, scan rows in ``order_cols`` order
+    (list of ``(col, "ascending"|"descending")``; must be a total order
+    within the group, so include a tie-break id) and keep a row while
+    the RUNNING sum of ``token_col`` (including the current row) stays
+    ≤ ``budget``. Emits the surviving rows plus ``out_col`` with the
+    running total — exactly the SQL
+    ``SUM(tok) OVER (PARTITION BY g ORDER BY ...) <= budget`` filter.
+
+    Partitioning: the single key-hash shuffle used by
+    ``windows.cumulative`` (every row of one group lands in one bucket
+    task, ``num_buckets`` data-scaled by the B4 rule); inside a bucket
+    one Arrow sort restores group segments and the running sums are one
+    vectorized cumsum with per-segment base subtraction (int64 — token
+    counts are integral, so the prefix sums are exact). Rows with a
+    NULL group, NULL order column, or NULL token count are dropped
+    (the SQL twin guards the same way)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .windows import (
+        _MIN_BUCKETS,
+        _ROWS_PER_BUCKET,
+        _adjacent_change,
+        _bucket_ids,
+    )
+
+    order_cols = [
+        (c, "ascending") if isinstance(c, str) else (c[0], c[1])
+        for c in order_cols
+    ]
+    if num_buckets is None:
+        num_buckets = max(
+            _MIN_BUCKETS, math.ceil(ds.count() / _ROWS_PER_BUCKET)
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t[group_col])
+        for oc, _ in order_cols:
+            m = pc.and_(m, pc.is_valid(t[oc]))
+        m = pc.and_(m, pc.is_valid(t[token_col]))
+        t = t.filter(m)
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[group_col], num_buckets))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        n = len(g)
+        if n == 0:
+            return g.append_column(out_col, pa.array([], type=pa.int64()))
+        order = pc.sort_indices(
+            g,
+            sort_keys=[(group_col, "ascending")] + list(order_cols),
+        )
+        g = g.take(order)
+        vals = (
+            pc.cast(g[token_col], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        new_key = _adjacent_change(g[group_col].combine_chunks(), n)
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        cs = np.cumsum(vals)
+        cum = cs - (cs[starts] - vals[starts])[seg_id]
+        keep = cum <= budget
+        g = g.append_column(out_col, pa.array(cum, type=pa.int64()))
+        return g.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

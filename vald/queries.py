@@ -3366,6 +3366,45 @@ def q_logprob(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Curation: per-source token-budget selection (ops.sample
+# .select_by_budget) — "take the longest docs per language until the
+# token budget is spent"; oracle = SUM() OVER window filter.
+# ---------------------------------------------------------------------------
+
+
+def q_budget_select(sf_dir: str):
+    from .ops.sample import select_by_budget
+    from .ops.text import TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    toks = ds.map_batches(
+        TokenCount,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).select_columns(["doc_id", "lang", "n_chars", "n_tokens_ws"])
+    out = select_by_budget(
+        toks,
+        "lang",
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        "n_tokens_ws",
+        2_000,
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+                ("n_tokens_ws", pa.int64()),
+                ("cum_tokens", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Clustering + semantic dedup (ops.cluster) — iterative, not
 # SQL-expressible; rows-only driver checks + parity tests in
 # tests/test_ops.py::TestCluster.
@@ -3535,6 +3574,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_status_days": q_status_days,
     "q_logprob": q_logprob,
+    "q_budget_select": q_budget_select,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,
 }
@@ -4047,6 +4087,18 @@ ORACLE_SQL = {
         "GROUP BY 1) "
         "SELECT COALESCE(p.day, f.day) AS day, p.n_p, f.n_f "
         "FROM p FULL OUTER JOIN f ON p.day = f.day"
+    ),
+    "q_budget_select": (
+        # same whitespace-token definition as q_token_counts; NULL
+        # lang/n_chars guarded like the op's bucketize drop
+        "WITH tok AS (SELECT doc_id, lang, n_chars, "
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws "
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL), "
+        "w AS (SELECT *, SUM(n_tokens_ws) OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) AS cum_tokens FROM tok) "
+        "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
+        "FROM w WHERE cum_tokens <= 2000"
     ),
     "q_logprob": (
         # NULL-text docs produce no row; docs whose tokens are all
