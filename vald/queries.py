@@ -3366,6 +3366,146 @@ def q_logprob(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — distributed
+# pre-aggregated counts LEFT OUTER joined back to the full customer
+# list (zero-order customers must appear), then a count-of-counts.
+# ---------------------------------------------------------------------------
+
+
+def q_order_counts(sf_dir: str):
+    from .runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_custkey"]))
+        small = pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by("c_custkey", use_threads=False).aggregate(
+            [("n_orders", "sum")]
+        )
+        return agg.rename_columns(["c_custkey", "n_orders"])
+
+    counts = bucketed_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "c_custkey",
+        [("n_orders", "sum")],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = join_barrier(cust).join(
+        join_barrier(counts),
+        join_type="left_outer",
+        num_partitions=join_partitions(None),
+        on=("c_custkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "c_count": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
+                "custdist": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by("c_count", use_threads=False).aggregate(
+            [("custdist", "sum")]
+        )
+        return agg.rename_columns(["c_count", "custdist"])
+
+    out = bucketed_group_agg(
+        joined.map_batches(dist_partial, batch_format="pyarrow"),
+        "c_count",
+        [("custdist", "sum")],
+    )
+    return _ensure_schema(
+        out, pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-clause predicate over a broadcast
+# dimension — part pruned AT THE SCAN to the union of clause brands,
+# per-clause (partkey-set, quantity-range) broadcast once; clauses are
+# brand-disjoint so per-clause sums compose the OR exactly.
+# ---------------------------------------------------------------------------
+
+_Q19_CLAUSES = [
+    ("Brand#12", 1, 15, 1.0, 20.0),
+    ("Brand#23", 5, 25, 10.0, 30.0),
+    ("Brand#34", 10, 40, 20.0, 40.0),
+]
+
+
+def q_brand_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    brands = [c[0] for c in _Q19_CLAUSES]
+    part = pa.Table.from_pandas(
+        _read(
+            sf_dir,
+            "part",
+            ["p_partkey", "p_brand", "p_size"],
+            filter=pads.field("p_brand").isin(brands),
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    clause_keys = []
+    for brand, slo, shi, qlo, qhi in _Q19_CLAUSES:
+        m = pc.and_(
+            pc.equal(part["p_brand"], pa.scalar(brand)),
+            pc.and_(
+                pc.greater_equal(part["p_size"], pa.scalar(slo)),
+                pc.less_equal(part["p_size"], pa.scalar(shi)),
+            ),
+        )
+        keys = part.filter(pc.fill_null(m, False))["p_partkey"].combine_chunks()
+        clause_keys.append((keys, qlo, qhi))
+    clauses_ref = ray.put(clause_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = 0.0
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        for keys, qlo, qhi in ray.get(clauses_ref):
+            m = pc.fill_null(pc.is_in(t["l_partkey"], value_set=keys), False)
+            m = pc.and_(
+                m,
+                pc.and_(
+                    pc.fill_null(
+                        pc.greater_equal(t["l_quantity"], pa.scalar(qlo)), False
+                    ),
+                    pc.fill_null(
+                        pc.less_equal(t["l_quantity"], pa.scalar(qhi)), False
+                    ),
+                ),
+            )
+            s = pc.sum(pc.if_else(m, rev, pa.scalar(0.0))).as_py()
+            total += s or 0.0
+        return pa.table({"revenue": pa.array([total], type=pa.float64())})
+
+    total = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("revenue")
+    )
+    return pa.table({"revenue": pa.array([round(total or 0.0, 2)], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
 # Curation: per-source token-budget selection (ops.sample
 # .select_by_budget) — "take the longest docs per language until the
 # token budget is spent"; oracle = SUM() OVER window filter.
@@ -3575,6 +3715,8 @@ QUERIES = {
     "q_status_days": q_status_days,
     "q_logprob": q_logprob,
     "q_budget_select": q_budget_select,
+    "q_order_counts": q_order_counts,
+    "q_brand_revenue": q_brand_revenue,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,
 }
@@ -4087,6 +4229,23 @@ ORACLE_SQL = {
         "GROUP BY 1) "
         "SELECT COALESCE(p.day, f.day) AS day, p.n_p, f.n_f "
         "FROM p FULL OUTER JOIN f ON p.day = f.day"
+    ),
+    "q_order_counts": (
+        "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, count(*)::BIGINT AS custdist "
+        "FROM per_cust GROUP BY c_count"
+    ),
+    "q_brand_revenue": (
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 10 AND 40 "
+        "AND l_quantity BETWEEN 20 AND 40)"
     ),
     "q_budget_select": (
         # same whitespace-token definition as q_token_counts; NULL
