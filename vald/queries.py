@@ -3432,6 +3432,89 @@ def q_order_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q15 shape: global-max scalar subquery — per-supplier revenue in a
+# ship-date window (pushdown), distributed max, winners (ties kept, as
+# in the spec) enriched from the supplier dimension.
+# ---------------------------------------------------------------------------
+
+_Q15_LO = np.datetime64("1996-01-01T00:00:00", "us")
+_Q15_HI = np.datetime64("1996-04-01T00:00:00", "us")
+
+
+def q_top_supplier(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from .runtime import bucketed_group_agg
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_suppkey"]))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table({"l_suppkey": t["l_suppkey"], "total_revenue": rev})
+        agg = small.group_by("l_suppkey", use_threads=False).aggregate(
+            [("total_revenue", "sum")]
+        )
+        return agg.rename_columns(["l_suppkey", "total_revenue"])
+
+    rev = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q15_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q15_HI)),
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_suppkey",
+        [("total_revenue", "sum")],
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_revenue"),
+            "total_revenue",
+            pc.round(t["total_revenue"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    gmax = rev.max("total_revenue")
+    winners = pa.Table.from_pandas(
+        rev.map_batches(
+            lambda t: t.filter(pc.equal(t["total_revenue"], pa.scalar(gmax))),
+            batch_format="pyarrow",
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    if len(winners) == 0:
+        return _empty(
+            pa.schema(
+                [
+                    ("s_suppkey", pa.int64()),
+                    ("s_name", pa.string()),
+                    ("total_revenue", pa.float64()),
+                ]
+            )
+        )
+    wkeys_ref = ray.put(winners["l_suppkey"].combine_chunks())
+    supp = pa.Table.from_pandas(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.is_in(t["s_suppkey"], value_set=ray.get(wkeys_ref)), False
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas(),
+        preserve_index=False,
+    )
+    out = supp.join(
+        winners.rename_columns(["s_suppkey", "total_revenue"]), keys="s_suppkey"
+    )
+    return out.select(["s_suppkey", "s_name", "total_revenue"])
+
+
+# ---------------------------------------------------------------------------
 # Q19 shape: disjunctive multi-clause predicate over a broadcast
 # dimension — part pruned AT THE SCAN to the union of clause brands,
 # per-clause (partkey-set, quantity-range) broadcast once; clauses are
@@ -3716,6 +3799,7 @@ QUERIES = {
     "q_logprob": q_logprob,
     "q_budget_select": q_budget_select,
     "q_order_counts": q_order_counts,
+    "q_top_supplier": q_top_supplier,
     "q_brand_revenue": q_brand_revenue,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,
@@ -4236,6 +4320,15 @@ ORACLE_SQL = {
         "GROUP BY c_custkey) "
         "SELECT c_count, count(*)::BIGINT AS custdist "
         "FROM per_cust GROUP BY c_count"
+    ),
+    "q_top_supplier": (
+        "WITH rev AS (SELECT l_suppkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
     ),
     "q_brand_revenue": (
         "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
