@@ -1522,3 +1522,66 @@ class TestSelectByBudget:
             ray.data.from_arrow(t), "grp", [("q", "descending")], "tok", 5
         ).to_pandas()
         assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# mixture rebalancing (ops.sample.mix_sources)
+# ---------------------------------------------------------------------------
+
+
+class TestMixSources:
+    def _table(self):
+        rng = np.random.RandomState(19)
+        grps = ["en"] * 60 + ["de"] * 25 + ["fr"] * 15 + ["xx"] * 7
+        ids = rng.permutation(len(grps)).tolist()
+        return pa.table({"id": ids, "grp": grps})
+
+    def _reference(self, t, targets):
+        df = t.to_pandas()
+        df = df[df["grp"].isin([g for g, p in targets.items() if p > 0])]
+        counts = df.groupby("grp")["id"].count().to_dict()
+        present = [g for g in targets if counts.get(g, 0) > 0 and targets[g] > 0]
+        scale = min(counts[g] / targets[g] for g in present)
+        out = []
+        for g, p in targets.items():
+            k = int(np.floor(p * scale))
+            sub = df[df["grp"] == g].copy()
+            sub["h"] = (sub["id"] * 2654435761) % (1 << 32)
+            sub = sub.sort_values(["h", "id"]).head(k)
+            out.append(sub[["id", "grp"]])
+        import pandas as pd
+
+        return pd.concat(out).sort_values("id").reset_index(drop=True)
+
+    def test_matches_reference_and_quotas(self, ray_session):
+        from vald.ops.sample import mix_sources
+
+        targets = {"en": 0.5, "de": 0.3, "fr": 0.2}
+        t = self._table()
+        out = (
+            mix_sources(ray.data.from_arrow(t), "grp", "id", targets)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        ref = self._reference(t, targets)
+        assert out["id"].tolist() == ref["id"].tolist()
+        # proportions hold: fr (15 rows / 0.2 → scale 75) is the
+        # bottleneck → quotas en 37, de 22, fr 15
+        sizes = out.groupby("grp")["id"].count().to_dict()
+        assert sizes == {"en": 37, "de": 22, "fr": 15}
+        assert "xx" not in set(out["grp"])
+
+    def test_empty_targets_and_missing_group(self, ray_session):
+        from vald.ops.sample import mix_sources
+
+        t = self._table()
+        assert (
+            mix_sources(ray.data.from_arrow(t), "grp", "id", {}).count() == 0
+        )
+        assert (
+            mix_sources(
+                ray.data.from_arrow(t), "grp", "id", {"zz": 1.0}
+            ).count()
+            == 0
+        )

@@ -168,3 +168,98 @@ def select_by_budget(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def mix_sources(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key: str,
+    targets: "dict[str, float]",
+) -> "ray.data.Dataset":
+    """Deterministic mixture rebalancing — downsample each group so the
+    surviving corpus matches the ``targets`` proportions at the LARGEST
+    achievable total size (the bottleneck group is kept whole): with
+    counts n_g, scale s = min over target groups present of n_g / p_g,
+    quota k_g = floor(p_g · s), and each group keeps its k_g rows with
+    the smallest Knuth hash of ``key`` (ties by key) — seedless,
+    repartition-stable, and exactly reproducible in SQL as
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY (key*2654435761)%2^32,
+    key) <= k_g`` with k_g derived from the same counts. Groups not in
+    ``targets`` (and rows with a NULL group/key) are dropped.
+
+    Shape (100 TB): one count pass (per-batch partials + bucketed
+    combine — only (group, count) rows move), quotas are a driver-side
+    dict over |targets| entries, then ``grouped_topk``'s per-batch
+    partial top-k bounds the selection exchange to k_g × batches rows
+    per group. Same int64 hash-domain note as ``hash_sample``."""
+    import pyarrow.compute as pc
+
+    from ..runtime import bucketed_group_agg
+    from .rank import grouped_topk
+
+    tkeys = [g for g, p in targets.items() if p > 0]
+    if not tkeys:
+        return ds.limit(0)
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        small = pa.table(
+            {
+                group_col: t[group_col],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by(group_col, use_threads=False).aggregate([("n", "sum")])
+        return agg.rename_columns([group_col, "n"])
+
+    counts = (
+        bucketed_group_agg(
+            ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True),
+            group_col,
+            [("n", "sum")],
+        )
+        .to_pandas()
+        .set_index(group_col)["n"]
+        .to_dict()
+    )
+    present = [g for g in tkeys if counts.get(g, 0) > 0]
+    if not present:
+        return ds.limit(0)
+    scale = min(counts[g] / targets[g] for g in present)
+    quota = {g: int(np.floor(targets[g] * scale)) for g in tkeys}
+    kmax = max(quota.values())
+    if kmax == 0:
+        return ds.limit(0)
+
+    qgroups = pa.array(list(quota.keys()), type=pa.string())
+    qvals = np.array([quota[g] for g in quota], dtype=np.int64)
+    q_ref = ray.put((qgroups, qvals))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        qg, _ = ray.get(q_ref)
+        m = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[key]))
+        m = pc.and_(m, pc.fill_null(pc.is_in(t[group_col], value_set=qg), False))
+        t = t.filter(m)
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * _KNUTH) % _M32
+        return t.append_column("__h", pa.array(h, type=pa.int64()))
+
+    ranked = grouped_topk(
+        ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True),
+        group_col,
+        "__h",
+        key,
+        kmax,
+        descending=False,
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        qg, qv = ray.get(q_ref)
+        idx = pc.index_in(t[group_col], value_set=qg).to_numpy(
+            zero_copy_only=False
+        )
+        lim = qv[idx.astype(np.int64)]
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(rn <= lim)).drop_columns(["__h", "rn"])
+
+    return ranked.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)

@@ -3628,6 +3628,26 @@ def q_budget_select(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Curation: deterministic mixture rebalancing (ops.sample.mix_sources)
+# — downsample to a target language distribution at the largest
+# achievable size; exact integer quotas so the SQL twin reproduces the
+# selection bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def q_mix(sf_dir: str):
+    from .ops.sample import mix_sources
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = mix_sources(ds, "lang", "doc_id", _MIX_TARGETS)
+    return _ensure_schema(
+        out, pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    )
+
+
+# ---------------------------------------------------------------------------
 # Clustering + semantic dedup (ops.cluster) — iterative, not
 # SQL-expressible; rows-only driver checks + parity tests in
 # tests/test_ops.py::TestCluster.
@@ -3798,6 +3818,7 @@ QUERIES = {
     "q_status_days": q_status_days,
     "q_logprob": q_logprob,
     "q_budget_select": q_budget_select,
+    "q_mix": q_mix,
     "q_order_counts": q_order_counts,
     "q_top_supplier": q_top_supplier,
     "q_brand_revenue": q_brand_revenue,
@@ -4313,6 +4334,21 @@ ORACLE_SQL = {
         "GROUP BY 1) "
         "SELECT COALESCE(p.day, f.day) AS day, p.n_p, f.n_f "
         "FROM p FULL OUTER JOIN f ON p.day = f.day"
+    ),
+    "q_mix": (
+        # same Knuth-hash order as hash_sample; scale/quota derived
+        # from counts with IEEE-identical double math on both sides
+        "WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents "
+        "WHERE lang IS NOT NULL GROUP BY lang), "
+        "tgt(lang, p) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), "
+        "('fr', 0.15), ('zh', 0.15)), "
+        "s AS (SELECT min(n / p) AS scale FROM cnt JOIN tgt USING (lang)), "
+        "quota AS (SELECT lang, CAST(floor(p * scale) AS BIGINT) AS k "
+        "FROM tgt, s), "
+        "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+        "FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL) "
+        "SELECT r.doc_id, r.lang FROM r JOIN quota USING (lang) WHERE rn <= k"
     ),
     "q_order_counts": (
         "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count "
