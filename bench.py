@@ -61,6 +61,14 @@ BENCH_QUERIES = [
     "q_shuffle",
     "q_zscore",
     "q_tfidf",
+    "q_logprob",
+    "q_budget_select",
+    "q_mix",
+    "q_kmeans",
+    "q_semdedup",
+    "q_order_counts",
+    "q_top_supplier",
+    "q_brand_revenue",
 ]
 
 
