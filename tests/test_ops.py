@@ -1585,3 +1585,51 @@ class TestMixSources:
             ).count()
             == 0
         )
+
+
+# ---------------------------------------------------------------------------
+# media resize plumbing (ops.multimodal.resize_media)
+# ---------------------------------------------------------------------------
+
+
+class TestResizeMedia:
+    def test_resize_composes_with_decode(self, ray_session):
+        ds = MM.fake_media_dataset(20, kind="image")
+        resized = MM.resize_media(ds, 16, 24)
+        out = MM.decode_media(resized).to_pandas().sort_values("media_id")
+        assert len(out) == 20
+        assert (out["height"] == 16).all() and (out["width"] == 24).all()
+        assert out["decode_error"].isna().all()
+
+    def test_resize_preserves_nn_sample(self, ray_session):
+        # nearest-neighbour resize of a payload equals the same numpy
+        # fancy-index applied to the decoded original
+        ds = MM.fake_media_dataset(3, kind="image")
+        orig = {r["media_id"]: r["payload"] for r in ds.take_all()}
+        res = {
+            r["media_id"]: r["payload"]
+            for r in MM.resize_media(ds, 8, 8).take_all()
+        }
+        for mid, p in orig.items():
+            d = MM._decode_payload(p)
+            h, w = d["height"], d["width"]
+            planes = len(d["body"]) // (h * w)
+            grid = d["body"][: planes * h * w].reshape(planes, h, w)
+            ri = (np.arange(8) * h // 8).astype(np.intp)
+            ci = (np.arange(8) * w // 8).astype(np.intp)
+            want = grid[:, ri[:, None], ci[None, :]].tobytes()
+            got = MM._decode_payload(res[mid])
+            assert got["height"] == 8 and got["width"] == 8
+            assert got["body"].tobytes() == want
+
+    def test_resize_drops_poison(self, ray_session):
+        t = pa.table(
+            {
+                "media_id": pa.array([1, 2], type=pa.int64()),
+                "kind": ["image", "image"],
+                "payload": pa.array([b"garbage", None][0:1] + [b"junk"], type=pa.binary()),
+                "meta_json": ["{}", "{}"],
+            }
+        )
+        out = MM.resize_media(ray.data.from_arrow(t), 8, 8).to_pandas()
+        assert len(out) == 0

@@ -32,6 +32,8 @@ __all__ = [
     "embed_media",
     "FrameSampleStage",
     "sample_frames",
+    "ResizeStage",
+    "resize_media",
 ]
 
 _MAGIC = b"VMED"
@@ -231,6 +233,84 @@ def sample_frames(
     return ds.map_batches(
         FrameSampleStage,
         fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ResizeStage:
+    """Actor: nearest-neighbour resize of each frame's pixel grid to
+    ``(out_h, out_w)``, re-encoding the payload with updated header
+    dims — the write side of the plumbing (decode → transform →
+    re-encode), so downstream stages see a structurally valid payload.
+    The resample itself is vectorized numpy fancy-indexing per payload
+    (the FAKE-codec stand-in for PIL's ``Image.resize``); channels
+    beyond the h×w grid (image RGB) resize per plane. Bad payloads are
+    dropped with the same poison-pill tolerance as DecodeStage."""
+
+    def __init__(self, out_h: int, out_w: int, payload_col: str = "payload"):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, kinds, payloads = [], [], []
+        oh, ow = self.out_h, self.out_w
+        for mid, kind, p in zip(
+            t["media_id"].to_pylist(),
+            t["kind"].to_pylist(),
+            t[self.payload_col].to_pylist(),
+        ):
+            try:
+                d = _decode_payload(p)
+            except (ValueError, struct.error):
+                continue
+            h, w = d["height"], d["width"]
+            if h == 0 or w == 0:
+                continue
+            planes = len(d["body"]) // (h * w) if h * w else 0
+            if planes == 0:
+                continue
+            grid = d["body"][: planes * h * w].reshape(planes, h, w)
+            ri = (np.arange(oh) * h // oh).astype(np.intp)
+            ci = (np.arange(ow) * w // ow).astype(np.intp)
+            out = grid[:, ri[:, None], ci[None, :]]
+            header = _MAGIC + struct.pack(
+                "<4sIIII",
+                (d["kind"][:4].ljust(4)).encode(),
+                oh,
+                ow,
+                d["n_frames"],
+                out.size,
+            )
+            ids.append(mid)
+            kinds.append(kind)
+            payloads.append(header + out.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def resize_media(
+    ds: "ray.data.Dataset",
+    out_h: int,
+    out_w: int,
+    *,
+    batch_size: int = 32,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    """Resize stage wired like the other media stages: actor pool,
+    SMALL batches (payload bytes dominate; batch × concurrency must fit
+    the worker heap), binary in / binary out so stages compose
+    (resize → decode → embed)."""
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
