@@ -283,3 +283,75 @@ def test_lagged_lead_and_offset_2(ray_session):
     assert two["lag_v"].tolist() == [None, None, "a", "b", None]
     with pytest.raises(ValueError):
         lagged(ray.data.from_arrow(t), "k", ("o",), "v", offset=0)
+
+
+@pytest.mark.parametrize("buckets", [2, 7])
+def test_rolling_matches_pandas_and_bucket_invariant(ray_session, buckets):
+    from vald.ops.windows import rolling
+
+    rng = np.random.RandomState(11)
+    n = 400
+    keys = rng.randint(0, 15, size=n)
+    mins = rng.randint(0, 40, size=n)  # duplicate ts → (ts, eid) tiebreak
+    vals = rng.uniform(-5, 5, size=n).round(3)
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "ts": pa.array(
+                [T0 + timedelta(minutes=int(m)) for m in mins],
+                type=pa.timestamp("us"),
+            ),
+            "eid": pa.array(eid),
+            "v": pa.array(vals, type=pa.float64()),
+        }
+    )
+    out = (
+        rolling(
+            ray.data.from_arrow(t).repartition(4),
+            "k",
+            ("ts", "eid"),
+            "v",
+            frame_rows=5,
+            num_buckets=buckets,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "eid"])
+        .reset_index(drop=True)
+    )
+    ref = t.to_pandas().sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    g = ref.groupby("k")["v"]
+    ref["roll_sum"] = g.transform(lambda s: s.rolling(5, min_periods=1).sum())
+    ref["roll_n"] = g.transform(lambda s: s.rolling(5, min_periods=1).count())
+    assert (out["eid"].to_numpy() == ref["eid"].to_numpy()).all()
+    assert (out["roll_n"].to_numpy() == ref["roll_n"].to_numpy()).all()
+    assert np.allclose(out["roll_sum"].to_numpy(), ref["roll_sum"].to_numpy())
+
+
+def test_rolling_null_val_and_frame_1(ray_session):
+    from vald.ops.windows import rolling
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "o": pa.array([0, 1, 2, 0], type=pa.int64()),
+            "v": pa.array([2.0, None, 3.0, 7.0], type=pa.float64()),
+        }
+    )
+    out = (
+        rolling(ray.data.from_arrow(t), "k", ("o",), "v", frame_rows=2, num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    # NULL counts as 0 in the sum but still occupies a frame slot
+    assert out["roll_sum"].tolist() == [2.0, 2.0, 3.0, 7.0]
+    assert out["roll_n"].tolist() == [1, 2, 2, 1]
+    one = (
+        rolling(ray.data.from_arrow(t), "k", ("o",), "v", frame_rows=1, num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert one["roll_sum"].tolist() == [2.0, 0.0, 3.0, 7.0]
+    assert (one["roll_n"] == 1).all()
+    with pytest.raises(ValueError):
+        rolling(ray.data.from_arrow(t), "k", ("o",), "v", frame_rows=0)

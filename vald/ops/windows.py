@@ -39,7 +39,14 @@ from ..hashing import stable_hash64
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
-__all__ = ["tumbling_window", "sliding_window", "sessionize", "cumulative", "lagged"]
+__all__ = [
+    "tumbling_window",
+    "sliding_window",
+    "sessionize",
+    "cumulative",
+    "rolling",
+    "lagged",
+]
 
 # B4's documented scaling rule: one shuffle group ≈ one task's memory
 _ROWS_PER_BUCKET = 5_000_000
@@ -378,6 +385,90 @@ def cumulative(
         return out.append_column(
             "cum_n", pa.array(cum_n, type=pa.int64())
         ).append_column("cum_sum", pa.array(cum_sum, type=pa.float64()))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def rolling(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: Sequence[str],
+    val_col: str,
+    *,
+    frame_rows: int,
+    num_buckets: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_BUCKET,
+    min_buckets: int = _MIN_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key MOVING aggregate over the last ``frame_rows`` rows in
+    ``order_cols`` order — the SQL window frame ``ROWS BETWEEN
+    frame_rows-1 PRECEDING AND CURRENT ROW``: emits one row per input
+    row with ``roll_n`` (rows actually in the frame — < frame_rows near
+    each key's head) and ``roll_sum`` (frame sum of ``val_col``, NULL
+    counted as 0).
+
+    ``order_cols`` must be a TOTAL order within each key (same
+    requirement ``cumulative`` documents) or the frame membership is
+    ambiguous.
+
+    Partitioning: identical single key-hash shuffle as ``cumulative`` —
+    all rows of one key land in one bucket task so frames never cross
+    tasks; ``num_buckets`` follows the B4 data-scaled rule and results
+    are bucket-count-invariant. The frame sum is a difference of two
+    cumsum reads (``cs0[i+1] - cs0[lo]`` where ``lo`` is the frame
+    start clamped to the key's segment start) — O(n) per bucket, no
+    per-window loop. Rows with a NULL key or NULL order column are
+    dropped (documented in ``cumulative``)."""
+    if frame_rows < 1:
+        raise ValueError("frame_rows must be >= 1")
+    if num_buckets is None:
+        num_buckets = max(min_buckets, math.ceil(ds.count() / rows_per_bucket))
+    order_cols = list(order_cols)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t[key_col])
+        for oc in order_cols:
+            m = pc.and_(m, pc.is_valid(t[oc]))
+        t = t.filter(m).select([key_col, *order_cols, val_col])
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[key_col], num_buckets))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            base = g.select([key_col, *order_cols]).slice(0, 0)
+            return base.append_column(
+                "roll_n", pa.array([], type=pa.int64())
+            ).append_column("roll_sum", pa.array([], type=pa.float64()))
+        order = pc.sort_indices(
+            g,
+            sort_keys=[(key_col, "ascending")]
+            + [(oc, "ascending") for oc in order_cols],
+        )
+        g = g.take(order)
+        keys = g[key_col].combine_chunks()
+        vals = (
+            pc.fill_null(pc.cast(g[val_col], pa.float64()), 0.0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        new_key = _adjacent_change(keys, n)
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - frame_rows + 1, starts[seg_id])
+        cs0 = np.concatenate([[0.0], np.cumsum(vals)])
+        roll_sum = cs0[idx + 1] - cs0[lo]
+        roll_n = idx - lo + 1
+        out = g.select([key_col, *order_cols])
+        return out.append_column(
+            "roll_n", pa.array(roll_n, type=pa.int64())
+        ).append_column("roll_sum", pa.array(roll_sum, type=pa.float64()))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)

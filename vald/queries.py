@@ -1962,6 +1962,54 @@ def q_cumulative(sf_dir: str):
     )
 
 
+def q_rolling(sf_dir: str):
+    """Per-user moving 5-row sum of purchase values (B18,
+    ops.windows.rolling) — the SQL ROWS-frame
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``; one key-hash shuffle,
+    frame sums via cumsum differences (no per-window loop)."""
+    import pyarrow.dataset as pads
+
+    from .ops.windows import rolling
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        # NaN exclusion for float parity with the oracle's isnan guard
+        # (self-audit convention; sf testdata has no NaNs)
+        lambda t: t.filter(
+            pc.fill_null(pc.invert(pc.is_nan(t["value"])), True)
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling(
+        ds, "user_id", ("ts", "event_id"), "value", frame_rows=5
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "roll_n": t["roll_n"],
+                "roll_sum": pc.round(t["roll_sum"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("roll_n", pa.int64()),
+                ("roll_sum", pa.float64()),
+            ]
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B14 LEFT OUTER join: dimension rows with no fact match survive with a
 # zero count — customer × orders via the native hash join (clamped,
@@ -3789,6 +3837,7 @@ QUERIES = {
     "q_corpus_verdicts": q_corpus_verdicts,
     "q_corpus_violations": q_corpus_violations,
     "q_cumulative": q_cumulative,
+    "q_rolling": q_rolling,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
@@ -4115,6 +4164,16 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_rolling": (
+        "SELECT user_id, event_id, "
+        "count(*) OVER w AS roll_n, "
+        "round(sum(COALESCE(value, 0)) OVER w, 6) AS roll_sum "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
     ),
     "q_cust_order_counts": (
         "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "
