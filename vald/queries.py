@@ -3776,6 +3776,389 @@ def q_semdedup(sf_dir: str):
     return _ensure_schema(out, pa.schema([("vec_id", pa.int64())]))
 
 
+# ---------------------------------------------------------------------------
+# B14 TPC-H Q7 shape: bilateral trade volume between two nations by
+# ship year — two broadcast dimension LUTs, fact side pre-aggregated
+# per (orderkey, supp-nation, year), ONE native hash join
+# ---------------------------------------------------------------------------
+
+_Q7_LO = np.datetime64("1995-01-01T00:00:00", "us")
+_Q7_HI = np.datetime64("1997-01-01T00:00:00", "us")
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_trade_volume(sf_dir: str):
+    """TPC-H Q7 flavor: revenue shipped between NATION_1 and NATION_2
+    (both directions, kept distinct) by ship year over 1995–1996.
+
+    Plan (scale notes): nation is fixed-size; supplier/customer
+    key→nation maps are filtered to the two nations at the driver and
+    broadcast once as dense int LUTs (`ray.put`, O(1) gathers — same
+    policy as q_revenue_by_nation, with the same documented
+    max_broadcast_keys escape to the join planner). The l_shipdate
+    window is PUSHED into the lineitem scan; lineitem pre-aggregates
+    revenue per (l_orderkey, s_nat, year) per batch, so the single
+    native hash join on orderkey moves one row per
+    (order, supplier-nation, year), never a raw lineitem row. The
+    cross-pair predicate (snat≠cnat within the two-nation set) is
+    applied post-join and the final groupby is 4 cells."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .runtime import join_partitions, join_remote_args
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat2 = nat.filter(pc.is_in(nat["n_name"], value_set=pa.array(_Q7_NATIONS)))
+    keys2 = nat2["n_nationkey"].combine_chunks()
+    name_by_key = dict(
+        zip(nat2["n_nationkey"].to_pylist(), nat2["n_name"].to_pylist())
+    )
+
+    def _dense_map(t: pa.Table, key: str, val: str) -> np.ndarray:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[val].to_numpy(zero_copy_only=False)
+        lut = np.full(int(keys.max()) + 2 if len(keys) else 2, -1, dtype=np.int32)
+        lut[keys] = vals
+        return lut
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=keys2))
+    sup_lut_ref = ray.put(_dense_map(sup, "s_suppkey", "s_nationkey"))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=keys2))
+    cust_lut_ref = ray.put(_dense_map(cust, "c_custkey", "c_nationkey"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        lut = ray.get(cust_lut_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cnat = np.where(ck < len(lut), lut[np.minimum(ck, len(lut) - 1)], -1)
+        keep = cnat >= 0
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "c_nat": pa.array(cnat[keep], type=pa.int32()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _LI_EMPTY = pa.table(
+        {
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "s_nat": pa.array([], type=pa.int32()),
+            "l_year": pa.array([], type=pa.int64()),
+            "revenue": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LI_EMPTY
+        lut = ray.get(sup_lut_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
+        keep = snat >= 0
+        if not keep.any():
+            return _LI_EMPTY
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pa.array(snat[keep], type=pa.int32()),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "revenue": rev,
+            }
+        )
+        agg = small.group_by(
+            ["l_orderkey", "s_nat", "l_year"], use_threads=False
+        ).aggregate([("revenue", "sum")])
+        return agg.rename_columns(["l_orderkey", "s_nat", "l_year", "revenue"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(_Q7_LO))
+        & (pads.field("l_shipdate") < pa.scalar(_Q7_HI)),
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    schema = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("revenue", pa.float64()),
+        ]
+    )
+    # both join inputs are pre-aggregated projections — barrier them and
+    # short-circuit on empties (schema-less-empty-bundle guard, runtime)
+    from .runtime import barrier_nonempty
+
+    li, n_li = barrier_nonempty(li)
+    if n_li == 0:
+        return _empty(schema)
+    orders, n_ord = barrier_nonempty(orders)
+    if n_ord == 0:
+        return _empty(schema)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def cross_pair(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "s_nat": pa.array([], type=pa.int32()),
+                    "c_nat": pa.array([], type=pa.int32()),
+                    "l_year": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        keep = pc.invert(pc.equal(t["s_nat"], t["c_nat"]))
+        t = t.filter(pc.fill_null(keep, False))
+        agg = (
+            t.select(["s_nat", "c_nat", "l_year", "revenue"])
+            .group_by(["s_nat", "c_nat", "l_year"], use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["s_nat", "c_nat", "l_year", "revenue"])
+
+    out = (
+        joined.map_batches(cross_pair, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if len(t) == 0:
+        return _empty(schema)
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [name_by_key[int(k)] for k in t["s_nat"].to_pylist()],
+                type=pa.string(),
+            ),
+            "cust_nation": pa.array(
+                [name_by_key[int(k)] for k in t["c_nat"].to_pylist()],
+                type=pa.string(),
+            ),
+            "l_year": pc.cast(t["l_year"], pa.int64()),
+            "revenue": pa.array(
+                [round(v, 2) for v in t["revenue"].to_pylist()], type=pa.float64()
+            ),
+        }
+    ).sort_by(
+        [
+            ("supp_nation", "ascending"),
+            ("cust_nation", "ascending"),
+            ("l_year", "ascending"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 TPC-H Q8 shape: one nation's market share of MEDIUM-part revenue
+# sold to ASIA-region customers, by order year — three broadcast
+# dimension structures, fact pre-aggregated per (orderkey, is_target),
+# ONE native hash join, 2-row final groupby
+# ---------------------------------------------------------------------------
+
+_Q8_LO = np.datetime64("1995-01-01T00:00:00", "us")
+_Q8_HI = np.datetime64("1997-01-01T00:00:00", "us")
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 flavor: NATION_2's share of MEDIUM-part revenue sold
+    to ASIA customers, per order year 1995–1996.
+
+    Plan (scale notes): the p_type cut is PUSHED into the part scan and
+    only the surviving key ARRAY broadcasts (`ray.put` + `pc.is_in` —
+    the B5 broadcast policy; above max_broadcast_keys route through the
+    join planner). The supplier side needs only a per-suppkey target
+    bit, broadcast as a dense int8 LUT. The orders date window is
+    pushed into the scan and the ASIA-customer key set broadcast for
+    the membership cut, leaving (o_orderkey, o_year). lineitem
+    pre-aggregates volume per (l_orderkey, is_target) per batch, so the
+    single native hash join on orderkey moves ≤ 2 rows per order. The
+    share division happens on the 2-row final table."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .runtime import join_partitions, join_remote_args
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_reg = reg.filter(pc.equal(reg["r_name"], pa.scalar("ASIA")))[
+        "r_regionkey"
+    ].combine_chunks()
+    asia_nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia_reg))[
+        "n_nationkey"
+    ].combine_chunks()
+    target_key = nat.filter(pc.equal(nat["n_name"], pa.scalar("NATION_2")))[
+        "n_nationkey"
+    ].combine_chunks()
+
+    part_keys = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey"],
+            filters=[("p_type", "=", "MEDIUM")],
+        )["p_partkey"].combine_chunks()
+    )
+    part_ref = ray.put(part_keys)
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    lut = np.zeros(int(sk.max()) + 2 if len(sk) else 2, dtype=np.int8)
+    lut[sk[np.isin(sn, target_key.to_numpy(zero_copy_only=False))]] = 1
+    sup_lut_ref = ray.put(lut)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    asia_cust = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=asia_nat)
+    )["c_custkey"].combine_chunks()
+    cust_ref = ray.put(asia_cust)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(t["o_custkey"], value_set=ray.get(cust_ref)), False
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(_Q8_LO))
+        & (pads.field("o_orderdate") < pa.scalar(_Q8_HI)),
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    _LI_EMPTY = pa.table(
+        {
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "is_target": pa.array([], type=pa.int8()),
+            "volume": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LI_EMPTY
+        keep = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(part_ref)), False
+        )
+        t = t.filter(keep)
+        if len(t) == 0:
+            return _LI_EMPTY
+        slut = ray.get(sup_lut_ref)
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        is_t = np.where(skv < len(slut), slut[np.minimum(skv, len(slut) - 1)], 0)
+        vol = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "is_target": pa.array(is_t, type=pa.int8()),
+                "volume": vol,
+            }
+        )
+        agg = small.group_by(
+            ["l_orderkey", "is_target"], use_threads=False
+        ).aggregate([("volume", "sum")])
+        return agg.rename_columns(["l_orderkey", "is_target", "volume"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    schema = pa.schema([("o_year", pa.int64()), ("mkt_share", pa.float64())])
+    # empty-side short-circuit (schema-less-empty-bundle guard, runtime)
+    from .runtime import barrier_nonempty
+
+    li, n_li = barrier_nonempty(li)
+    if n_li == 0:
+        return _empty(schema)
+    orders, n_ord = barrier_nonempty(orders)
+    if n_ord == 0:
+        return _empty(schema)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], type=pa.int64()),
+                    "target_vol": pa.array([], type=pa.float64()),
+                    "total_vol": pa.array([], type=pa.float64()),
+                }
+            )
+        tv = pc.if_else(
+            pc.equal(t["is_target"], pa.scalar(1, type=pa.int8())),
+            t["volume"],
+            pa.scalar(0.0),
+        )
+        small = pa.table(
+            {"o_year": t["o_year"], "target_vol": tv, "total_vol": t["volume"]}
+        )
+        agg = small.group_by("o_year", use_threads=False).aggregate(
+            [("target_vol", "sum"), ("total_vol", "sum")]
+        )
+        return agg.rename_columns(["o_year", "target_vol", "total_vol"])
+
+    out = (
+        joined.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_vol", alias_name="target_vol"),
+            Sum("total_vol", alias_name="total_vol"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if len(t) == 0:
+        return _empty(schema)
+    share = pc.round(pc.divide(t["target_vol"], t["total_vol"]), ndigits=6)
+    return pa.table(
+        {"o_year": pc.cast(t["o_year"], pa.int64()), "mkt_share": share}
+    ).sort_by([("o_year", "ascending")])
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -3838,6 +4221,8 @@ QUERIES = {
     "q_corpus_violations": q_corpus_violations,
     "q_cumulative": q_cumulative,
     "q_rolling": q_rolling,
+    "q_trade_volume": q_trade_volume,
+    "q_market_share": q_market_share,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
@@ -4164,6 +4549,36 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_market_share": (
+        "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_2' "
+        "THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share FROM ("
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+        "FROM part, supplier, lineitem, orders, customer, "
+        "nation n1, nation n2, region "
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+        "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND p_type = 'MEDIUM') GROUP BY o_year ORDER BY o_year"
+    ),
+    "q_trade_volume": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem, orders, supplier, customer, nation n1, nation n2 "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+        "AND c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"
     ),
     "q_rolling": (
         "SELECT user_id, event_id, "

@@ -31,6 +31,22 @@ def join_barrier(ds):
     return ds.materialize()
 
 
+def barrier_nonempty(ds) -> "tuple | None":
+    """``join_barrier`` + empty-input guard for ``Dataset.join``.
+
+    Ray 2.49 propagates 0-row blocks as SCHEMA-LESS RefBundles; when
+    every block of a join input is empty the join aggregator hands
+    acero an empty table with NO columns and the join dies with
+    ``No match ... for key field reference`` instead of returning the
+    correct empty result (measured in-sandbox: a dimension filter that
+    matches no rows at sf0.001). Returns ``(materialized_ds, count)``
+    so callers can short-circuit to their empty result when count==0 —
+    the barrier is the same one ``join_barrier`` already requires, so
+    this costs nothing extra on pre-aggregated join inputs."""
+    m = ds.materialize()
+    return m, m.count()
+
+
 def join_remote_args() -> dict:
     """``aggregator_ray_remote_args`` for ``Dataset.join``.
 
