@@ -3,6 +3,7 @@ similarity search (brute + IVF recall), text analysis, multimodal
 plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -822,6 +823,74 @@ class TestDecontam:
                 ds, eval_ds, "text", "doc_id", width=self.WIDTH,
                 max_eval_grams=1,
             )
+
+    @pytest.mark.parametrize("method", ["hashed", "bloom"])
+    def test_approx_methods_match_exact(self, ray_session, method):
+        # on a small corpus the hashed and (well-sized) bloom paths must
+        # reproduce the exact stats bit-for-bit — collisions/FPR are
+        # astronomically unlikely at this n
+        from vald.ops.decontam import decontaminate
+
+        ds, texts = self._corpus()
+        eval_ds = ray.data.from_arrow(
+            pa.table({"doc_id": [0], "text": [texts[0]]})
+        )
+        exact = (
+            decontaminate(ds, eval_ds, "text", "doc_id", width=self.WIDTH)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        approx = (
+            decontaminate(
+                ds, eval_ds, "text", "doc_id", width=self.WIDTH, method=method
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact, approx)
+
+    def test_bloom_false_positives_only_overcount(self, ray_session):
+        # an undersized bloom (2 bits/key) may FLAG extra windows but
+        # must never report fewer than exact — one-sided error
+        from vald.ops.decontam import decontaminate
+
+        ds, texts = self._corpus()
+        eval_ds = ray.data.from_arrow(
+            pa.table({"doc_id": [0], "text": [texts[0]]})
+        )
+        exact = (
+            decontaminate(ds, eval_ds, "text", "doc_id", width=self.WIDTH)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        tiny = (
+            decontaminate(
+                ds, eval_ds, "text", "doc_id", width=self.WIDTH,
+                method="bloom", bits_per_key=2,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert (tiny["n_windows"] == exact["n_windows"]).all()
+        assert (tiny["n_eval_windows"] >= exact["n_eval_windows"]).all()
+
+    def test_bloom_filter_unit(self, ray_session):
+        from vald.ops.decontam import BloomFilter
+
+        rng = np.random.RandomState(7)
+        members = rng.randint(0, 2**63, size=5000).astype(np.uint64)
+        probes = rng.randint(0, 2**63, size=20000).astype(np.uint64)
+        bf = BloomFilter(members, bits_per_key=16)
+        assert bf.contains(members).all()  # no false negatives, ever
+        fp = bf.contains(np.setdiff1d(probes, members)).mean()
+        assert fp < 0.01  # ~4e-4 expected at 16 bits/key
+        empty = BloomFilter(np.empty(0, dtype=np.uint64))
+        assert not empty.contains(probes).any()
+        assert len(empty.contains(np.empty(0, dtype=np.uint64))) == 0
 
 
 # ---------------------------------------------------------------------------
