@@ -1702,3 +1702,65 @@ class TestResizeMedia:
         )
         out = MM.resize_media(ray.data.from_arrow(t), 8, 8).to_pandas()
         assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (ops.stats.heavy_hitters)
+# ---------------------------------------------------------------------------
+
+
+class TestHeavyHitters:
+    def test_exact_regime_matches_value_counts(self, ray_session):
+        from vald.ops.stats import heavy_hitters
+
+        rng = np.random.RandomState(5)
+        vals = rng.zipf(1.5, size=4000) % 100
+        t = pa.table({"v": pa.array(vals, type=pa.int64())})
+        out = heavy_hitters(
+            ray.data.from_arrow(t).repartition(6), "v", k=10, capacity=10_000
+        ).to_pandas()
+        vc = pd.Series(vals).value_counts()
+        ref = (
+            vc.rename_axis("v")
+            .reset_index(name="n")
+            .sort_values(["n", "v"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+        assert out["v"].tolist() == ref["v"].tolist()
+        assert out["est_count"].tolist() == ref["n"].tolist()
+        # E = 0 in the exact regime → bounds collapse
+        assert (out["max_count"] == out["est_count"]).all()
+
+    def test_compressed_regime_bounds_hold(self, ray_session):
+        from vald.ops.stats import heavy_hitters
+
+        rng = np.random.RandomState(9)
+        # one dominant value + a long uniform tail, tiny capacity
+        vals = np.concatenate(
+            [np.full(3000, 7), rng.randint(100, 5000, size=9000)]
+        )
+        rng.shuffle(vals)
+        t = pa.table({"v": pa.array(vals, type=pa.int64())})
+        out = heavy_hitters(
+            ray.data.from_arrow(t).repartition(8), "v", k=5, capacity=50
+        ).to_pandas()
+        true = pd.Series(vals).value_counts()
+        # the dominant value must surface, ranked first
+        assert out.loc[0, "v"] == 7
+        # MG bounds: est <= true <= max for every reported value
+        for _, r in out.iterrows():
+            tc = int(true.get(r["v"], 0))
+            assert r["est_count"] <= tc <= r["max_count"], r.to_dict()
+        # compression actually happened
+        assert (out["max_count"] > out["est_count"]).any()
+
+    def test_null_values_dropped_and_empty(self, ray_session):
+        from vald.ops.stats import heavy_hitters
+
+        t = pa.table({"v": pa.array(["a", None, "a", "b", None])})
+        out = heavy_hitters(ray.data.from_arrow(t), "v", k=2).to_pandas()
+        assert out["v"].tolist() == ["a", "b"]
+        assert out["est_count"].tolist() == [2, 1]
+        empty = pa.table({"v": pa.array([], type=pa.string())})
+        assert len(heavy_hitters(ray.data.from_arrow(empty), "v", k=3)) == 0

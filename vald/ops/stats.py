@@ -227,3 +227,121 @@ def pivot_counts(
         [(name, "sum") for name in cols],
         num_buckets=num_buckets,
     )
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    k: int = 10,
+    capacity: int = 4096,
+    num_buckets: int = 256,
+) -> pa.Table:
+    """Top-``k`` most frequent values of ``col`` with Misra-Gries
+    frequency bounds — the mergeable-summaries formulation (Agarwal et
+    al., PODS'12): each batch reduces to exact value counts, then
+    compresses to at most ``capacity`` counters by subtracting the
+    (capacity+1)-th largest count ``thr`` from every counter and
+    dropping the non-positive ones; partials merge by plain summation
+    (``bucketed_group_agg``), and the per-batch ``thr`` values ride the
+    same exchange as a NULL-value row, summing into the global error
+    bound ``E``.
+
+    Returns a DRIVER-sized (k-row) Arrow table
+    ``(col, est_count, max_count)`` sorted by (est_count DESC, value
+    ASC): ``est_count <= true_count <= max_count = est_count + E``,
+    and every value with ``true_count > E`` is guaranteed to surface.
+    When no batch exceeds ``capacity`` distinct values, ``E = 0`` and
+    the counts are EXACT — the §5.3 exact-regime twin a SQL oracle can
+    check; undersize ``capacity`` to trade memory for the bounded
+    error. NULL data values are dropped (documented; the NULL slot is
+    the error channel).
+
+    Shape (100 TB): per-batch compress caps every exchange payload at
+    ``capacity`` rows regardless of input cardinality; the final
+    candidate pull is per-bucket top-k under the SAME total order
+    (count DESC, value ASC), which preserves the global top-k
+    (selection under a total order distributes over partitions), so
+    the driver sees O(k x buckets) rows, never the value universe."""
+    if k < 1 or capacity < 1:
+        raise ValueError("k and capacity must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([col]).drop_null()
+        if len(t) == 0:
+            return pa.table(
+                {
+                    col: pa.array([], type=t.schema.field(col).type),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        agg = t.group_by(col, use_threads=False).aggregate([([], "count_all")])
+        agg = agg.rename_columns([col, "cnt"])
+        if len(agg) <= capacity:
+            return agg
+        cnt = agg["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.sort(cnt)[::-1][capacity]
+        keep = cnt > thr
+        vals = agg[col].filter(pa.array(keep))
+        out = pa.table(
+            {
+                col: vals,
+                "cnt": pa.array(cnt[keep] - thr, type=pa.int64()),
+            }
+        )
+        err = pa.table(
+            {
+                col: pa.array([None], type=agg.schema.field(col).type),
+                "cnt": pa.array([int(thr)], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, err])
+
+    combined = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        col,
+        [("cnt", "sum")],
+        num_buckets=num_buckets,
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        nulls = t.filter(pc.is_null(t[col]))
+        vals = t.drop_null()
+        order = pc.sort_indices(
+            vals, sort_keys=[("cnt", "descending"), (col, "ascending")]
+        )
+        return pa.concat_tables([vals.take(order[:k]), nulls])
+
+    parts = ray.get(
+        combined.map_batches(
+            local_top, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    )
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pa.table(
+            {
+                col: pa.array([], type=pa.string()),
+                "est_count": pa.array([], type=pa.int64()),
+                "max_count": pa.array([], type=pa.int64()),
+            }
+        )
+    cand = pa.concat_tables(parts)
+    err_total = int(
+        pc.sum(cand.filter(pc.is_null(cand[col]))["cnt"]).as_py() or 0
+    )
+    vals = cand.drop_null()
+    order = pc.sort_indices(
+        vals, sort_keys=[("cnt", "descending"), (col, "ascending")]
+    )
+    top = vals.take(order[:k])
+    est = top["cnt"]
+    return pa.table(
+        {
+            col: top[col],
+            "est_count": est,
+            "max_count": pc.add(est, pa.scalar(err_total, type=pa.int64())),
+        }
+    )

@@ -4159,6 +4159,28 @@ def q_market_share(sf_dir: str):
     ).sort_by([("o_year", "ascending")])
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-10 most frequent user_ids via the Misra-Gries heavy-hitters
+    summary (ops.stats.heavy_hitters) in its EXACT regime (capacity >>
+    per-batch distinct users ⇒ error bound E = 0, counts exact — the
+    §5.3 sketch/exact duality; the compressed regime's bounds are
+    pytest-verified)."""
+    from .ops.stats import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    out = heavy_hitters(ds, "user_id", k=10, capacity=1_000_000)
+    return _ensure_schema(
+        ray.data.from_arrow(out),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("est_count", pa.int64()),
+                ("max_count", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -4223,6 +4245,7 @@ QUERIES = {
     "q_rolling": q_rolling,
     "q_trade_volume": q_trade_volume,
     "q_market_share": q_market_share,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
@@ -4549,6 +4572,11 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_heavy_hitters": (
+        "SELECT user_id, count(*) AS est_count, count(*) AS max_count "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
+        "ORDER BY est_count DESC, user_id LIMIT 10"
     ),
     "q_market_share": (
         "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_2' "
