@@ -218,3 +218,35 @@ class TestGlobalRank:
         t = pa.table({"s": ["b", "a"], "id": pa.array([0, 1], type=pa.int64())})
         with pytest.raises(Exception):
             global_rank(ray.data.from_arrow(t), "s", "id").to_pandas()
+
+
+class TestLatestBy:
+    def test_latest_full_rows_and_earliest(self, ray_session):
+        from vald.ops.rank import latest_by
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2, 3, None], type=pa.int64()),
+                "v": pa.array([10, 30, 20, 5, 5, 9, 99], type=pa.int64()),
+                "tb": pa.array([0, 1, 2, 3, 4, 5, 6], type=pa.int64()),
+                "payload": pa.array(list("abcdefg")),
+            }
+        )
+        out = (
+            latest_by(ray.data.from_arrow(t).repartition(3), "k", "v", "tb")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # max v per key; tie on k=2 (v=5,5) broken by smaller tb → payload d
+        assert out["k"].tolist() == [1, 2, 3]
+        assert out["payload"].tolist() == ["b", "d", "f"]
+        assert list(out.columns) == ["k", "v", "tb", "payload"]
+        first = (
+            latest_by(
+                ray.data.from_arrow(t), "k", "v", "tb", descending=False
+            )
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert first["payload"].tolist() == ["a", "d", "f"]

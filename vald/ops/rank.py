@@ -28,7 +28,18 @@ def _topk_indices(
     """Vectorized per-group top-k over parallel arrays: lexsort by
     (group, order, tiebreak asc), then keep positions < k within each
     run of equal group codes. No Python loop over rows."""
-    ord_key = -order if descending else order
+    if descending:
+        kind = order.dtype.kind
+        if kind in "Mm":  # datetime64/timedelta64: negate the int64 view
+            ord_key = -order.view("i8")
+        elif kind == "u":  # unsigned: complement (negation would wrap)
+            ord_key = np.iinfo(order.dtype).max - order
+        elif kind == "b":
+            ord_key = ~order
+        else:
+            ord_key = -order
+    else:
+        ord_key = order
     perm = np.lexsort((tiebreak, ord_key, codes))
     sorted_codes = codes[perm]
     # position within each run of equal codes
@@ -88,6 +99,35 @@ def grouped_topk(
         .groupby(key)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def latest_by(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    *,
+    descending: bool = True,
+) -> "ray.data.Dataset":
+    """Most-recent FULL row per ``key`` — the CDC/upsert compaction
+    step (collapse a change log to each entity's current state) and
+    the snapshot-dedup step for re-crawled corpora (keep the newest
+    fetch of each URL). Exactly ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY order_col DESC, tiebreak) = 1`` with every input column
+    carried through.
+
+    ``tiebreak`` must complete a TOTAL order within each key (same
+    contract as ``grouped_topk``) or "latest" is ambiguous. Rows with a
+    NULL key or NULL order value are dropped (a change record without
+    a version stamp has no position in the log).
+
+    Shape (100 TB): inherits ``grouped_topk``'s per-batch partial
+    compaction — each batch keeps at most ONE row per key before the
+    shuffle, so the exchange carries ~one row per (key, batch), not
+    the history; pass ``descending=False`` for "earliest"."""
+    return grouped_topk(
+        ds, key, order_col, tiebreak, k=1, descending=descending
+    ).drop_columns(["rn"])
 
 
 def _ntile_from_rank(rank: np.ndarray, total: int, n: int) -> np.ndarray:

@@ -4181,6 +4181,28 @@ def q_heavy_hitters(sf_dir: str):
     )
 
 
+def q_latest_event(sf_dir: str):
+    """Each user's most recent event (ops.rank.latest_by — the
+    CDC/upsert compaction operator): full-row ROW_NUMBER()=1 semantics,
+    per-batch one-row-per-key partial compaction before the shuffle."""
+    from .ops.rank import latest_by
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = latest_by(ds, "user_id", "ts", "event_id").select_columns(
+        ["user_id", "event_id", "event_type"]
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -4246,6 +4268,7 @@ QUERIES = {
     "q_trade_volume": q_trade_volume,
     "q_market_share": q_market_share,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_latest_event": q_latest_event,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
@@ -4572,6 +4595,14 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_latest_event": (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id) AS rn "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        ") WHERE rn = 1"
     ),
     "q_heavy_hitters": (
         "SELECT user_id, count(*) AS est_count, count(*) AS max_count "
