@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "q_order_counts",
     "q_top_supplier",
     "q_brand_revenue",
+    "q_trade_volume",
+    "q_market_share",
+    "q_rolling",
+    "q_heavy_hitters",
+    "q_latest_event",
 ]
 
 

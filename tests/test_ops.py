@@ -1764,3 +1764,78 @@ class TestHeavyHitters:
         assert out["est_count"].tolist() == [2, 1]
         empty = pa.table({"v": pa.array([], type=pa.string())})
         assert len(heavy_hitters(ray.data.from_arrow(empty), "v", k=3)) == 0
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (ops.similarity.random_project)
+# ---------------------------------------------------------------------------
+
+
+class TestRandomProject:
+    def test_matches_local_matmul_and_deterministic(self, ray_session):
+        from vald.ops.similarity import random_project
+
+        rng = np.random.RandomState(3)
+        m = rng.standard_normal((40, 64)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(40), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel(), type=pa.float32()), 64
+                ),
+            }
+        )
+        out = (
+            random_project(
+                ray.data.from_arrow(t).repartition(4), "embedding", 16, seed=7
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        R = (
+            np.random.default_rng(np.random.SeedSequence([7, 64, 16]))
+            .standard_normal((64, 16))
+            / np.sqrt(16)
+        ).astype(np.float32)
+        want = m @ R
+        got = np.stack(out["embedding"].to_numpy())
+        assert got.shape == (40, 16)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # run-to-run / partitioning determinism
+        again = (
+            random_project(ray.data.from_arrow(t), "embedding", 16, seed=7)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        np.testing.assert_array_equal(
+            np.stack(again["embedding"].to_numpy()), got
+        )
+
+    def test_normalize_out_col_and_nulls(self, ray_session):
+        from vald.ops.similarity import random_project
+
+        m = np.eye(8, dtype=np.float32) * 5
+        emb = [row.tolist() for row in m] + [None]
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(9), type=pa.int64()),
+                "embedding": pa.array(emb, type=pa.list_(pa.float32(), 8)),
+            }
+        )
+        out = (
+            random_project(
+                ray.data.from_arrow(t),
+                "embedding",
+                4,
+                normalize=True,
+                out_col="proj",
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert len(out) == 8  # NULL embedding dropped
+        assert "embedding" in out.columns and "proj" in out.columns
+        norms = np.linalg.norm(np.stack(out["proj"].to_numpy()), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+        with pytest.raises(ValueError):
+            random_project(ray.data.from_arrow(t), "embedding", 0)
