@@ -1839,3 +1839,66 @@ class TestRandomProject:
         np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
         with pytest.raises(ValueError):
             random_project(ray.data.from_arrow(t), "embedding", 0)
+
+
+# ---------------------------------------------------------------------------
+# grouped vector mean (ops.stats.group_vector_mean)
+# ---------------------------------------------------------------------------
+
+
+class TestGroupVectorMean:
+    def test_matches_pandas_and_partition_invariant(self, ray_session):
+        from vald.ops.stats import group_vector_mean
+
+        rng = np.random.RandomState(4)
+        n, d = 300, 12
+        labels = rng.randint(0, 7, size=n)
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        t = pa.table(
+            {
+                "label": pa.array(labels, type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel(), type=pa.float32()), d
+                ),
+            }
+        )
+        for parts in (1, 5):
+            out = (
+                group_vector_mean(
+                    ray.data.from_arrow(t).repartition(parts),
+                    "label",
+                    "embedding",
+                )
+                .to_pandas()
+                .sort_values("label")
+                .reset_index(drop=True)
+            )
+            assert out["label"].tolist() == sorted(set(labels.tolist()))
+            for _, r in out.iterrows():
+                sel = m[labels == r["label"]].astype(np.float64)
+                assert r["n"] == len(sel)
+                np.testing.assert_allclose(
+                    np.array(r["mean"]), sel.mean(axis=0), rtol=1e-12
+                )
+
+    def test_null_rows_dropped_and_string_keys(self, ray_session):
+        from vald.ops.stats import group_vector_mean
+
+        t = pa.table(
+            {
+                "label": pa.array(["a", "a", None, "b"]),
+                "embedding": pa.array(
+                    [[1.0, 3.0], [3.0, 5.0], [9.0, 9.0], None],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = (
+            group_vector_mean(ray.data.from_arrow(t), "label", "embedding")
+            .to_pandas()
+            .sort_values("label")
+        )
+        # NULL label and NULL embedding rows both dropped → only 'a'
+        assert out["label"].tolist() == ["a"]
+        assert out["n"].tolist() == [2]
+        np.testing.assert_allclose(np.array(out["mean"].iloc[0]), [2.0, 4.0])

@@ -345,3 +345,105 @@ def heavy_hitters(
             "max_count": pc.add(est, pa.scalar(err_total, type=pa.int64())),
         }
     )
+
+
+def group_vector_mean(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    emb_col: str,
+) -> "ray.data.Dataset":
+    """Per-group mean embedding (class centroids / per-domain mean
+    vectors) — the labeled-data twin of the k-means centroid update:
+    one streaming pass reduces each batch to (key, n, vsum) partials
+    via a SEGMENTED vector sum (sort batch rows by group code, one
+    ``np.add.reduceat`` over the stacked float64 matrix — no per-row
+    Python, no scatter loop), then a ``groupby(key)`` merge sums the
+    partial vectors and divides once.
+
+    Output: one row per group — ``(key_col, n, mean)`` with ``mean`` a
+    ``list<double>``. Rows with NULL key or NULL embedding are dropped
+    (documented; a missing vector has no centroid contribution).
+    Accumulation is float64 regardless of input width.
+
+    Shape (100 TB): the exchange carries one dim-width row per
+    (group, batch) — for 1e6 batches x 1024-d float64 that is 8 KB per
+    group per batch, independent of row count; group cardinality is
+    assumed driver-irrelevant (the result stays a Dataset). Embedding
+    width must be constant per group (checked at merge)."""
+    from ..ops.similarity import embedding_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[emb_col]))
+        t = t.filter(m)
+        key_type = t.schema.field(key_col).type
+        if len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "n": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        emb = embedding_matrix(t, emb_col).astype(np.float64)
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
+        )
+        sums = np.add.reduceat(emb[order], starts, axis=0)
+        counts = np.diff(np.concatenate([starts, [len(codes)]]))
+        keys = enc.dictionary.take(pa.array(sorted_codes[starts], type=pa.int32()))
+        d = emb.shape[1]
+        offsets = pa.array(
+            np.arange(0, (len(starts) + 1) * d, d, dtype=np.int32)
+        )
+        vsum = pa.ListArray.from_arrays(
+            offsets, pa.array(sums.ravel(), type=pa.float64())
+        )
+        return pa.table(
+            {
+                key_col: keys,
+                "n": pa.array(counts, type=pa.int64()),
+                "vsum": vsum,
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "n": pa.array([], type=pa.int64()),
+                    "mean": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        dims = pc.list_value_length(g["vsum"]).to_numpy(zero_copy_only=False)
+        if len(np.unique(dims)) != 1:
+            raise ValueError(
+                f"group {g[key_col][0].as_py()!r} mixes embedding widths "
+                f"{sorted(set(dims.tolist()))}"
+            )
+        d = int(dims[0])
+        vs = (
+            pc.list_flatten(g["vsum"])
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(g), d)
+        )
+        n = int(pc.sum(g["n"]).as_py())
+        mean = vs.sum(axis=0) / n
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n": pa.array([n], type=pa.int64()),
+                "mean": pa.array([mean.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

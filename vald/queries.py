@@ -4203,6 +4203,54 @@ def q_latest_event(sf_dir: str):
     )
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (ops.stats.group_vector_mean — class
+    centroids via segmented vector-sum partials + one small groupby),
+    flattened to (label, dim, mean_val, n) long form so the DuckDB
+    unnest/generate_subscripts oracle can value-hash it."""
+    from .ops.stats import group_vector_mean
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    cent = group_vector_mean(ds, "label", "embedding")
+
+    def explode(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "mean_val": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        d = pc.list_value_length(t["mean"]).to_numpy(zero_copy_only=False)
+        rep = pa.array(
+            np.repeat(np.arange(len(t), dtype=np.int64), d), type=pa.int64()
+        )
+        dims = np.concatenate([np.arange(1, k + 1, dtype=np.int64) for k in d])
+        return pa.table(
+            {
+                "label": pc.cast(t["label"].take(rep), pa.int64()),
+                "dim": pa.array(dims, type=pa.int64()),
+                "mean_val": pc.round(pc.list_flatten(t["mean"]), ndigits=6),
+                "n": t["n"].take(rep),
+            }
+        )
+
+    out = cent.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim", pa.int64()),
+                ("mean_val", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -4269,6 +4317,7 @@ QUERIES = {
     "q_market_share": q_market_share,
     "q_heavy_hitters": q_heavy_hitters,
     "q_latest_event": q_latest_event,
+    "q_label_centroids": q_label_centroids,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
@@ -4595,6 +4644,14 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_label_centroids": (
+        "SELECT label, dim, round(avg(val), 6) AS mean_val, "
+        "count(*)::BIGINT AS n FROM ("
+        "SELECT CAST(label AS BIGINT) AS label, unnest(embedding) AS val, "
+        "generate_subscripts(embedding, 1)::BIGINT AS dim FROM embeddings "
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL) "
+        "GROUP BY label, dim"
     ),
     "q_latest_event": (
         "SELECT user_id, event_id, event_type FROM ("
