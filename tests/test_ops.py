@@ -1902,3 +1902,65 @@ class TestGroupVectorMean:
         assert out["label"].tolist() == ["a"]
         assert out["n"].tolist() == [2]
         np.testing.assert_allclose(np.array(out["mean"].iloc[0]), [2.0, 4.0])
+
+
+# ---------------------------------------------------------------------------
+# grouped t-digest quantiles (ops.stats.group_quantile_sketch)
+# ---------------------------------------------------------------------------
+
+
+class TestGroupQuantileSketch:
+    def test_within_tdigest_error_of_exact(self, ray_session):
+        from vald.ops.stats import group_quantile_sketch
+
+        rng = np.random.RandomState(12)
+        n = 6000
+        keys = rng.randint(0, 4, size=n)
+        vals = np.exp(rng.standard_normal(n))  # skewed
+        t = pa.table(
+            {
+                "k": pa.array(keys, type=pa.int64()),
+                "v": pa.array(vals, type=pa.float64()),
+            }
+        )
+        for parts in (1, 6):
+            out = (
+                group_quantile_sketch(
+                    ray.data.from_arrow(t).repartition(parts),
+                    "k",
+                    "v",
+                    [0.1, 0.5, 0.9],
+                )
+                .to_pandas()
+                .sort_values(["k", "q"])
+                .reset_index(drop=True)
+            )
+            assert len(out) == 4 * 3
+            for _, r in out.iterrows():
+                sel = np.sort(vals[keys == r["k"]])
+                assert r["n"] == len(sel)
+                # rank error bound: the reported value's true rank must
+                # be within ~2% of the requested q (δ=200 ⇒ ≪ this)
+                rank = np.searchsorted(sel, r["value"]) / len(sel)
+                assert abs(rank - r["q"]) < 0.02, (r["k"], r["q"], rank)
+
+    def test_null_nan_policy_and_empty(self, ray_session):
+        from vald.ops.stats import group_quantile_sketch
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "a", "a", None, "b"]),
+                "v": pa.array([1.0, 2.0, None, 5.0, float("nan")]),
+            }
+        )
+        out = (
+            group_quantile_sketch(ray.data.from_arrow(t), "k", "v", [0.5])
+            .to_pandas()
+            .sort_values("k")
+        )
+        # b's only value is NaN → digest empty → still emits with n=0?
+        # policy: NaN dropped by TDigest.update, so b has an empty
+        # digest; the group emits n=0 rows
+        a = out[out["k"] == "a"]
+        assert a["n"].tolist() == [2]
+        assert abs(a["value"].iloc[0] - 1.5) < 0.51  # median of {1,2}

@@ -447,3 +447,104 @@ def group_vector_mean(
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def group_quantile_sketch(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    qs: "list[float]",
+    *,
+    compression: float = 200.0,
+) -> "ray.data.Dataset":
+    """Per-group approximate quantiles via mergeable t-digests — the
+    sketch twin (SURVEY §5.3 duality) of the exact grouped quantile:
+    at 100 TB the exact path's per-group sort is the cost, the digest
+    path exchanges one ~compression-centroid summary per (group,
+    batch) and never moves raw values.
+
+    Output is LONG form, one row per (group, q): ``(key_col, q,
+    value, n)``. Per batch, rows sort once by group code and each
+    group's value slice feeds one ``TDigest`` (the Python loop is over
+    GROUPS-per-batch, not rows; values enter vectorized). NULL keys /
+    NULL / NaN values are dropped (digest semantics). Accuracy is the
+    t-digest bound (~1/compression relative rank error, exact at the
+    extremes); merge order varies with partitioning, so results are
+    tolerance-stable, not bit-stable — the exact twin remains the
+    oracle surface."""
+    from ..sketches import TDigest
+
+    qs = [float(q) for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[val_col]))
+        t = t.filter(m)
+        key_type = t.schema.field(key_col).type
+        if len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "digest": pa.array([], type=pa.binary()),
+                }
+            )
+        vals = (
+            pc.cast(t[val_col], pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        sorted_vals = vals[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(codes)]])
+        keys = enc.dictionary.take(pa.array(sorted_codes[starts], type=pa.int32()))
+        digests = [
+            TDigest(compression).update(sorted_vals[s:e]).serialize()
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                key_col: keys,
+                "digest": pa.array(digests, type=pa.binary()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "q": pa.array([], type=pa.float64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        from ..sketches import TDigest as TD
+
+        acc = TD.deserialize(g["digest"][0].as_py())
+        for b in g["digest"].to_pylist()[1:]:
+            acc = acc.merge(TD.deserialize(b))
+        n = int(acc.total_weight)
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(
+                    [g[key_col].slice(0, 1).combine_chunks()] * len(qs)
+                ),
+                "q": pa.array(qs, type=pa.float64()),
+                "value": pa.array(
+                    [acc.quantile(q) for q in qs], type=pa.float64()
+                ),
+                "n": pa.array([n] * len(qs), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -4251,6 +4251,29 @@ def q_label_centroids(sf_dir: str):
     )
 
 
+def q_group_quantile_sketch(sf_dir: str):
+    """Per-event-type p10/p50/p90 of value via mergeable t-digests
+    (ops.stats.group_quantile_sketch) — the B6 sketch twin of the
+    exact grouped quantile; rows-only (digest merge order is
+    partition-dependent ⇒ tolerance-stable, not bit-stable; the exact
+    twin q_price_median_by_priority carries the oracle)."""
+    from .ops.stats import group_quantile_sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = group_quantile_sketch(ds, "event_type", "value", [0.1, 0.5, 0.9])
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("q", pa.float64()),
+                ("value", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -4318,6 +4341,7 @@ QUERIES = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_latest_event": q_latest_event,
     "q_label_centroids": q_label_centroids,
+    "q_group_quantile_sketch": q_group_quantile_sketch,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
