@@ -1964,3 +1964,57 @@ class TestGroupQuantileSketch:
         a = out[out["k"] == "a"]
         assert a["n"].tolist() == [2]
         assert abs(a["value"].iloc[0] - 1.5) < 0.51  # median of {1,2}
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL distinct (ops.stats.group_distinct_sketch)
+# ---------------------------------------------------------------------------
+
+
+class TestGroupDistinctSketch:
+    def test_within_hll_error_of_exact(self, ray_session):
+        from vald.ops.stats import group_distinct_sketch
+
+        rng = np.random.RandomState(6)
+        n = 30000
+        keys = rng.randint(0, 3, size=n)
+        # distinct cardinality differs by key: ~100, ~1000, ~5000
+        pools = {0: 100, 1: 1000, 2: 5000}
+        vals = np.array([rng.randint(0, pools[k]) * 10 + k for k in keys])
+        t = pa.table(
+            {
+                "k": pa.array(keys, type=pa.int64()),
+                "v": pa.array(vals, type=pa.int64()),
+            }
+        )
+        for parts in (1, 7):
+            out = (
+                group_distinct_sketch(
+                    ray.data.from_arrow(t).repartition(parts), "k", "v"
+                )
+                .to_pandas()
+                .set_index("k")
+                .sort_index()
+            )
+            for k in (0, 1, 2):
+                exact = len(np.unique(vals[keys == k]))
+                est = out.loc[k, "n_distinct_est"]
+                assert abs(est - exact) / exact < 0.05, (k, exact, est)
+
+    def test_null_policy(self, ray_session):
+        from vald.ops.stats import group_distinct_sketch
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "a", "a", None, "b"]),
+                "v": pa.array([1, 1, None, 7, 9], type=pa.int64()),
+            }
+        )
+        out = (
+            group_distinct_sketch(ray.data.from_arrow(t), "k", "v")
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert out["k"].tolist() == ["a", "b"]
+        assert abs(out["n_distinct_est"].iloc[0] - 1) < 0.1
+        assert abs(out["n_distinct_est"].iloc[1] - 1) < 0.1

@@ -548,3 +548,84 @@ def group_quantile_sketch(
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def group_distinct_sketch(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    *,
+    p: int = 14,
+) -> "ray.data.Dataset":
+    """Per-group approximate distinct count via mergeable HyperLogLogs —
+    the B6 sketch twin of the exact grouped distinct count
+    (``ops.dedup.distinct_count`` / q_daily_distinct): at 100 TB the
+    exact path exchanges one row per distinct (group, value) pair, the
+    HLL path exchanges ONE 2^p-byte register set per (group, batch)
+    regardless of value cardinality (±1.04/sqrt(2^p) ≈ ±0.8% at the
+    default p=14).
+
+    Output: one row per group — ``(key_col, n_distinct_est)`` (float64
+    estimate; callers round). Same per-batch shape as
+    ``group_quantile_sketch``: sort rows once by group code, one HLL
+    per group slice (Python loop over GROUPS per batch, hashing enters
+    vectorized), merge = register-wise max per key. NULL keys / NULL
+    values are dropped (SQL COUNT(DISTINCT) semantics)."""
+    from ..sketches import HLL, hash64_values
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[val_col]))
+        t = t.filter(m)
+        key_type = t.schema.field(key_col).type
+        if len(t) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "hll": pa.array([], type=pa.binary()),
+                }
+            )
+        h = hash64_values(t[val_col].combine_chunks())
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        sorted_h = h[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(codes)]])
+        keys = enc.dictionary.take(pa.array(sorted_codes[starts], type=pa.int32()))
+        sk = [
+            HLL(p).update_hashes(sorted_h[s:e]).serialize()
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {key_col: keys, "hll": pa.array(sk, type=pa.binary())}
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "n_distinct_est": pa.array([], type=pa.float64()),
+                }
+            )
+        acc = HLL.deserialize(g["hll"][0].as_py())
+        for b in g["hll"].to_pylist()[1:]:
+            acc = acc.merge(HLL.deserialize(b))
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n_distinct_est": pa.array(
+                    [acc.estimate()], type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -4274,6 +4274,23 @@ def q_group_quantile_sketch(sf_dir: str):
     )
 
 
+def q_group_distinct_sketch(sf_dir: str):
+    """Per-event-type approximate distinct users via mergeable HLLs
+    (ops.stats.group_distinct_sketch) — B6 sketch twin of the exact
+    grouped distinct count (q_daily_distinct carries the oracle);
+    rows-only (HLL estimates are not SQL-expressible)."""
+    from .ops.stats import group_distinct_sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = group_distinct_sketch(ds, "event_type", "user_id")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [("event_type", pa.string()), ("n_distinct_est", pa.float64())]
+        ),
+    )
+
+
 QUERIES = {
     "q_required_nulls": q_required_nulls,
     "q_enum_violations": q_enum_violations,
@@ -4342,6 +4359,7 @@ QUERIES = {
     "q_latest_event": q_latest_event,
     "q_label_centroids": q_label_centroids,
     "q_group_quantile_sketch": q_group_quantile_sketch,
+    "q_group_distinct_sketch": q_group_distinct_sketch,
     "q_lag": q_lag,
     "q_order_priority": q_order_priority,
     "q_line_dedup": q_line_dedup,
