@@ -790,6 +790,68 @@ def q_asof(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """Click events attributed to 24h purchase windows of the same user
+    (interval containment join, ops.joins.range_join) — multi-match:
+    one output row per (click, window) pair, like the oracle's SQL
+    inner join on the range predicate. Both sides come off the SAME
+    pushed-predicate events scan; windows are derived per batch
+    (w_start = ts, w_end = ts + 24h) before the single bucket shuffle."""
+    import pyarrow.dataset as pads
+
+    from .ops.joins import range_join
+
+    clicks = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "click",
+    ).drop_columns(["event_type"])
+
+    def to_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        return pa.table(
+            {
+                "win_id": t["event_id"],
+                "user_id": t["user_id"],
+                "w_start": ts,
+                "w_end": pc.add(ts, pa.scalar(86_400_000_000, pa.duration("us"))),
+            }
+        )
+
+    windows = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(to_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = range_join(
+        clicks,
+        windows,
+        by="user_id",
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        point_cols=["event_id", "user_id", "ts"],
+        interval_cols={"win_id": "win_id"},
+        join_type="inner",
+        closed="left",
+        num_buckets=32,
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("win_id", pa.int64()),
+            ]
+        ),
+    )
+
+
 _Q5_LO = np.datetime64("1996-01-01T00:00:00", "us")
 _Q5_HI = np.datetime64("1998-01-01T00:00:00", "us")
 
@@ -4312,6 +4374,7 @@ QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_asof": q_asof,
+    "q_range_join": q_range_join,
     "q_top_tokens": q_top_tokens,
     "q_price_bands": q_price_bands,
     "q_window_sliding": q_window_sliding,
@@ -4498,6 +4561,15 @@ ORACLE_SQL = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "q_range_join": (
+        "SELECT e.event_id, e.user_id, e.ts, w.win_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') e "
+        "JOIN (SELECT event_id AS win_id, user_id, ts AS w_start, "
+        "ts + INTERVAL 24 HOUR AS w_end FROM events "
+        "WHERE event_type = 'purchase') w "
+        "ON e.user_id = w.user_id "
+        "AND e.ts >= w.w_start AND e.ts < w.w_end"
     ),
     "q_top_tokens": (
         # whitespace split mirrors Arrow utf8_split_whitespace on the
