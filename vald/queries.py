@@ -4656,8 +4656,14 @@ ORACLE_SQL = {
         "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
     ),
     "q_knn_cosine": (
-        "SELECT vec_id, round(list_cosine_similarity(embedding, "
-        "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS sim "
+        # DOUBLE[] casts force double-precision accumulation (and a
+        # DOUBLE result dtype) to match the float64 Ray-side matmul;
+        # on FLOAT[] inputs list_cosine_similarity returns FLOAT and
+        # the driver's value hash sees different bits for equal values
+        "SELECT vec_id, round(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "WHERE vec_id = 0)), 6) AS sim "
         "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
     ),
     "q_unique_items": (
@@ -5087,8 +5093,10 @@ ORACLE_SQL = {
         "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws "
         "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL), "
-        "w AS (SELECT *, SUM(n_tokens_ws) OVER (PARTITION BY lang "
-        "ORDER BY n_chars DESC, doc_id) AS cum_tokens FROM tok) "
+        # SUM(BIGINT) OVER returns HUGEINT in DuckDB, which fetchdf
+        # floats; BIGINT cast keeps the dtype int64 like the Ray side
+        "w AS (SELECT *, CAST(SUM(n_tokens_ws) OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
     ),
