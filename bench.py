@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_sessions",
     "q_revenue_by_nation",
     "q_asof",
+    "q_range_join",
     "q_jaccard_pairs",
     "q_top_tokens",
     "q_top_cust_per_nation",
