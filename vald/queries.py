@@ -2216,6 +2216,46 @@ def q_lag(sf_dir: str):
     )
 
 
+def q_transitions(sf_dir: str):
+    """User-journey Markov transition counts: how often event type A is
+    followed by event type B within the same user's (ts, event_id)
+    stream — `lagged` (one key-hash shuffle) + per-batch partial counts
+    + a ~k² (k = #event types) native groupby, so the exchange after
+    the window op is one row per (prev, curr) pair per batch. Rows
+    whose prev OR curr type is NULL are dropped on both sides (a NULL
+    lag value is indistinguishable from row-1-of-key, which SQL LAG
+    also returns as NULL)."""
+    from .ops.windows import lagged
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    lg = lagged(
+        ev, "user_id", ("ts", "event_id"), "event_type", offset=1, out_col="prev"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["prev"]), pc.is_valid(t["event_type"])))
+        agg = (
+            pa.table({"prev": t["prev"], "curr": t["event_type"]})
+            .group_by(["prev", "curr"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["prev", "curr", "n"])
+
+    out = (
+        lg.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prev", "curr"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["prev", "curr", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return _ensure_schema(
+        out,
+        pa.schema([("prev", pa.string()), ("curr", pa.string()), ("n", pa.int64())]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B14 EXISTS semi-join with a cross-table predicate (TPC-H Q4 shape):
 # fact side pre-aggregated to max(l_shipdate) per orderkey (bucketed
@@ -4375,6 +4415,7 @@ QUERIES = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_asof": q_asof,
     "q_range_join": q_range_join,
+    "q_transitions": q_transitions,
     "q_top_tokens": q_top_tokens,
     "q_price_bands": q_price_bands,
     "q_window_sliding": q_window_sliding,
@@ -4836,6 +4877,14 @@ ORACLE_SQL = {
         "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "q_transitions": (
+        "SELECT prev, curr, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev, event_type AS curr "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL) "
+        "WHERE prev IS NOT NULL AND curr IS NOT NULL GROUP BY prev, curr"
     ),
     "q_lag": (
         "SELECT event_id, user_id, "
