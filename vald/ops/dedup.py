@@ -624,8 +624,13 @@ def near_dup_groups_ds(
     algorithm, Kiveris et al. SoCC'14) expressed as map_batches +
     bucket-groupby; converges in O(log n) rounds to star graphs rooted
     at each component's minimum id. Convergence is detected by a stable
-    (count, sum(id_a), sum(id_b)) signature; ``max_rounds`` bounds
-    pathological inputs.
+    (count, xor-of-mixed-edge-hashes) signature — XOR of a splitmix64
+    finalizer over each (id_a, id_b) is order- and partition-invariant
+    and equal edge SETS are the only realistic way to repeat it
+    (a false match needs a 64-bit hash-fold collision at equal counts,
+    unlike the previous sum(id) signature where e.g. swapping mass
+    between edges collides); ``max_rounds`` still bounds pathological
+    inputs.
 
     Returns a Dataset (id, group_id) with one row per node that appears
     in ``pairs`` — identical assignments to the driver union-find
@@ -678,18 +683,44 @@ def near_dup_groups_ds(
                 }
             )
         )
+    def _sig_partial(t: pa.Table) -> pa.Table:
+        # one (count, xor) row per batch: splitmix64-style finalizer
+        # over each edge, folded with XOR (order/partition-invariant;
+        # uint64 arithmetic wraps by construction)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) ^ (
+            b + np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([len(t)], type=pa.int64()),
+                "x": pa.array([int(x)], type=pa.uint64()),
+            }
+        )
+
+    def _signature(e) -> tuple:
+        # bounded pull: one 2-column row per block
+        parts = e.map_batches(
+            _sig_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        n = sum(p["n"] for p in parts)
+        x = 0
+        for p in parts:
+            x ^= p["x"]
+        return (n, x)
+
     prev_sig = None
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True, num_buckets=num_buckets)
         edges = _edge_dedup(edges)
         edges = _star_round(edges, large=False, num_buckets=num_buckets)
         edges = _edge_dedup(edges).materialize()
-        agg = edges.aggregate(
-            ray.data.aggregate.Count(alias_name="n"),
-            ray.data.aggregate.Sum("id_a", alias_name="sa"),
-            ray.data.aggregate.Sum("id_b", alias_name="sb"),
-        )
-        sig = (agg["n"], agg["sa"], agg["sb"])
+        sig = _signature(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
