@@ -2924,6 +2924,43 @@ def q_returned_items(sf_dir: str):
 _Q14_LO = np.datetime64("1997-03-01T00:00:00", "us")
 _Q14_HI = np.datetime64("1997-06-01T00:00:00", "us")
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 flavor: forecast revenue change — a pure scan-filter-sum.
+# Every predicate (date window, discount band, quantity cap) is pushed
+# into the parquet fragment scanner via `filter=`, so at scale row-group
+# statistics on l_shipdate/l_discount skip IO entirely; what survives is
+# one multiply + one Sum aggregate. Zero shuffles, zero joins — the
+# canonical predicate-pushdown showcase (SURVEY §2.B B1).
+# ---------------------------------------------------------------------------
+
+_Q6_LO = np.datetime64("1997-01-01T00:00:00", "us")
+_Q6_HI = np.datetime64("1998-01-01T00:00:00", "us")
+
+
+def q_forecast_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py()
+        return pa.table({"revenue": pa.array([rev or 0.0], type=pa.float64())})
+
+    total = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_extendedprice", "l_discount"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q6_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q6_HI))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0),
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    rev = round(total["revenue"] or 0.0, 2)
+    return pa.table({"revenue": pa.array([rev], type=pa.float64())})
+
 
 def q_promo_revenue(sf_dir: str):
     import pyarrow.dataset as pads
@@ -4481,6 +4518,7 @@ QUERIES = {
     "q_big_orders": q_big_orders,
     "q_split_docs": q_split_docs,
     "q_returned_items": q_returned_items,
+    "q_forecast_revenue": q_forecast_revenue,
     "q_promo_revenue": q_promo_revenue,
     "q_supplier_cnt": q_supplier_cnt,
     "q_waiting_orders": q_waiting_orders,
@@ -5005,6 +5043,14 @@ ORACLE_SQL = {
         "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
         "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
         "c.c_custkey LIMIT 20"
+    ),
+    "q_forecast_revenue": (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 "
+        "AND l_quantity < 24"
     ),
     "q_promo_revenue": (
         "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
