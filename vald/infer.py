@@ -1,0 +1,278 @@
+"""Constraint inference: profile a Dataset, emit a suggested table spec.
+
+The reverse arrow of the validation engine (SURVEY §2.B B6/B17): instead
+of *checking* a declarative spec, OBSERVE one from the data — the shape
+Great-Expectations-style profilers give an operator bootstrapping
+validation over an unknown 100-TB corpus. The inferred dict is exactly
+the shape ``vald.ir.compile_table_spec`` accepts, so
+
+    spec = infer_table_spec(ds, "orders")
+    results = pipeline.validate(ds2, ir.compile_table_spec(spec))
+
+turns yesterday's corpus into today's contract.
+
+Execution shape (scale notes):
+
+- ONE stateless ``map_batches`` pass emits one compact partial row per
+  (column, batch): exact n / n_null, numeric min/max, string
+  code-point-length min/max, and a **capped distinct-value sample** —
+  the enum candidate set is kept only while it holds ≤ ``max_enum + 1``
+  values, so a high-cardinality column ships a one-row tombstone, never
+  its values. Partials are O(columns) per batch regardless of row count.
+- The merge is a single small ``groupby("column")`` over those partials
+  (#columns × #batches rows — trivially bounded); the driver pulls one
+  row per column. No full-data shuffle exists anywhere.
+- NaN policy matches the kernels (vald.kernels docstring): a float NaN
+  counts as null, so ``required`` is inferred only when the column has
+  neither Arrow nulls nor NaNs — the inferred spec can never flag the
+  corpus it was inferred from.
+
+Self-consistency guarantee (pinned by a metamorphic test): validating
+the profiled dataset against its own inferred spec yields ZERO
+violations — observed bounds are closed intervals, the enum is the full
+distinct set (never a sample), lengths are code-point lengths exactly as
+``k_min_length`` counts them, and ``required``/``enum`` are only emitted
+when provably satisfied.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["infer_report", "infer_table_spec"]
+
+# Arrow dtype -> spec "type" category accepted by kernels.k_type
+def _type_category(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "number"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "array"
+    if pa.types.is_struct(t):
+        return "object"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return "any"
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("n", pa.int64()),
+        ("n_null", pa.int64()),
+        ("num_min", pa.float64()),  # NaN = no numeric value seen
+        ("num_max", pa.float64()),
+        ("len_min", pa.int64()),  # -1 = not a string column / none seen
+        ("len_max", pa.int64()),
+        # capped distinct sample; NULL (not empty) = overflowed the cap
+        ("enum_vals", pa.list_(pa.string())),
+    ]
+)
+
+
+class _InferPartial:
+    """Stateless per-batch partial. Plain function semantics (no heavy
+    state), but kept as a callable class so the column list and cap ride
+    the constructor, mirroring the actor-pool convention."""
+
+    def __init__(self, columns: list[str], max_enum: int):
+        self.columns = columns
+        self.cap = max_enum + 1  # keep one extra so overflow is provable
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {name: [] for name in _PARTIAL_SCHEMA.names}
+        for c in self.columns:
+            col = t[c]
+            ct = col.type
+            n = len(col)
+            num_min = num_max = float("nan")
+            len_min = len_max = -1
+            enum_vals: list[str] | None = None
+            if pa.types.is_floating(ct):
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                nan = np.isnan(v)
+                n_null = int(nan.sum())  # Arrow null + NaN, kernel NaN policy
+                vals = v[~nan]
+                if len(vals):
+                    num_min, num_max = float(vals.min()), float(vals.max())
+            elif pa.types.is_integer(ct):
+                n_null = col.null_count
+                nonnull = col.drop_null()
+                if len(nonnull):
+                    num_min = float(pc.min(nonnull).as_py())
+                    num_max = float(pc.max(nonnull).as_py())
+            elif pa.types.is_string(ct) or pa.types.is_large_string(ct):
+                n_null = col.null_count
+                nonnull = col.drop_null()
+                if len(nonnull):
+                    lens = pc.utf8_length(nonnull)  # code points = k_*Length
+                    len_min = int(pc.min(lens).as_py())
+                    len_max = int(pc.max(lens).as_py())
+                    uniq = pc.unique(nonnull)
+                    if len(uniq) <= self.cap:
+                        enum_vals = uniq.to_pylist()
+                else:
+                    enum_vals = []
+            else:
+                n_null = col.null_count
+            rows["column"].append(c)
+            rows["n"].append(n)
+            rows["n_null"].append(n_null)
+            rows["num_min"].append(num_min)
+            rows["num_max"].append(num_max)
+            rows["len_min"].append(len_min)
+            rows["len_max"].append(len_max)
+            rows["enum_vals"].append(enum_vals)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], type=f.type) for f in _PARTIAL_SCHEMA],
+            schema=_PARTIAL_SCHEMA,
+        )
+
+
+def _merge_column(g: pa.Table) -> pa.Table:
+    cap = int(g["cap"][0].as_py())
+    name = g["column"][0].as_py()
+    n = int(pc.sum(g["n"]).as_py() or 0)
+    n_null = int(pc.sum(g["n_null"]).as_py() or 0)
+    mins = g["num_min"].to_numpy(zero_copy_only=False)
+    maxs = g["num_max"].to_numpy(zero_copy_only=False)
+    have = ~np.isnan(mins)
+    num_min = float(mins[have].min()) if have.any() else float("nan")
+    num_max = float(maxs[~np.isnan(maxs)].max()) if have.any() else float("nan")
+    lmin = g["len_min"].to_numpy(zero_copy_only=False)
+    lmax = g["len_max"].to_numpy(zero_copy_only=False)
+    seen = lmin >= 0
+    len_min = int(lmin[seen].min()) if seen.any() else -1
+    len_max = int(lmax[seen].max()) if seen.any() else -1
+    # enum union: any NULL partial = some batch overflowed -> overflow
+    enum_col = g["enum_vals"]
+    if enum_col.null_count > 0:
+        enum_vals = None
+    else:
+        flat = pc.list_flatten(enum_col.combine_chunks())
+        uniq = pc.unique(flat)
+        enum_vals = sorted(uniq.to_pylist()) if len(uniq) <= cap - 1 else None
+    return pa.Table.from_arrays(
+        [
+            pa.array([name], type=pa.string()),
+            pa.array([n], type=pa.int64()),
+            pa.array([n_null], type=pa.int64()),
+            pa.array([num_min], type=pa.float64()),
+            pa.array([num_max], type=pa.float64()),
+            pa.array([len_min], type=pa.int64()),
+            pa.array([len_max], type=pa.int64()),
+            pa.array([enum_vals], type=pa.list_(pa.string())),
+        ],
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
+def infer_report(
+    ds: "ray.data.Dataset",
+    columns: list[str] | None = None,
+    *,
+    max_enum: int = 16,
+) -> pa.Table:
+    """One merged stats row per column (the evidence behind the spec).
+
+    Returns an Arrow table with schema ``_PARTIAL_SCHEMA``; ``enum_vals``
+    is NULL when the column's distinct count exceeded ``max_enum``.
+    """
+    import ray.data  # noqa: F401  (type only)
+
+    if columns is None:
+        columns = ds.schema().names
+    partials = ds.map_batches(
+        _InferPartial(columns, max_enum),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        # stamp the cap so the merge (a plain function on a shuffled
+        # group) doesn't need driver state
+        lambda t: t.append_column("cap", pa.array([max_enum + 1] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    merged = partials.groupby("column").map_groups(
+        _merge_column, batch_format="pyarrow"
+    )
+    # one dict per column — bounded by #columns, type-pinned re-assembly
+    # (a pandas round-trip would let an all-overflow enum column decay
+    # to null type)
+    rows = sorted(merged.take_all(), key=lambda r: r["column"])
+    return pa.Table.from_arrays(
+        [
+            pa.array(
+                [
+                    (
+                        list(r[f.name])
+                        if r[f.name] is not None and pa.types.is_list(f.type)
+                        else r[f.name]
+                    )
+                    for r in rows
+                ],
+                type=f.type,
+            )
+            for f in _PARTIAL_SCHEMA
+        ],
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
+def infer_table_spec(
+    ds: "ray.data.Dataset",
+    table: str,
+    columns: list[str] | None = None,
+    *,
+    max_enum: int = 16,
+    row_ref: list[str] | None = None,
+) -> dict:
+    """Infer a declarative table spec (compile_table_spec shape).
+
+    Rules (each provably satisfied by the profiled data — see module
+    docstring for the self-consistency guarantee):
+
+    - ``type``: Arrow dtype -> k_type category (always emitted)
+    - ``required``: zero nulls observed (floats: zero NaNs too)
+    - ``minimum``/``maximum``: closed observed bounds, numeric columns
+    - ``minLength``/``maxLength``: observed code-point bounds, strings
+    - ``enum``: full distinct set when ≤ ``max_enum`` string values
+    """
+    if columns is None:
+        columns = ds.schema().names
+    type_by_col = {
+        name: _type_category(t)
+        for name, t in zip(ds.schema().names, ds.schema().types)
+    }
+    report = infer_report(ds, columns, max_enum=max_enum)
+    colspecs: dict[str, dict] = {}
+    for i in range(len(report)):
+        c = report["column"][i].as_py()
+        spec: dict = {"type": type_by_col[c]}
+        if report["n"][i].as_py() > 0 and report["n_null"][i].as_py() == 0:
+            spec["required"] = True
+        nmin = report["num_min"][i].as_py()
+        nmax = report["num_max"][i].as_py()
+        if nmin is not None and not np.isnan(nmin) and type_by_col[c] in ("integer", "number"):
+            spec["minimum"] = nmin
+            spec["maximum"] = nmax
+        if type_by_col[c] == "string":
+            if report["len_min"][i].as_py() >= 0:
+                spec["minLength"] = report["len_min"][i].as_py()
+                spec["maxLength"] = report["len_max"][i].as_py()
+            ev = report["enum_vals"][i].as_py()
+            if ev:
+                spec["enum"] = ev
+        colspecs[c] = spec
+    out = {"table": table, "columns": colspecs}
+    if row_ref:
+        out["row_ref"] = row_ref
+    return out

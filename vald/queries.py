@@ -263,6 +263,57 @@ def q_ref_integrity(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Constraint inference (vald/infer.py): profile -> suggested spec. The
+# driver-checkable face is the per-column evidence report — exact
+# n/null/bounds/length stats plus the capped distinct (enum) set — on a
+# 4-column orders slice; the oracle rebuilds every rule in SQL. The
+# spec-emitting half (infer_table_spec) is pinned by the metamorphic
+# self-consistency test (validate(ds, infer(ds)) == clean).
+# ---------------------------------------------------------------------------
+
+
+def q_infer_spec(sf_dir: str):
+    import math
+
+    from .infer import infer_report
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    rep = infer_report(_read(sf_dir, "orders", cols), cols, max_enum=16)
+    out: dict[str, list] = {k: [] for k in (
+        "col", "n", "n_null", "required", "num_min", "num_max",
+        "len_min", "len_max", "enum_csv",
+    )}
+    for i in range(len(rep)):
+        n = rep["n"][i].as_py()
+        nn = rep["n_null"][i].as_py()
+        out["col"].append(rep["column"][i].as_py())
+        out["n"].append(n)
+        out["n_null"].append(nn)
+        out["required"].append(n > 0 and nn == 0)
+        for side in ("num_min", "num_max"):
+            v = rep[side][i].as_py()
+            out[side].append(None if v is None or math.isnan(v) else round(v, 6))
+        for side in ("len_min", "len_max"):
+            v = rep[side][i].as_py()
+            out[side].append(None if v is None or v < 0 else v)
+        ev = rep["enum_vals"][i].as_py()
+        out["enum_csv"].append(",".join(ev) if ev else None)
+    return pa.table(
+        {
+            "col": pa.array(out["col"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "n_null": pa.array(out["n_null"], type=pa.int64()),
+            "required": pa.array(out["required"], type=pa.bool_()),
+            "num_min": pa.array(out["num_min"], type=pa.float64()),
+            "num_max": pa.array(out["num_max"], type=pa.float64()),
+            "len_min": pa.array(out["len_min"], type=pa.int64()),
+            "len_max": pa.array(out["len_max"], type=pa.int64()),
+            "enum_csv": pa.array(out["enum_csv"], type=pa.string()),
+        }
+    )
+
+
 def q_profile_exact(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_quantity"])
     res = ds.aggregate(
@@ -4519,6 +4570,7 @@ QUERIES = {
     "q_split_docs": q_split_docs,
     "q_returned_items": q_returned_items,
     "q_forecast_revenue": q_forecast_revenue,
+    "q_infer_spec": q_infer_spec,
     "q_promo_revenue": q_promo_revenue,
     "q_supplier_cnt": q_supplier_cnt,
     "q_waiting_orders": q_waiting_orders,
@@ -5043,6 +5095,39 @@ ORACLE_SQL = {
         "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
         "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
         "c.c_custkey LIMIT 20"
+    ),
+    "q_infer_spec": (
+        "SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n, "
+        "(count(*) - count(o_orderkey))::BIGINT AS n_null, "
+        "(count(*) > 0 AND count(o_orderkey) = count(*)) AS required, "
+        "round(min(o_orderkey)::DOUBLE, 6) AS num_min, "
+        "round(max(o_orderkey)::DOUBLE, 6) AS num_max, "
+        "NULL::BIGINT AS len_min, NULL::BIGINT AS len_max, "
+        "NULL::VARCHAR AS enum_csv FROM orders "
+        "UNION ALL "
+        "SELECT 'o_orderstatus', count(*)::BIGINT, "
+        "(count(*) - count(o_orderstatus))::BIGINT, "
+        "(count(*) > 0 AND count(o_orderstatus) = count(*)), "
+        "NULL::DOUBLE, NULL::DOUBLE, "
+        "min(length(o_orderstatus))::BIGINT, max(length(o_orderstatus))::BIGINT, "
+        "CASE WHEN count(DISTINCT o_orderstatus) <= 16 "
+        "THEN string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) "
+        "ELSE NULL END FROM orders "
+        "UNION ALL "
+        "SELECT 'o_orderpriority', count(*)::BIGINT, "
+        "(count(*) - count(o_orderpriority))::BIGINT, "
+        "(count(*) > 0 AND count(o_orderpriority) = count(*)), "
+        "NULL::DOUBLE, NULL::DOUBLE, "
+        "min(length(o_orderpriority))::BIGINT, max(length(o_orderpriority))::BIGINT, "
+        "CASE WHEN count(DISTINCT o_orderpriority) <= 16 "
+        "THEN string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) "
+        "ELSE NULL END FROM orders "
+        "UNION ALL "
+        "SELECT 'o_totalprice', count(*)::BIGINT, "
+        "(count(*) - count(o_totalprice))::BIGINT, "
+        "(count(*) > 0 AND count(o_totalprice) = count(*)), "
+        "round(min(o_totalprice), 6), round(max(o_totalprice), 6), "
+        "NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR FROM orders"
     ),
     "q_forecast_revenue": (
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
