@@ -1,0 +1,141 @@
+"""Functional-dependency check: op parity vs pandas, bucket-count
+invariance, and the spec-level `kind: fd` integration (verdict totals +
+exact per-partition attribution + exemplar rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from vald import pipeline as P
+from vald.ir import compile_table_spec
+from vald.ops.stats import fd_groups_ds
+
+
+def _corpus(n=2000, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    det = rng.integers(0, 200, n)
+    # dependent is a function of det for most groups; ~20 groups broken
+    dep = det * 10
+    broken = rng.choice(200, 20, replace=False)
+    mask = np.isin(det, broken) & (rng.random(n) < 0.5)
+    dep = np.where(mask, dep + 1, dep)
+    return pa.table(
+        {
+            "det": pa.array(det, type=pa.int64()),
+            "dep": pa.array(dep, type=pa.int64()),
+            "part": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+        }
+    )
+
+
+def _expected(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    g = df.groupby("det").agg(n_dep=("dep", "nunique"), n_rows=("dep", "size"))
+    return g[g["n_dep"] >= 2].reset_index().sort_values("det").reset_index(drop=True)
+
+
+class TestFdOp:
+    def test_parity_vs_pandas(self, ray_session):
+        import ray.data
+
+        t = _corpus()
+        out = (
+            fd_groups_ds(ray.data.from_arrow(t).repartition(5), "det", "dep")
+            .to_pandas()
+            .sort_values("det")
+            .reset_index(drop=True)
+        )
+        exp = _expected(t)
+        pd.testing.assert_frame_equal(
+            out[["det", "n_dep", "n_rows"]].astype("int64"),
+            exp[["det", "n_dep", "n_rows"]].astype("int64"),
+        )
+        assert len(out) > 0
+
+    def test_bucket_invariance_and_nulls(self, ray_session):
+        import ray.data
+
+        t = pa.table(
+            {
+                "det": pa.array([1, 1, 2, 2, None, 3], type=pa.int64()),
+                "dep": pa.array(["a", "b", "c", "c", "x", None]),
+            }
+        )
+        outs = []
+        for nb in (2, 64):
+            o = (
+                fd_groups_ds(
+                    ray.data.from_arrow(t).repartition(3),
+                    "det",
+                    "dep",
+                    num_buckets=nb,
+                )
+                .to_pandas()
+                .sort_values("det")
+                .reset_index(drop=True)
+            )
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # only det=1 violates; NULL det / NULL dep rows excluded
+        assert outs[0]["det"].tolist() == [1]
+        assert outs[0]["n_dep"].tolist() == [2]
+
+
+class TestFdSpec:
+    def test_validate_integration(self, ray_session):
+        import ray.data
+
+        t = _corpus()
+        spec = compile_table_spec(
+            {
+                "table": "t",
+                "partition_by": "part",
+                "num_partitions": 4,
+                "columns": {},
+                "checks": [
+                    {"kind": "fd", "columns": ["det"], "dependent": "dep"}
+                ],
+            }
+        )
+        res = P.validate(ray.data.from_arrow(t).repartition(5), spec, concurrency=2)
+        v = res.verdicts_table()
+        cid = "t.det->dep.fd"
+        rows = v.filter(pc.equal(v["constraint_id"], cid))
+        assert len(rows) > 0
+        n_checked = int(pc.sum(rows["n_checked"]).as_py())
+        n_viol = int(pc.sum(rows["n_violations"]).as_py())
+        assert n_checked == len(t)
+        exp = _expected(t)
+        assert n_viol == int(exp["n_rows"].sum())
+        # exemplar rows: one per inconsistent determinant
+        viol = res.violations_table()
+        viol = viol.filter(pc.equal(viol["constraint_id"], cid))
+        assert len(viol) == len(exp)
+        assert set(viol["detail"].to_pylist()) == {"fd"}
+
+    def test_clean_fd_passes(self, ray_session):
+        import ray.data
+
+        t = pa.table(
+            {
+                "det": pa.array([1, 2, 3, 1], type=pa.int64()),
+                "dep": pa.array([10, 20, 30, 10], type=pa.int64()),
+            }
+        )
+        spec = compile_table_spec(
+            {
+                "table": "t",
+                "columns": {},
+                "checks": [
+                    {"kind": "fd", "columns": ["det"], "dependent": "dep"}
+                ],
+            }
+        )
+        res = P.validate(ray.data.from_arrow(t), spec, concurrency=1)
+        v = res.verdicts_table()
+        assert int(pc.sum(v["n_violations"]).as_py() or 0) == 0
+        assert int(pc.sum(v["n_checked"]).as_py()) == 4

@@ -31,6 +31,7 @@ __all__ = [
     "refint_anti_join_results",
     "fused_refint_anti_results",
     "drift_check_results",
+    "fd_check_results",
     "salted_group_counts",
 ]
 
@@ -729,6 +730,152 @@ def drift_check_results(
     from . import drift
 
     return drift.drift_check_results(ds, cs, dist)
+
+
+def fd_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """Functional-dependency check (``kind: fd``): every determinant
+    value must map to exactly one dependent value (Deequ-style
+    "A determines B"). A row violates when its determinant group holds
+    ≥ 2 distinct dependent values.
+
+    Same one-exchange shape as ``unique_check_results`` (the measured
+    winner there): per batch, rows collapse to locally-distinct
+    ``(det-ref, dep, partition_id) -> cnt`` via one Arrow
+    hash-aggregate, bucketed on the determinant hash so a determinant's
+    pairs land in ONE combine task. Inside the combine: exact pair
+    counts, per-determinant distinct-dependent count, then
+
+    - ``n_checked`` partials per partition = sum of cnt (exact per-pid
+      attribution: the pid rides every pair row, the advice-r2 rule),
+    - ``n_violations`` partials per partition = rows whose determinant
+      is inconsistent,
+    - one capped exemplar violation row per bad determinant
+      (observed = distinct-dependent count, detail = "fd").
+
+    NULL policy: rows with NULL determinant or NULL dependent are
+    excluded from both counts (COUNT(DISTINCT) semantics; the oracle
+    filters the same way). ``num_buckets`` scales like B4
+    (~distinct determinants / 5M).
+    """
+    from .hashing import KEY_SEP, stable_hash64
+
+    det = list(dist.params["columns"])
+    dep = dist.params["dependent"]
+    cid = dist.constraint_id
+    num_buckets = int(dist.params.get("num_buckets", 256))
+    max_rows = int(
+        dist.params.get("max_violation_rows") or P.DEFAULT_MAX_VIOLATIONS_PER_BATCH
+    )
+
+    pre_schema = pa.schema(
+        [
+            ("ref", pa.string()),
+            ("dep", pa.string()),
+            ("bucket", pa.int32()),
+            ("partition_id", pa.int32()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pre_schema.empty_table()
+        pids = P.build_partition_ids(t, cs)
+        keys = [pc.cast(t[c], pa.string()) for c in det]
+        ref = keys[0] if len(keys) == 1 else pc.binary_join_element_wise(*keys, KEY_SEP)
+        small = pa.table(
+            {
+                "ref": ref,
+                "dep": pc.cast(t[dep], pa.string()),
+                "partition_id": pa.array(pids, type=pa.int32()),
+                "cnt": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).drop_null()  # NULL det or dep rows are unchecked
+        agg = (
+            small.group_by(["ref", "dep", "partition_id"], use_threads=False)
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["ref", "dep", "partition_id", "cnt"])
+        )
+        bucket = stable_hash64(agg["ref"]) % np.uint64(num_buckets)
+        return agg.append_column(
+            "bucket", pa.array(bucket.astype(np.int32))
+        ).select(pre_schema.names)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        trip = (
+            g.group_by(["ref", "dep", "partition_id"], use_threads=False)
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["ref", "dep", "partition_id", "cnt"])
+        )
+        if len(trip) == 0:
+            return P._empty_result()
+        # distinct dependents per determinant (over the pair set)
+        pairs = (
+            trip.group_by(["ref", "dep"], use_threads=False)
+            .aggregate([])
+        )
+        ndep = (
+            pairs.group_by(["ref"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["ref", "n_dep"])
+        )
+        bad = ndep.filter(pc.greater_equal(ndep["n_dep"], pa.scalar(2)))
+        bad_mask = pc.fill_null(
+            pc.is_in(trip["ref"], value_set=bad["ref"].combine_chunks()), False
+        )
+        pids = np.asarray(
+            trip["partition_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        cnt = np.asarray(trip["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        badv = bad_mask.to_numpy(zero_copy_only=False)
+        Pmax = int(pids.max()) + 1
+        n_checked = np.bincount(pids, weights=cnt, minlength=Pmax)
+        n_viol = np.bincount(pids[badv], weights=cnt[badv], minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([""] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend(n_viol[present].astype(np.int64).tolist())
+        # capped exemplars: one row per inconsistent determinant
+        n_ex = min(len(bad), max_rows)
+        if n_ex:
+            refs = bad["ref"].to_pylist()[:n_ex]
+            ndeps = bad["n_dep"].to_pylist()[:n_ex]
+            out["partition_id"].extend([0] * n_ex)
+            out["constraint_id"].extend([cid] * n_ex)
+            out["row_ref"].extend(refs)
+            out["column"].extend([dep] * n_ex)
+            out["observed"].extend([str(v) for v in ndeps])
+            out["detail"].extend(["fd"] * n_ex)
+            out["is_violation"].extend([True] * n_ex)
+            out["n_checked"].extend([0] * n_ex)
+            out["n_violations"].extend([0] * n_ex)
+        return P.result_rows(out)
+
+    cols_needed = list(dict.fromkeys(det + [dep] + _pid_cols(cs)))
+    pruned = ds.map_batches(
+        lambda t, c=cols_needed: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        pruned.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _pid_cols(cs: ConstraintSet) -> list[str]:
+    return [cs.partition_by] if cs.partition_by else []
 
 
 def salted_group_counts(

@@ -401,6 +401,26 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "fd":
+            # functional dependency: columns (determinant) -> dependent
+            cols = chk["columns"]
+            dep = chk["dependent"]
+            cid = chk.get(
+                "constraint_id", f"{table}.{'_'.join(cols)}->{dep}.fd"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "fd",
+                    {
+                        "columns": cols,
+                        "dependent": dep,
+                        "num_buckets": chk.get("num_buckets", 256),
+                        "max_violation_rows": chk.get("max_violation_rows"),
+                    },
+                    chk.get("severity", "error"),
+                )
+            )
         elif kind == "drift":
             cid = chk.get("constraint_id", f"{table}.drift")
             cs.dist_checks.append(

@@ -958,6 +958,10 @@ def validate(
             # drift re-reads the input for its sketch partials (its own
             # column-pruned pass); fine — sketch columns are narrow
             combined = combined.union(cd.drift_check_results(ds, cs, dist))
+        elif dist.kind == "fd":
+            # FD re-reads the input column-pruned to det+dep (narrow);
+            # one exchange of locally-distinct pairs, see fd_check_results
+            combined = combined.union(cd.fd_check_results(ds, cs, dist))
 
     # A11 schema congruence: plan-time, driver-side (ds.schema() is
     # metadata — no data pass)

@@ -264,6 +264,33 @@ def q_ref_integrity(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Functional-dependency check (ops/stats.fd_groups_ds + the spec-level
+# `kind: fd` in validate): determinants mapping to >= 2 distinct
+# dependents. Here: which parts ship from more than one supplier —
+# l_partkey -/-> l_suppkey violators with their distinct-supplier and
+# row counts. One exchange of locally-distinct pairs bucketed on the
+# determinant; see the op docstring for the 100-TB shape.
+# ---------------------------------------------------------------------------
+
+
+def q_fd_violations(sf_dir: str):
+    from .ops.stats import fd_groups_ds
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    out = fd_groups_ds(li, "l_partkey", "l_suppkey")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("n_dep", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Constraint inference (vald/infer.py): profile -> suggested spec. The
 # driver-checkable face is the per-column evidence report — exact
 # n/null/bounds/length stats plus the capped distinct (enum) set — on a
@@ -4569,6 +4596,7 @@ QUERIES = {
     "q_big_orders": q_big_orders,
     "q_split_docs": q_split_docs,
     "q_returned_items": q_returned_items,
+    "q_fd_violations": q_fd_violations,
     "q_forecast_revenue": q_forecast_revenue,
     "q_infer_spec": q_infer_spec,
     "q_promo_revenue": q_promo_revenue,
@@ -5095,6 +5123,12 @@ ORACLE_SQL = {
         "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
         "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
         "c.c_custkey LIMIT 20"
+    ),
+    "q_fd_violations": (
+        "SELECT l_partkey, count(DISTINCT l_suppkey)::BIGINT AS n_dep, "
+        "count(*)::BIGINT AS n_rows FROM lineitem "
+        "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL "
+        "GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) >= 2"
     ),
     "q_infer_spec": (
         "SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n, "
