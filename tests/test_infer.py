@@ -121,3 +121,68 @@ class TestSelfConsistency:
         }
         assert any("qty.maximum" in c for c in bad)
         assert any("status.enum" in c for c in bad)
+
+
+class TestDiffSpecs:
+    def test_diff_rules(self):
+        from vald.infer import diff_specs
+
+        old = {
+            "table": "t",
+            "columns": {
+                "gone": {"type": "string"},
+                "a": {"type": "integer", "required": True, "minimum": 0.0, "maximum": 10.0},
+                "s": {"type": "string", "enum": ["x", "y"], "minLength": 1, "maxLength": 3},
+            },
+        }
+        new = {
+            "table": "t",
+            "columns": {
+                "fresh": {"type": "number"},
+                "a": {"type": "integer", "minimum": -5.0, "maximum": 10.0},
+                "s": {"type": "string", "enum": ["x", "z"], "minLength": 1, "maxLength": 8},
+            },
+        }
+        d = diff_specs(old, new).to_pydict()
+        changes = set(zip(d["column"], d["change"]))
+        assert ("gone", "removed_column") in changes
+        assert ("fresh", "added_column") in changes
+        assert ("a", "required_dropped") in changes
+        assert ("a", "bounds_widened") in changes
+        assert ("s", "bounds_widened") in changes
+        assert ("s", "enum_values_added") in changes
+        assert ("s", "enum_values_removed") in changes
+
+    def test_identical_specs_empty(self):
+        from vald.infer import diff_specs
+
+        s = {"table": "t", "columns": {"a": {"type": "integer", "required": True}}}
+        assert len(diff_specs(s, s)) == 0
+
+    def test_narrowed_and_enum_dropped(self):
+        from vald.infer import diff_specs
+
+        old = {"columns": {"a": {"type": "number", "minimum": 0.0, "maximum": 100.0},
+                           "s": {"type": "string", "enum": ["x"]}}}
+        new = {"columns": {"a": {"type": "number", "minimum": 5.0, "maximum": 50.0},
+                           "s": {"type": "string"}}}
+        d = diff_specs(old, new).to_pydict()
+        changes = set(zip(d["column"], d["change"]))
+        assert ("a", "bounds_narrowed") in changes
+        assert ("s", "enum_dropped") in changes
+
+    def test_infer_then_diff_e2e(self, ray_session):
+        """Inferred contract drift between the full documents table and
+        its short-docs slice: the length envelope must narrow."""
+        import ray.data
+
+        from vald.infer import diff_specs, infer_table_spec
+
+        full = ray.data.read_parquet(f"{SF}/documents.parquet")
+        short = full.filter(expr="n_chars < 500")
+        d = diff_specs(
+            infer_table_spec(full, "documents"),
+            infer_table_spec(short, "documents"),
+        ).to_pydict()
+        by_col = dict(zip(d["column"], d["change"]))
+        assert by_col.get("n_chars") == "bounds_narrowed"

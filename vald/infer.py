@@ -41,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["infer_report", "infer_table_spec"]
+__all__ = ["infer_report", "infer_table_spec", "diff_specs"]
 
 # Arrow dtype -> spec "type" category accepted by kernels.k_type
 def _type_category(t: pa.DataType) -> str:
@@ -276,3 +276,78 @@ def infer_table_spec(
     if row_ref:
         out["row_ref"] = row_ref
     return out
+
+
+def diff_specs(old: dict, new: dict) -> pa.Table:
+    """Contract drift between two inferred (or authored) table specs —
+    the schema-evolution report an operator reads before promoting
+    yesterday's inferred contract over today's corpus.
+
+    Driver-side on two spec dicts (specs are O(columns) — no data
+    moves). One row per detected change:
+
+    - ``added_column`` / ``removed_column``
+    - ``type_changed``
+    - ``required_added`` (new data is stricter) / ``required_dropped``
+      (new data has nulls where the old contract forbade them — the
+      alarming direction)
+    - ``bounds_widened`` / ``bounds_narrowed`` (numeric min/max or
+      string length envelope)
+    - ``enum_values_added`` / ``enum_values_removed`` / ``enum_dropped``
+      (cardinality blew past the cap) / ``enum_added``
+
+    Returns ``(column, change, old, new)`` with values rendered as
+    strings (empty = not applicable).
+    """
+    rows: list[tuple[str, str, str, str]] = []
+    oc, nc = old.get("columns", {}), new.get("columns", {})
+    for c in sorted(set(oc) - set(nc)):
+        rows.append((c, "removed_column", str(oc[c].get("type", "")), ""))
+    for c in sorted(set(nc) - set(oc)):
+        rows.append((c, "added_column", "", str(nc[c].get("type", ""))))
+    for c in sorted(set(oc) & set(nc)):
+        o, n = oc[c], nc[c]
+        if o.get("type") != n.get("type"):
+            rows.append((c, "type_changed", str(o.get("type")), str(n.get("type"))))
+        oreq, nreq = bool(o.get("required")), bool(n.get("required"))
+        if nreq and not oreq:
+            rows.append((c, "required_added", "false", "true"))
+        elif oreq and not nreq:
+            rows.append((c, "required_dropped", "true", "false"))
+        ob = (o.get("minimum"), o.get("maximum"), o.get("minLength"), o.get("maxLength"))
+        nb = (n.get("minimum"), n.get("maximum"), n.get("minLength"), n.get("maxLength"))
+        if ob != nb and any(v is not None for v in ob + nb):
+            widened = (
+                (nb[0] is not None and ob[0] is not None and nb[0] < ob[0])
+                or (nb[1] is not None and ob[1] is not None and nb[1] > ob[1])
+                or (nb[2] is not None and ob[2] is not None and nb[2] < ob[2])
+                or (nb[3] is not None and ob[3] is not None and nb[3] > ob[3])
+            )
+            rows.append(
+                (
+                    c,
+                    "bounds_widened" if widened else "bounds_narrowed",
+                    str(ob),
+                    str(nb),
+                )
+            )
+        oe, ne = o.get("enum"), n.get("enum")
+        if oe is not None and ne is None:
+            rows.append((c, "enum_dropped", ",".join(oe), ""))
+        elif oe is None and ne is not None:
+            rows.append((c, "enum_added", "", ",".join(ne)))
+        elif oe is not None and ne is not None and oe != ne:
+            added = sorted(set(ne) - set(oe))
+            removed = sorted(set(oe) - set(ne))
+            if added:
+                rows.append((c, "enum_values_added", "", ",".join(added)))
+            if removed:
+                rows.append((c, "enum_values_removed", ",".join(removed), ""))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], type=pa.string()),
+            "change": pa.array([r[1] for r in rows], type=pa.string()),
+            "old": pa.array([r[2] for r in rows], type=pa.string()),
+            "new": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )

@@ -341,6 +341,20 @@ def q_infer_spec(sf_dir: str):
     )
 
 
+def q_spec_diff(sf_dir: str):
+    """Rows-only (spec dicts aren't SQL): contract drift between the
+    inferred spec of the full documents table and of its short-docs
+    slice — exercises infer_table_spec + diff_specs end-to-end."""
+    from .infer import diff_specs, infer_table_spec
+
+    full = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    short = full.filter(expr="n_chars < 500")
+    return diff_specs(
+        infer_table_spec(full, "documents"),
+        infer_table_spec(short, "documents"),
+    )
+
+
 def q_profile_exact(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_quantity"])
     res = ds.aggregate(
@@ -4599,6 +4613,7 @@ QUERIES = {
     "q_fd_violations": q_fd_violations,
     "q_forecast_revenue": q_forecast_revenue,
     "q_infer_spec": q_infer_spec,
+    "q_spec_diff": q_spec_diff,
     "q_promo_revenue": q_promo_revenue,
     "q_supplier_cnt": q_supplier_cnt,
     "q_waiting_orders": q_waiting_orders,
