@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "q_rolling",
     "q_heavy_hitters",
     "q_latest_event",
+    "q_forecast_revenue",
+    "q_fd_violations",
+    "q_infer_spec",
 ]
 
 
