@@ -139,3 +139,84 @@ class TestFdSpec:
         v = res.verdicts_table()
         assert int(pc.sum(v["n_violations"]).as_py() or 0) == 0
         assert int(pc.sum(v["n_checked"]).as_py()) == 4
+
+
+class TestCompleteness:
+    def _spec(self, max_rate):
+        return compile_table_spec(
+            {
+                "table": "t",
+                "partition_by": "part",
+                "num_partitions": 4,
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "completeness",
+                        "column": "v",
+                        "max_null_rate": max_rate,
+                    }
+                ],
+            }
+        )
+
+    def _table(self):
+        rng = np.random.default_rng(3)
+        n = 1000
+        v = rng.random(n)
+        v[rng.choice(n, 100, replace=False)] = np.nan  # 10% null (NaN)
+        return pa.table(
+            {
+                "v": pa.array(v, type=pa.float64()),
+                "part": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+            }
+        )
+
+    def test_fires_above_threshold(self, ray_session):
+        import ray.data
+
+        t = self._table()
+        res = P.validate(
+            ray.data.from_arrow(t).repartition(5), self._spec(0.05), concurrency=2
+        )
+        v = res.verdicts_table()
+        cid = "t.v.completeness"
+        rows = v.filter(pc.equal(v["constraint_id"], cid))
+        assert int(pc.sum(rows["n_checked"]).as_py()) == 1000
+        # global decision: every partition's nulls count as violations
+        assert int(pc.sum(rows["n_violations"]).as_py()) == 100
+        assert not all(rows["pass"].to_pylist())
+
+    def test_passes_below_threshold(self, ray_session):
+        import ray.data
+
+        t = self._table()
+        res = P.validate(
+            ray.data.from_arrow(t).repartition(5), self._spec(0.2), concurrency=2
+        )
+        v = res.verdicts_table()
+        rows = v.filter(pc.equal(v["constraint_id"], "t.v.completeness"))
+        assert int(pc.sum(rows["n_violations"]).as_py()) == 0
+        assert int(pc.sum(rows["n_checked"]).as_py()) == 1000
+        assert all(rows["pass"].to_pylist())
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        t = self._table()
+        outs = []
+        for nparts in (1, 7):
+            res = P.validate(
+                ray.data.from_arrow(t).repartition(nparts),
+                self._spec(0.05),
+                concurrency=2,
+            )
+            v = res.verdicts_table()
+            rows = v.filter(
+                pc.equal(v["constraint_id"], "t.v.completeness")
+            ).to_pandas()
+            outs.append(
+                rows.sort_values("partition_id")[
+                    ["partition_id", "n_checked", "n_violations"]
+                ].reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])

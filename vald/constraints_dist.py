@@ -32,6 +32,7 @@ __all__ = [
     "fused_refint_anti_results",
     "drift_check_results",
     "fd_check_results",
+    "completeness_check_results",
     "salted_group_counts",
 ]
 
@@ -730,6 +731,106 @@ def drift_check_results(
     from . import drift
 
     return drift.drift_check_results(ds, cs, dist)
+
+
+def completeness_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """Completeness check (``kind: completeness``, Deequ's
+    ``completeness(col) >= c``): the column may be null in at most
+    ``max_null_rate`` of rows. Unlike ``required`` (zero-null strict,
+    a ROW check), the decision is a GLOBAL aggregate: per batch one
+    (partition_id, n, n_null) partial row ships (NaN counts as null for
+    float columns — the kernel NaN policy), a single tiny groupby merges
+    them, and one fold task applies the threshold to the GLOBAL rate —
+    per-partition RESULT rows keep exact attribution (a partition's
+    n_violations is its own null count) while pass/fail is decided on
+    the table-wide rate, so verdicts are parallelism-invariant.
+    """
+    col = dist.params["column"]
+    max_rate = float(dist.params["max_null_rate"])
+    cid = dist.constraint_id
+
+    part_schema = pa.schema(
+        [("partition_id", pa.int32()), ("n", pa.int64()), ("n_null", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        pids = np.asarray(P.build_partition_ids(t, cs), dtype=np.int64)
+        c = t[col]
+        if pa.types.is_floating(c.type):
+            v = c.to_numpy(zero_copy_only=False).astype(np.float64)
+            nulls = np.isnan(v)
+        else:
+            nulls = pc.is_null(c).to_numpy(zero_copy_only=False)
+        Pmax = int(pids.max()) + 1
+        n = np.bincount(pids, minlength=Pmax)
+        n_null = np.bincount(pids[nulls], minlength=Pmax)
+        present = np.flatnonzero(n > 0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(present.astype(np.int32)),
+                pa.array(n[present].astype(np.int64)),
+                pa.array(n_null[present].astype(np.int64)),
+            ],
+            schema=part_schema,
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # t: one row per (partition, batch) — tiny; merge + decide
+        agg = (
+            t.group_by("partition_id", use_threads=False)
+            .aggregate([("n", "sum"), ("n_null", "sum")])
+            .rename_columns(["partition_id", "n", "n_null"])
+        )
+        n_tot = int(pc.sum(agg["n"]).as_py() or 0)
+        null_tot = int(pc.sum(agg["n_null"]).as_py() or 0)
+        rate = (null_tot / n_tot) if n_tot else 0.0
+        firing = rate > max_rate
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        for i in range(len(agg)):
+            # count partials: is_violation=False rows carry the verdict
+            # numbers (the fold convention — violation rows are
+            # exemplars only and are filtered out of verdict sums)
+            pid = agg["partition_id"][i].as_py()
+            n_p = agg["n"][i].as_py()
+            nn_p = agg["n_null"][i].as_py()
+            out["partition_id"].append(pid)
+            out["constraint_id"].append(cid)
+            out["row_ref"].append("")
+            out["column"].append(col)
+            out["observed"].append(f"{rate:.6f}")
+            out["detail"].append(
+                f"null_rate>{max_rate}" if firing else f"null_rate<={max_rate}"
+            )
+            out["is_violation"].append(False)
+            out["n_checked"].append(n_p)
+            out["n_violations"].append(nn_p if firing else 0)
+        if firing:
+            # one exemplar row for the table-wide breach
+            out["partition_id"].append(0)
+            out["constraint_id"].append(cid)
+            out["row_ref"].append("")
+            out["column"].append(col)
+            out["observed"].append(f"{rate:.6f}")
+            out["detail"].append(f"null_rate>{max_rate}")
+            out["is_violation"].append(True)
+            out["n_checked"].append(0)
+            out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    cols_needed = list(dict.fromkeys([col] + _pid_cols(cs)))
+    partials = ds.map_batches(
+        lambda t, c=cols_needed: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # single fold task: the partial stream is O(partitions x batches)
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
 
 
 def fd_check_results(

@@ -401,6 +401,24 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "completeness":
+            # null-rate threshold (Deequ "completeness >= c"): the
+            # column may hold nulls up to max_null_rate of checked rows
+            col = chk["column"]
+            cid = chk.get(
+                "constraint_id", f"{table}.{col}.completeness"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "completeness",
+                    {
+                        "column": col,
+                        "max_null_rate": float(chk["max_null_rate"]),
+                    },
+                    chk.get("severity", "error"),
+                )
+            )
         elif kind == "fd":
             # functional dependency: columns (determinant) -> dependent
             cols = chk["columns"]

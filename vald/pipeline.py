@@ -962,6 +962,12 @@ def validate(
             # FD re-reads the input column-pruned to det+dep (narrow);
             # one exchange of locally-distinct pairs, see fd_check_results
             combined = combined.union(cd.fd_check_results(ds, cs, dist))
+        elif dist.kind == "completeness":
+            # global null-rate threshold: O(partitions x batches)
+            # partials, one fold task
+            combined = combined.union(
+                cd.completeness_check_results(ds, cs, dist)
+            )
 
     # A11 schema congruence: plan-time, driver-side (ds.schema() is
     # metadata — no data pass)

@@ -341,6 +341,43 @@ def q_infer_spec(sf_dir: str):
     )
 
 
+def q_completeness(sf_dir: str):
+    """Spec-level completeness (null-rate threshold) check driven
+    end-to-end through validate(): the oracle mirrors the check's
+    semantics — null counts surface as violations ONLY when the global
+    rate breaches the threshold (testdata is null-free, so this also
+    pins the non-firing path's zero totals)."""
+    from . import pipeline as P
+    from .ir import compile_table_spec
+
+    spec = compile_table_spec(
+        {
+            "table": "orders",
+            "columns": {},
+            "checks": [
+                {
+                    "kind": "completeness",
+                    "column": "o_custkey",
+                    "max_null_rate": 1e-4,
+                }
+            ],
+        }
+    )
+    res = P.validate(_read(sf_dir, "orders", ["o_custkey"]), spec, concurrency=2)
+    v = res.verdicts_table()
+    n = int(pc.sum(v["n_checked"]).as_py() or 0)
+    flagged = int(pc.sum(v["n_violations"]).as_py() or 0)
+    firing = not all(v["pass"].to_pylist())
+    return pa.table(
+        {
+            "col": pa.array(["o_custkey"], type=pa.string()),
+            "n": pa.array([n], type=pa.int64()),
+            "n_null_flagged": pa.array([flagged], type=pa.int64()),
+            "firing": pa.array([firing], type=pa.bool_()),
+        }
+    )
+
+
 def q_spec_diff(sf_dir: str):
     """Rows-only (spec dicts aren't SQL): contract drift between the
     inferred spec of the full documents table and of its short-docs
@@ -4613,6 +4650,7 @@ QUERIES = {
     "q_fd_violations": q_fd_violations,
     "q_forecast_revenue": q_forecast_revenue,
     "q_infer_spec": q_infer_spec,
+    "q_completeness": q_completeness,
     "q_spec_diff": q_spec_diff,
     "q_promo_revenue": q_promo_revenue,
     "q_supplier_cnt": q_supplier_cnt,
@@ -5138,6 +5176,14 @@ ORACLE_SQL = {
         "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
         "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
         "c.c_custkey LIMIT 20"
+    ),
+    "q_completeness": (
+        "SELECT 'o_custkey' AS col, count(*)::BIGINT AS n, "
+        "CASE WHEN (count(*) - count(o_custkey)) / count(*)::DOUBLE > 0.0001 "
+        "THEN (count(*) - count(o_custkey))::BIGINT ELSE 0::BIGINT END "
+        "AS n_null_flagged, "
+        "((count(*) - count(o_custkey)) / count(*)::DOUBLE > 0.0001) AS firing "
+        "FROM orders"
     ),
     "q_fd_violations": (
         "SELECT l_partkey, count(DISTINCT l_suppkey)::BIGINT AS n_dep, "
