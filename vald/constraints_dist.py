@@ -946,12 +946,22 @@ def fd_check_results(
         out["is_violation"].extend([False] * kp)
         out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
         out["n_violations"].extend(n_viol[present].astype(np.int64).tolist())
-        # capped exemplars: one row per inconsistent determinant
+        # capped exemplars: one row per inconsistent determinant,
+        # attributed to the min contributing partition (the
+        # unique-check exemplar convention)
         n_ex = min(len(bad), max_rows)
         if n_ex:
+            minpid = (
+                trip.group_by("ref", use_threads=False)
+                .aggregate([("partition_id", "min")])
+                .rename_columns(["ref", "minpid"])
+            )
+            pid_of = dict(
+                zip(minpid["ref"].to_pylist(), minpid["minpid"].to_pylist())
+            )
             refs = bad["ref"].to_pylist()[:n_ex]
             ndeps = bad["n_dep"].to_pylist()[:n_ex]
-            out["partition_id"].extend([0] * n_ex)
+            out["partition_id"].extend([int(pid_of[r]) for r in refs])
             out["constraint_id"].extend([cid] * n_ex)
             out["row_ref"].extend(refs)
             out["column"].extend([dep] * n_ex)
