@@ -220,3 +220,76 @@ class TestCompleteness:
                 ].reset_index(drop=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestBloomScreenRefint:
+    """Opt-in approximate refint: bloom-miss children are DEFINITE
+    orphans; false positives only let orphans pass (one-sided)."""
+
+    def _run(self, strategy):
+        import ray.data
+
+        parent = pa.table({"pk": pa.array([f"p{i}" for i in range(500)])})
+        child_keys = [f"p{i}" for i in range(400)] + [f"orphan{i}" for i in range(50)]
+        child = pa.table({"fk": pa.array(child_keys)})
+        chk = {
+            "kind": "refint",
+            "columns": ["fk"],
+            "parent_table": "parent",
+            "parent_columns": ["pk"],
+        }
+        if strategy:
+            chk["strategy"] = strategy
+        spec = compile_table_spec({"table": "t", "columns": {}, "checks": [chk]})
+        res = P.validate(
+            ray.data.from_arrow(child).repartition(3),
+            spec,
+            parents={"parent": ray.data.from_arrow(parent)},
+            concurrency=2,
+        )
+        v = res.verdicts_table()
+        rows = v.filter(pc.equal(v["constraint_id"], "t.fk.refint"))
+        return (
+            int(pc.sum(rows["n_checked"]).as_py()),
+            int(pc.sum(rows["n_violations"]).as_py() or 0),
+        )
+
+    def test_bloom_matches_exact_here(self, ray_session):
+        # at 16 bits/key FPR ~4e-4: 50 orphans all miss w.h.p. — any
+        # discrepancy vs exact must be one-sided (bloom <= exact)
+        n_exact, v_exact = self._run(None)
+        n_bloom, v_bloom = self._run("bloom_screen")
+        assert (n_exact, v_exact) == (450, 50)
+        assert n_bloom == 450
+        assert v_bloom <= v_exact
+        assert v_bloom >= 49  # >=49 of 50 w.h.p. at FPR 4e-4
+
+    def test_clean_children_never_flagged(self, ray_session):
+        import ray.data
+
+        parent = pa.table({"pk": pa.array([f"p{i}" for i in range(300)])})
+        child = pa.table({"fk": pa.array([f"p{i}" for i in range(300)])})
+        spec = compile_table_spec(
+            {
+                "table": "t",
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "refint",
+                        "columns": ["fk"],
+                        "parent_table": "parent",
+                        "parent_columns": ["pk"],
+                        "strategy": "bloom_screen",
+                    }
+                ],
+            }
+        )
+        res = P.validate(
+            ray.data.from_arrow(child),
+            spec,
+            parents={"parent": ray.data.from_arrow(parent)},
+            concurrency=1,
+        )
+        v = res.verdicts_table()
+        # a present key ALWAYS hits the filter: zero false alarms
+        assert int(pc.sum(v["n_violations"]).as_py() or 0) == 0

@@ -397,6 +397,12 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                         "parent_table": chk.get("parent_table"),
                         "parent_columns": chk.get("parent_columns", cols),
                         "parent_path": chk.get("parent_path"),
+                        # planner knobs (validate() reads these):
+                        # "auto" | "broadcast" | "anti_join" |
+                        # "bloom_screen" (approximate, one-sided)
+                        "strategy": chk.get("strategy", "auto"),
+                        "max_broadcast_keys": chk.get("max_broadcast_keys"),
+                        "bits_per_key": chk.get("bits_per_key", 16),
                     },
                     chk.get("severity", "error"),
                 )

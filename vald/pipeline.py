@@ -343,10 +343,18 @@ class RowValidator:
         # test is a vectorized pc.is_in — no per-row Python objects
         # (this VM's allocator makes object churn very expensive).
         self.key_arrays: dict[str, pa.Array] = {}
+        # bloom-screen refint (opt-in): parent keys as a Bloom filter —
+        # 2 B/key broadcast vs 8+ B/key exact; one-sided error (an
+        # orphan child passes with prob = filter FPR), see validate()
+        self.bloom_filters: dict[str, object] = {}
         from .hashing import KEY_SEP
+        from .ops.decontam import BloomFilter
 
         for cid, ref in (broadcast_refs or {}).items():
             obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            if isinstance(obj, BloomFilter):
+                self.bloom_filters[cid] = obj
+                continue
             vals = list(obj)
             if vals and isinstance(vals[0], tuple):
                 vals = [KEY_SEP.join(map(str, v)) for v in vals]
@@ -442,7 +450,10 @@ class RowValidator:
         # Large-parent refint checks (self.refint_fused) skip this and
         # emit key partials below instead.
         for dist in cs.dist_checks:
-            if dist.kind != "refint" or dist.constraint_id not in self.key_arrays:
+            if dist.kind != "refint" or (
+                dist.constraint_id not in self.key_arrays
+                and dist.constraint_id not in self.bloom_filters
+            ):
                 continue
             cols = dist.params["columns"]
             if len(cols) == 1:
@@ -452,11 +463,21 @@ class RowValidator:
 
                 joined = [pc.cast(batch[c], pa.string()) for c in cols]
                 keycol = pc.binary_join_element_wise(*joined, _SEP)
-            value_set = self.key_arrays[dist.constraint_id]
-            if value_set.type != keycol.type:
-                value_set = value_set.cast(keycol.type)
             checked_pa = pc.is_valid(keycol)
-            ok_pa = pc.is_in(keycol, value_set=value_set)
+            if dist.constraint_id in self.bloom_filters:
+                # bloom screen: a miss is a DEFINITE orphan; an FP
+                # (≈4e-4) lets an orphan pass — violations are a
+                # one-sided under-count, never false alarms
+                from .hashing import stable_hash64
+
+                h = stable_hash64(pc.cast(keycol, pa.string()))
+                ok_np = self.bloom_filters[dist.constraint_id].contains(h)
+                ok_pa = pa.array(ok_np)
+            else:
+                value_set = self.key_arrays[dist.constraint_id]
+                if value_set.type != keycol.type:
+                    value_set = value_set.cast(keycol.type)
+                ok_pa = pc.is_in(keycol, value_set=value_set)
             checked = np.asarray(
                 checked_pa.to_numpy(zero_copy_only=False), dtype=bool
             )
@@ -875,7 +896,9 @@ def validate(
             continue
         pcols = list(dist.params["parent_columns"])
         strategy = dist.params.get("strategy", "auto")
-        threshold = int(dist.params.get("max_broadcast_keys", DEFAULT_MAX_BROADCAST_KEYS))
+        threshold = int(
+            dist.params.get("max_broadcast_keys") or DEFAULT_MAX_BROADCAST_KEYS
+        )
         cid = dist.constraint_id
 
         if isinstance(src, list):
@@ -897,6 +920,29 @@ def validate(
                 refint_fused[cid] = list(dist.params["columns"])
                 continue
             keys_t = _distinct_parent_keys(src, pcols)
+        if strategy == "bloom_screen":
+            # opt-in APPROXIMATE screen (the refint rung of the
+            # decontam scale ladder): parent keys as a Bloom filter —
+            # ~2 B/key broadcast at 16 bits/key vs 8+ B/key for the
+            # exact set, for parents that outgrow the broadcast
+            # threshold but whose anti-join is too expensive for a
+            # quick screen. One-sided: a missing child passes with
+            # prob = FPR (~4e-4); flagged violations are always real.
+            from .hashing import KEY_SEP as _SEP2
+            from .hashing import stable_hash64 as _sh64
+            from .ops.decontam import BloomFilter
+
+            if len(pcols) == 1:
+                kc = pc.cast(keys_t[pcols[0]], pa.string())
+            else:
+                joined = [pc.cast(keys_t[c], pa.string()) for c in pcols]
+                kc = pc.binary_join_element_wise(*joined, _SEP2)
+            bloom = BloomFilter(
+                _sh64(kc),
+                bits_per_key=int(dist.params.get("bits_per_key", 16)),
+            )
+            broadcast_refs[cid] = ray.put(bloom)
+            continue
         if len(pcols) == 1:
             keys = set(keys_t[pcols[0]].to_pylist())
         else:
