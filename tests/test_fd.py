@@ -293,3 +293,80 @@ class TestBloomScreenRefint:
         v = res.verdicts_table()
         # a present key ALWAYS hits the filter: zero false alarms
         assert int(pc.sum(v["n_violations"]).as_py() or 0) == 0
+
+
+class TestQuantileBounds:
+    def test_flags_outliers_exactly(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        v = rng.normal(100.0, 10.0, 5000)
+        v[:25] = 10_000.0  # planted high outliers
+        v[25:40] = -10_000.0  # planted low outliers
+        t = pa.table({"v": pa.array(v, type=pa.float64())})
+        spec = compile_table_spec(
+            {
+                "table": "t",
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "quantile_bounds",
+                        "column": "v",
+                        "lower_q": 0.005,
+                        "upper_q": 0.995,
+                    }
+                ],
+            }
+        )
+        res = P.validate(ray.data.from_arrow(t).repartition(4), spec, concurrency=2)
+        vt = res.verdicts_table()
+        rows = vt.filter(pc.equal(vt["constraint_id"], "t.v.quantile_bounds"))
+        n_viol = int(pc.sum(rows["n_violations"]).as_py())
+        # exact reference: numpy linear-interpolation quantiles
+        lo, hi = np.quantile(v, [0.005, 0.995])
+        assert n_viol == int(((v < lo) | (v > hi)).sum())
+        assert int(pc.sum(rows["n_checked"]).as_py()) == 5000
+        # exemplars carry the offending values
+        viol = res.violations_table()
+        viol = viol.filter(pc.equal(viol["constraint_id"], "t.v.quantile_bounds"))
+        assert len(viol) == n_viol
+
+    def test_parallelism_invariant_and_nan(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(5)
+        v = rng.random(2000) * 100
+        v[::10] = np.nan  # unchecked
+        t = pa.table({"v": pa.array(v, type=pa.float64())})
+        spec = compile_table_spec(
+            {
+                "table": "t",
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "quantile_bounds",
+                        "column": "v",
+                        "lower_q": 0.01,
+                        "upper_q": 0.99,
+                    }
+                ],
+            }
+        )
+        outs = []
+        for nparts in (1, 6):
+            res = P.validate(
+                ray.data.from_arrow(t).repartition(nparts), spec, concurrency=2
+            )
+            vt = res.verdicts_table()
+            rows = vt.filter(
+                pc.equal(vt["constraint_id"], "t.v.quantile_bounds")
+            )
+            outs.append(
+                (
+                    int(pc.sum(rows["n_checked"]).as_py()),
+                    int(pc.sum(rows["n_violations"]).as_py()),
+                )
+            )
+        assert outs[0] == outs[1]
+        assert outs[0][0] == int(np.count_nonzero(~np.isnan(v)))
+        assert outs[0][1] > 0

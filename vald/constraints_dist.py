@@ -33,6 +33,7 @@ __all__ = [
     "drift_check_results",
     "fd_check_results",
     "completeness_check_results",
+    "quantile_bounds_check_results",
     "salted_group_counts",
 ]
 
@@ -831,6 +832,98 @@ def completeness_check_results(
     return partials.repartition(1).map_batches(
         fold, batch_format="pyarrow", batch_size=None
     )
+
+
+def quantile_bounds_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """Empirical-outlier screen (``kind: quantile_bounds``): rows whose
+    value falls outside the table's own exact [P(lower_q), P(upper_q)]
+    quantiles. Two passes:
+
+    1. Ray's EXACT sort-based ``Quantile`` aggregate pins the two scalar
+       thresholds — deterministic and parallelism-invariant (a t-digest
+       merge's centroids depend on partition order; at 100 TB swap in
+       the §5.3 sketch twin and accept threshold jitter, documented
+       trade).
+    2. One pruned streaming pass flags out-of-bound rows: per-partition
+       (n_checked, n_violations) partials + capped exemplars. NULL/NaN
+       values are unchecked (the quantile ignores them too).
+    """
+    from ray.data.aggregate import Quantile
+
+    col = dist.params["column"]
+    lo_q = float(dist.params["lower_q"])
+    hi_q = float(dist.params["upper_q"])
+    cid = dist.constraint_id
+    max_rows = int(
+        dist.params.get("max_violation_rows") or P.DEFAULT_MAX_VIOLATIONS_PER_BATCH
+    )
+
+    pruned_cols = list(
+        dict.fromkeys([col] + _pid_cols(cs) + list(cs.row_ref_cols or []))
+    )
+    pruned = ds.map_batches(
+        lambda t, c=pruned_cols: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    res = pruned.aggregate(
+        Quantile(col, q=lo_q, alias_name="lo"),
+        Quantile(col, q=hi_q, alias_name="hi"),
+    )
+    lo, hi = res["lo"], res["hi"]
+
+    def flag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return P._empty_result()
+        pids = np.asarray(P.build_partition_ids(t, cs), dtype=np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        checked = ~np.isnan(v)
+        if lo is None or hi is None:  # all-null column: nothing checked
+            bad = np.zeros(len(v), dtype=bool)
+        else:
+            with np.errstate(invalid="ignore"):
+                bad = checked & ((v < lo) | (v > hi))
+        Pmax = int(pids.max()) + 1
+        n_checked = np.bincount(pids[checked], minlength=Pmax)
+        n_viol = np.bincount(pids[bad], minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([col] * kp)
+        out["observed"].extend([f"[{lo},{hi}]"] * kp)
+        out["detail"].extend([f"q[{lo_q},{hi_q}]"] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend(n_viol[present].astype(np.int64).tolist())
+        idx = np.flatnonzero(bad)[:max_rows]
+        if len(idx):
+            ref = P.build_row_ref(t, cs)
+            refs = (
+                [""] * len(idx)
+                if ref is None
+                else [
+                    "<null>" if r is None else r
+                    for r in ref.take(pa.array(idx, type=pa.int64())).to_pylist()
+                ]
+            )
+            for j, i in enumerate(idx):
+                out["partition_id"].append(int(pids[i]))
+                out["constraint_id"].append(cid)
+                out["row_ref"].append(refs[j])
+                out["column"].append(col)
+                out["observed"].append(repr(float(v[i])))
+                out["detail"].append("quantile_bounds")
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    return pruned.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def fd_check_results(

@@ -407,6 +407,25 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "quantile_bounds":
+            # empirical-outlier screen: values outside the table's own
+            # exact [P(lower_q), P(upper_q)] quantiles are violations
+            col = chk["column"]
+            cid = chk.get(
+                "constraint_id", f"{table}.{col}.quantile_bounds"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "quantile_bounds",
+                    {
+                        "column": col,
+                        "lower_q": float(chk.get("lower_q", 0.0)),
+                        "upper_q": float(chk.get("upper_q", 1.0)),
+                    },
+                    chk.get("severity", "warn"),
+                )
+            )
         elif kind == "completeness":
             # null-rate threshold (Deequ "completeness >= c"): the
             # column may hold nulls up to max_null_rate of checked rows

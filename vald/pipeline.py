@@ -1014,6 +1014,11 @@ def validate(
             combined = combined.union(
                 cd.completeness_check_results(ds, cs, dist)
             )
+        elif dist.kind == "quantile_bounds":
+            # exact-quantile thresholds + one pruned flagging pass
+            combined = combined.union(
+                cd.quantile_bounds_check_results(ds, cs, dist)
+            )
 
     # A11 schema congruence: plan-time, driver-side (ds.schema() is
     # metadata — no data pass)

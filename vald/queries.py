@@ -341,6 +341,42 @@ def q_infer_spec(sf_dir: str):
     )
 
 
+def q_quantile_bounds(sf_dir: str):
+    """Spec-level empirical-outlier screen through validate(): rows of
+    lineitem outside the exact [P(0.01), P(0.99)] price quantiles."""
+    from . import pipeline as P
+    from .ir import compile_table_spec
+
+    spec = compile_table_spec(
+        {
+            "table": "lineitem",
+            "columns": {},
+            "checks": [
+                {
+                    "kind": "quantile_bounds",
+                    "column": "l_extendedprice",
+                    "lower_q": 0.01,
+                    "upper_q": 0.99,
+                }
+            ],
+        }
+    )
+    res = P.validate(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), spec, concurrency=2
+    )
+    v = res.verdicts_table()
+    return pa.table(
+        {
+            "n_checked": pa.array(
+                [int(pc.sum(v["n_checked"]).as_py() or 0)], type=pa.int64()
+            ),
+            "n_out": pa.array(
+                [int(pc.sum(v["n_violations"]).as_py() or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_completeness(sf_dir: str):
     """Spec-level completeness (null-rate threshold) check driven
     end-to-end through validate(): the oracle mirrors the check's
@@ -4651,6 +4687,7 @@ QUERIES = {
     "q_forecast_revenue": q_forecast_revenue,
     "q_infer_spec": q_infer_spec,
     "q_completeness": q_completeness,
+    "q_quantile_bounds": q_quantile_bounds,
     "q_spec_diff": q_spec_diff,
     "q_promo_revenue": q_promo_revenue,
     "q_supplier_cnt": q_supplier_cnt,
@@ -5176,6 +5213,14 @@ ORACLE_SQL = {
         "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
         "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
         "c.c_custkey LIMIT 20"
+    ),
+    "q_quantile_bounds": (
+        "WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo, "
+        "quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem) "
+        "SELECT count(*)::BIGINT AS n_checked, "
+        "sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi "
+        "THEN 1 ELSE 0 END)::BIGINT AS n_out "
+        "FROM lineitem, b WHERE l_extendedprice IS NOT NULL"
     ),
     "q_completeness": (
         "SELECT 'o_custkey' AS col, count(*)::BIGINT AS n, "
