@@ -186,3 +186,40 @@ class TestDiffSpecs:
         ).to_pydict()
         by_col = dict(zip(d["column"], d["change"]))
         assert by_col.get("n_chars") == "bounds_narrowed"
+
+
+class TestInferredCompleteness:
+    def test_nullable_column_gets_completeness_check(self, ray_session):
+        import ray.data
+
+        t = pa.table(
+            {
+                "v": pa.array([1.0, None, 3.0, float("nan"), 5.0] * 20),
+                "ok": pa.array(list(range(100)), type=pa.int64()),
+            }
+        )
+        spec = infer_table_spec(ray.data.from_arrow(t).repartition(3), "t")
+        checks = spec.get("checks", [])
+        assert checks == [
+            {"kind": "completeness", "column": "v", "max_null_rate": 0.4}
+        ]
+        assert spec["columns"]["ok"]["required"] is True
+        # self-consistency: the data sits AT the threshold -> clean
+        res = P.validate(
+            ray.data.from_arrow(t), compile_table_spec(spec), concurrency=1
+        )
+        vt = res.verdicts_table()
+        assert int(pc.sum(vt["n_violations"]).as_py() or 0) == 0
+        # regression fires: higher null rate on "future" data
+        worse = pa.table(
+            {
+                "v": pa.array([None, None, 3.0, None, 5.0] * 20),
+                "ok": pa.array(list(range(100)), type=pa.int64()),
+            }
+        )
+        res2 = P.validate(
+            ray.data.from_arrow(worse), compile_table_spec(spec), concurrency=1
+        )
+        vt2 = res2.verdicts_table()
+        comp = vt2.filter(pc.equal(vt2["constraint_id"], "t.v.completeness"))
+        assert int(pc.sum(comp["n_violations"]).as_py()) == 60

@@ -234,6 +234,7 @@ def infer_table_spec(
     *,
     max_enum: int = 16,
     row_ref: list[str] | None = None,
+    completeness: bool = True,
 ) -> dict:
     """Infer a declarative table spec (compile_table_spec shape).
 
@@ -245,6 +246,12 @@ def infer_table_spec(
     - ``minimum``/``maximum``: closed observed bounds, numeric columns
     - ``minLength``/``maxLength``: observed code-point bounds, strings
     - ``enum``: full distinct set when ≤ ``max_enum`` string values
+    - ``checks``: for a NULLABLE column (when ``completeness=True``), a
+      table-level ``kind: completeness`` check pinning the observed
+      null rate as ``max_null_rate`` — the profiled data sits exactly
+      AT the threshold (the check fires only strictly above it), so
+      self-consistency holds while any null-rate REGRESSION on future
+      data trips the contract.
     """
     if columns is None:
         columns = ds.schema().names
@@ -254,11 +261,24 @@ def infer_table_spec(
     }
     report = infer_report(ds, columns, max_enum=max_enum)
     colspecs: dict[str, dict] = {}
+    checks: list[dict] = []
     for i in range(len(report)):
         c = report["column"][i].as_py()
         spec: dict = {"type": type_by_col[c]}
-        if report["n"][i].as_py() > 0 and report["n_null"][i].as_py() == 0:
+        n_i = report["n"][i].as_py()
+        nn_i = report["n_null"][i].as_py()
+        if n_i > 0 and nn_i == 0:
             spec["required"] = True
+        elif completeness and n_i > 0 and nn_i > 0:
+            # same doubles both sides: observed rate == threshold never
+            # fires (check requires rate STRICTLY above max_null_rate)
+            checks.append(
+                {
+                    "kind": "completeness",
+                    "column": c,
+                    "max_null_rate": nn_i / n_i,
+                }
+            )
         nmin = report["num_min"][i].as_py()
         nmax = report["num_max"][i].as_py()
         if nmin is not None and not np.isnan(nmin) and type_by_col[c] in ("integer", "number"):
@@ -273,6 +293,8 @@ def infer_table_spec(
                 spec["enum"] = ev
         colspecs[c] = spec
     out = {"table": table, "columns": colspecs}
+    if checks:
+        out["checks"] = checks
     if row_ref:
         out["row_ref"] = row_ref
     return out
