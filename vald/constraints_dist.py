@@ -810,8 +810,14 @@ def completeness_check_results(
             out["n_checked"].append(n_p)
             out["n_violations"].append(nn_p if firing else 0)
         if firing:
-            # one exemplar row for the table-wide breach
-            out["partition_id"].append(0)
+            # one exemplar row for the table-wide breach, attributed to
+            # the partition contributing the most nulls (ADVICE r3:
+            # a hardcoded 0 could point at a partition with zero nulls
+            # or one that doesn't exist; FD/unique exemplars attribute
+            # to a real contributing partition)
+            nn = agg["n_null"].to_numpy(zero_copy_only=False)
+            worst = int(agg["partition_id"][int(np.argmax(nn))].as_py())
+            out["partition_id"].append(worst)
             out["constraint_id"].append(cid)
             out["row_ref"].append("")
             out["column"].append(col)

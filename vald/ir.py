@@ -422,6 +422,9 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                         "column": col,
                         "lower_q": float(chk.get("lower_q", 0.0)),
                         "upper_q": float(chk.get("upper_q", 1.0)),
+                        # exemplar cap passthrough (ADVICE r3: was
+                        # silently dropped; the results fn reads it)
+                        "max_violation_rows": chk.get("max_violation_rows"),
                     },
                     chk.get("severity", "warn"),
                 )
@@ -445,8 +448,11 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                 )
             )
         elif kind == "fd":
-            # functional dependency: columns (determinant) -> dependent
+            # functional dependency: columns (determinant) -> dependent.
+            # A bare-string determinant is normalized to a 1-list
+            # (ADVICE r3: list("col") exploded it into characters).
             cols = chk["columns"]
+            cols = [cols] if isinstance(cols, str) else list(cols)
             dep = chk["dependent"]
             cid = chk.get(
                 "constraint_id", f"{table}.{'_'.join(cols)}->{dep}.fd"

@@ -827,7 +827,54 @@ class _TaskValidator:
 # routes them through the fused anti-join path instead (B5 large-parent
 # planner). Override per check with params["max_broadcast_keys"], or
 # force a path with params["strategy"] = "broadcast" | "anti_join".
-DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+# One shared constant: catalog queries inherit the same guard through
+# runtime.broadcast_or_semijoin / runtime.guarded_broadcast.
+from .runtime import DEFAULT_MAX_BROADCAST_KEYS  # noqa: E402
+
+
+def _parent_key_hashes(src, pcols: list[str]) -> np.ndarray:
+    """uint64 key hashes for the bloom_screen refint rung (ADVICE r3).
+
+    Dataset parents hash DISTRIBUTED: per-batch local dedup + the same
+    cast-to-string / KEY_SEP-join / stable_hash64 convention the
+    RowValidator applies to child keys, emitted as uint64 partials —
+    the driver only ever concatenates 8 B/key hash arrays, never the
+    key strings (the old path materialized every distinct key as a
+    Python string on the driver, making bloom's footprint no better
+    than the exact set it replaces). List parents are converted to an
+    Arrow table first so the cast semantics match the child side.
+    """
+    from .hashing import KEY_SEP, stable_hash64
+
+    if isinstance(src, list):
+        if src and isinstance(src[0], tuple):
+            src = pa.table(
+                {c: pa.array([v[i] for v in src]) for i, c in enumerate(pcols)}
+            )
+        else:
+            src = pa.table({pcols[0]: pa.array(list(src))})
+
+    def key_strings(t: pa.Table):
+        t = t.select(pcols).group_by(pcols, use_threads=False).aggregate([])
+        if len(pcols) == 1:
+            return pc.cast(t[pcols[0]], pa.string())
+        joined = [pc.cast(t[c], pa.string()) for c in pcols]
+        return pc.binary_join_element_wise(*joined, KEY_SEP)
+
+    if isinstance(src, pa.Table):
+        return np.unique(stable_hash64(key_strings(src)))
+
+    def pre(t: pa.Table) -> pa.Table:
+        h = np.unique(stable_hash64(key_strings(t)))
+        return pa.table({"h": pa.array(h, type=pa.uint64())})
+
+    parts = ray.get(
+        src.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    )
+    arrs = [p["h"].to_numpy(zero_copy_only=False) for p in parts if len(p)]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))
 
 
 def _distinct_parent_keys(src: "ray.data.Dataset", pcols: list[str]) -> pa.Table:
@@ -901,6 +948,25 @@ def validate(
         )
         cid = dist.constraint_id
 
+        if strategy == "bloom_screen":
+            # opt-in APPROXIMATE screen (the refint rung of the
+            # decontam scale ladder): parent keys as a Bloom filter —
+            # ~2 B/key broadcast at 16 bits/key vs 8+ B/key for the
+            # exact set, for parents that outgrow the broadcast
+            # threshold but whose anti-join is too expensive for a
+            # quick screen. One-sided: a missing child passes with
+            # prob = FPR (~4e-4); flagged violations are always real.
+            # Hashing is distributed for Dataset parents and honored
+            # for list/table parents too (ADVICE r3: was silently
+            # ignored for lists).
+            from .ops.decontam import BloomFilter
+
+            bloom = BloomFilter(
+                _parent_key_hashes(src, pcols),
+                bits_per_key=int(dist.params.get("bits_per_key", 16)),
+            )
+            broadcast_refs[cid] = ray.put(bloom)
+            continue
         if isinstance(src, list):
             broadcast_refs[cid] = ray.put(set(src))
             continue
@@ -920,29 +986,6 @@ def validate(
                 refint_fused[cid] = list(dist.params["columns"])
                 continue
             keys_t = _distinct_parent_keys(src, pcols)
-        if strategy == "bloom_screen":
-            # opt-in APPROXIMATE screen (the refint rung of the
-            # decontam scale ladder): parent keys as a Bloom filter —
-            # ~2 B/key broadcast at 16 bits/key vs 8+ B/key for the
-            # exact set, for parents that outgrow the broadcast
-            # threshold but whose anti-join is too expensive for a
-            # quick screen. One-sided: a missing child passes with
-            # prob = FPR (~4e-4); flagged violations are always real.
-            from .hashing import KEY_SEP as _SEP2
-            from .hashing import stable_hash64 as _sh64
-            from .ops.decontam import BloomFilter
-
-            if len(pcols) == 1:
-                kc = pc.cast(keys_t[pcols[0]], pa.string())
-            else:
-                joined = [pc.cast(keys_t[c], pa.string()) for c in pcols]
-                kc = pc.binary_join_element_wise(*joined, _SEP2)
-            bloom = BloomFilter(
-                _sh64(kc),
-                bits_per_key=int(dist.params.get("bits_per_key", 16)),
-            )
-            broadcast_refs[cid] = ray.put(bloom)
-            continue
         if len(pcols) == 1:
             keys = set(keys_t[pcols[0]].to_pylist())
         else:

@@ -230,31 +230,25 @@ def q_unique_key(sf_dir: str):
 
 
 def q_ref_integrity(sf_dir: str):
-    # broadcast key ARRAY built once on the driver (ray.put), membership
-    # per batch is one vectorized pc.is_in — no per-row Python (the
-    # engine-internal B5 path in vald.pipeline does the same)
-    import pyarrow.parquet as pq
+    # anti membership via the shared B5 switch (broadcast pc.is_in
+    # under max_broadcast_keys — distinct keys computed distributed —
+    # native left_anti join above it; the engine-internal path in
+    # vald.pipeline.validate applies the same rule). NULL child keys
+    # are a `required` matter, not an orphan: filtered out up front.
+    from .runtime import broadcast_or_semijoin
 
-    keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
-        "c_custkey"
-    ].combine_chunks()
-    keys_ref = ray.put(keys)
-
-    # plain function (stateless tasks): an actor pool sized == num_cpus
-    # starves the read stage at low CPU counts; ray.get of the broadcast
-    # array is shared-memory-cheap per task
-    def anti_join(t: pa.Table) -> pa.Table:
-        value_set = ray.get(keys_ref)
-        bad = pc.and_(
-            pc.is_valid(t["o_custkey"]),
-            pc.invert(
-                pc.fill_null(pc.is_in(t["o_custkey"], value_set=value_set), False)
-            ),
-        )
-        return t.filter(bad)
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    bad = ds.map_batches(anti_join, batch_format="pyarrow")
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["o_custkey"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bad = broadcast_or_semijoin(
+        ds,
+        "o_custkey",
+        _read(sf_dir, "customer", ["c_custkey"]),
+        keys_on="c_custkey",
+        anti=True,
+    )
     return _ensure_schema(bad, pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
 
 
@@ -672,27 +666,32 @@ def q_shipping_priority(sf_dir: str):
     import pyarrow.dataset as pads
 
     from .runtime import (
+        broadcast_or_semijoin,
         bucketed_group_agg,
         join_barrier,
         join_partitions,
         join_remote_args,
     )
 
-    keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
     cutoff = pa.scalar(_Q3_CUTOFF)
 
-    def orders_side(t: pa.Table) -> pa.Table:
-        # date cut already pushed into the scan; only the broadcast
-        # market-segment membership runs per batch
-        m = pc.fill_null(pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref)), False)
-        return t.filter(m).select(["o_orderkey", "o_orderdate"])
-
-    orders = _read(
-        sf_dir,
-        "orders",
-        ["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=pads.field("o_orderdate") < cutoff,
-    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    # date cut pushed into the scan; market-segment membership through
+    # the shared B5 switch (broadcast under threshold, left_semi above)
+    orders = broadcast_or_semijoin(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pads.field("o_orderdate") < cutoff,
+        ),
+        "o_custkey",
+        _mkt_keys_ds(sf_dir, "BUILDING"),
+        keys_on="c_custkey",
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def li_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -1179,60 +1178,51 @@ def q_revenue_by_nation(sf_dir: str):
     ).sort_by([("revenue", "descending")])
 
 
-def _mkt_key_array(sf_dir: str, segment: str) -> pa.Array:
-    import pyarrow.parquet as pq
+def _mkt_keys_ds(sf_dir: str, segment: str) -> "ray.data.Dataset":
+    """Segment-filtered customer keys as a pruned Dataset — feeds
+    runtime.broadcast_or_semijoin, which decides broadcast vs join."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    return _read(
+        sf_dir,
+        "customer",
+        ["c_custkey"],
+        filter=pads.field("c_mktsegment") == segment,
     )
-    mask = pc.equal(t["c_mktsegment"], pa.scalar(segment))
-    return t.filter(mask)["c_custkey"].combine_chunks()
 
 
 def q_semi_join(sf_dir: str):
-    """Orders of BUILDING-segment customers (left-semi via broadcast).
-    The key ARRAY is built once on the driver and ray.put — the
-    per-batch body is a single pc.is_in (no per-batch sort/convert)."""
-    keys_ref = ray.put(_mkt_key_array(sf_dir, "BUILDING"))
+    """Orders of BUILDING-segment customers — left-semi membership via
+    the shared B5 switch (broadcast pc.is_in under max_broadcast_keys,
+    native left_semi join above it)."""
+    from .runtime import broadcast_or_semijoin
 
-    def semi(t: pa.Table) -> pa.Table:
-        value_set = ray.get(keys_ref)
-        return t.filter(
-            pc.fill_null(pc.is_in(t["o_custkey"], value_set=value_set), False)
-        )
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = broadcast_or_semijoin(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey",
+        _mkt_keys_ds(sf_dir, "BUILDING"),
+        keys_on="c_custkey",
+    )
     return _ensure_schema(
-        ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True),
+        out,
         pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
     )
 
 
 def q_anti_join(sf_dir: str):
-    """Customers with no orders (anti join, key array broadcast once)."""
-    import pyarrow.parquet as pq
+    """Customers with no orders — anti membership via the shared B5
+    switch; the order-customer key set is distinct-ified DISTRIBUTED
+    (per-block local group_by), never raw-read on the driver."""
+    from .runtime import broadcast_or_semijoin
 
-    okeys = (
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .group_by("o_custkey", use_threads=False)
-        .aggregate([])["o_custkey"]
-        .combine_chunks()
+    out = broadcast_or_semijoin(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        "c_custkey",
+        _read(sf_dir, "orders", ["o_custkey"]),
+        keys_on="o_custkey",
+        anti=True,
     )
-    keys_ref = ray.put(okeys)
-
-    def anti(t: pa.Table) -> pa.Table:
-        value_set = ray.get(keys_ref)
-        return t.filter(
-            pc.invert(
-                pc.fill_null(pc.is_in(t["c_custkey"], value_set=value_set), False)
-            )
-        )
-
-    ds = _read(sf_dir, "customer", ["c_custkey"])
-    return _ensure_schema(
-        ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True),
-        pa.schema([("c_custkey", pa.int64())]),
-    )
+    return _ensure_schema(out, pa.schema([("c_custkey", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -2713,7 +2703,7 @@ def q_pii_scrub(sf_dir: str):
 def q_small_qty_revenue(sf_dir: str):
     import pyarrow.dataset as pads
 
-    from .runtime import bucketed_group_agg
+    from .runtime import bucketed_group_agg, guarded_broadcast
 
     part = _read(
         sf_dir,
@@ -2721,15 +2711,12 @@ def q_small_qty_revenue(sf_dir: str):
         ["p_partkey"],
         filter=(pads.field("p_brand") == "Brand#13") & (pads.field("p_size") < 15),
     )
-    keys = pc.unique(
-        pa.concat_tables(
-            [p for p in ray.get(part.to_arrow_refs()) if len(p)]
-            or [_empty(pa.schema([("p_partkey", pa.int64())]))]
-        )["p_partkey"].combine_chunks()
+    # selective dimension keys, distinct-ified distributed + size-guarded
+    keys_ref = guarded_broadcast(
+        part, keys_on="p_partkey", what="Q17 selective part keys"
     )
-    if len(keys) == 0:
+    if len(ray.get(keys_ref)) == 0:
         return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
-    keys_ref = ray.put(keys)
 
     def narrow(t: pa.Table) -> pa.Table:
         m = pc.fill_null(
@@ -2848,7 +2835,7 @@ _BIG_ORDER_QTY = 210.0
 
 
 def q_big_orders(sf_dir: str):
-    from .runtime import bucketed_group_agg
+    from .runtime import bucketed_group_agg, guarded_broadcast
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
@@ -2883,8 +2870,11 @@ def q_big_orders(sf_dir: str):
                 ]
             )
         )
-    okeys = big["l_orderkey"].combine_chunks()
-    okeys_ref = ray.put(okeys)
+    # HAVING survivors are rare by construction; the guard still
+    # refuses loudly if a threshold change ever unbounds them
+    okeys_ref = guarded_broadcast(
+        big["l_orderkey"], what="Q18 HAVING-survivor order keys"
+    )
     orders = pa.Table.from_pandas(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(
@@ -2899,7 +2889,9 @@ def q_big_orders(sf_dir: str):
         .to_pandas(),
         preserve_index=False,
     )
-    ckeys_ref = ray.put(pc.unique(orders["o_custkey"].combine_chunks()))
+    ckeys_ref = guarded_broadcast(
+        orders["o_custkey"], what="Q18 survivor customer keys"
+    )
     cust = pa.Table.from_pandas(
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
         .map_batches(
@@ -3129,15 +3121,21 @@ def q_forecast_revenue(sf_dir: str):
 
 def q_promo_revenue(sf_dir: str):
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
 
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    from .runtime import guarded_broadcast
+
+    # promo part keys: pruned+filtered distributed read, distinct-ified
+    # per block, size-guarded broadcast
+    promo_ref = guarded_broadcast(
+        _read(
+            sf_dir,
+            "part",
+            ["p_partkey"],
+            filter=pads.field("p_type") == "PROMO",
+        ),
+        keys_on="p_partkey",
+        what="Q14 promo part keys",
     )
-    promo = part.filter(pc.equal(part["p_type"], pa.scalar("PROMO")))[
-        "p_partkey"
-    ].combine_chunks()
-    promo_ref = ray.put(promo)
 
     def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -3178,17 +3176,21 @@ def q_promo_revenue(sf_dir: str):
 
 
 def q_supplier_cnt(sf_dir: str):
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    from .runtime import bucketed_group_agg
+    from .runtime import bucketed_group_agg, guarded_broadcast
 
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
-    )
-    excl_ref = ray.put(
-        sup.filter(pc.less(sup["s_acctbal"], pa.scalar(0.0)))[
-            "s_suppkey"
-        ].combine_chunks()
+    # supplier blocklist: filtered distributed read + guarded broadcast
+    excl_ref = guarded_broadcast(
+        _read(
+            sf_dir,
+            "supplier",
+            ["s_suppkey"],
+            filter=pads.field("s_acctbal") < 0.0,
+        ),
+        keys_on="s_suppkey",
+        what="Q16 supplier blocklist",
     )
 
     part = pq.read_table(
@@ -3306,23 +3308,19 @@ def q_waiting_orders(sf_dir: str):
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    forders = _read(
+    from .runtime import broadcast_or_semijoin
+
+    # F-order membership through the shared B5 switch (VERDICT r3 #1):
+    # F orders are ~half the orders table, so the key set is FACT-scale.
+    # Under max_broadcast_keys the distinct keys broadcast (computed
+    # distributed-first); above it lineitem left_semi-joins the key
+    # Dataset and nothing fact-sized ever lands on the driver.
+    fkeys = _read(
         sf_dir,
         "orders",
-        ["o_orderkey", "o_orderstatus"],
+        ["o_orderkey"],
         filter=pads.field("o_orderstatus") == "F",
-    ).to_pandas()
-    fkeys_ref = ray.put(
-        pa.array(forders["o_orderkey"].to_numpy(), type=pa.int64())
     )
-
-    def pre(t: pa.Table) -> pa.Table:
-        t = t.drop_null()
-        return t.filter(
-            pc.fill_null(
-                pc.is_in(t["l_orderkey"], value_set=ray.get(fkeys_ref)), False
-            )
-        )
 
     def waits(g: pd.DataFrame) -> pd.DataFrame:
         # per-(order,supplier) max ship date
@@ -3355,7 +3353,10 @@ def q_waiting_orders(sf_dir: str):
 
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
-    ).map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = broadcast_or_semijoin(li, "l_orderkey", fkeys, keys_on="o_orderkey")
     # B4 data-scaled bucket rule from parquet metadata (no extra scan)
     n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
     nb = max(8, -(-n_rows // 2_000_000))
@@ -3405,7 +3406,7 @@ def q_waiting_orders(sf_dir: str):
 def q_top_balance(sf_dir: str):
     import pyarrow.dataset as pads
 
-    from .runtime import bucketed_group_agg
+    from .runtime import broadcast_or_semijoin
 
     cust = _read(
         sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]
@@ -3427,33 +3428,32 @@ def q_top_balance(sf_dir: str):
     ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
     avg_bal = (tot["s"] or 0.0) / max(tot["n"] or 0, 1)
 
-    def fo_local(t: pa.Table) -> pa.Table:
-        return (
-            t.drop_null().group_by("o_custkey", use_threads=False).aggregate([])
+    # F-customer anti-membership through the shared B5 switch (VERDICT
+    # r3 #2): distinct F custkeys are computed distributed-first and
+    # broadcast under max_broadcast_keys; above it the high-balance
+    # survivors left_anti-join the key Dataset — no unconditional
+    # driver-side key pull.
+    f_orders = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+
+    def hi_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.fill_null(pc.greater(t["c_acctbal"], pa.scalar(avg_bal)), False)
         )
 
-    fcust = bucketed_group_agg(
-        _read(
-            sf_dir,
-            "orders",
-            ["o_custkey", "o_orderstatus"],
-            filter=pads.field("o_orderstatus") == "F",
-        ).map_batches(fo_local, batch_format="pyarrow", zero_copy_batch=True),
-        "o_custkey",
-        [],  # exact distinct F-customer keys
-    ).to_pandas()
-    fkeys_ref = ray.put(
-        pa.array(fcust["o_custkey"].to_numpy(), type=pa.int64())
+    survivors = broadcast_or_semijoin(
+        cust.map_batches(hi_only, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey",
+        f_orders,
+        keys_on="o_custkey",
+        anti=True,
     )
 
     def pick(t: pa.Table) -> pa.Table:
-        hi = pc.fill_null(pc.greater(t["c_acctbal"], pa.scalar(avg_bal)), False)
-        no_f = pc.invert(
-            pc.fill_null(
-                pc.is_in(t["c_custkey"], value_set=ray.get(fkeys_ref)), False
-            )
-        )
-        t = t.filter(pc.and_(hi, no_f))
         agg = (
             pa.table(
                 {"c_mktsegment": t["c_mktsegment"], "bal": t["c_acctbal"]}
@@ -3464,7 +3464,7 @@ def q_top_balance(sf_dir: str):
         return agg.rename_columns(["c_mktsegment", "numcust", "totacctbal"])
 
     out = (
-        cust.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        survivors.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("c_mktsegment")  # 5 segments: native path
         .aggregate(
             Sum("numcust", alias_name="numcust"),
@@ -3845,7 +3845,11 @@ def q_top_supplier(sf_dir: str):
                 ]
             )
         )
-    wkeys_ref = ray.put(winners["l_suppkey"].combine_chunks())
+    from .runtime import guarded_broadcast
+
+    wkeys_ref = guarded_broadcast(
+        winners["l_suppkey"], what="Q15 global-max winner suppkeys"
+    )
     supp = pa.Table.from_pandas(
         _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
         .map_batches(
@@ -3883,6 +3887,8 @@ _Q19_CLAUSES = [
 def q_brand_revenue(sf_dir: str):
     import pyarrow.dataset as pads
 
+    from .runtime import guarded_broadcast
+
     brands = [c[0] for c in _Q19_CLAUSES]
     part = pa.Table.from_pandas(
         _read(
@@ -3902,17 +3908,22 @@ def q_brand_revenue(sf_dir: str):
                 pc.less_equal(part["p_size"], pa.scalar(shi)),
             ),
         )
-        keys = part.filter(pc.fill_null(m, False))["p_partkey"].combine_chunks()
-        clause_keys.append((keys, qlo, qhi))
-    clauses_ref = ray.put(clause_keys)
+        keys = part.filter(pc.fill_null(m, False))["p_partkey"]
+        clause_keys.append(
+            (
+                guarded_broadcast(keys, what=f"Q19 {brand} part keys"),
+                qlo,
+                qhi,
+            )
+        )
 
     def partial(t: pa.Table) -> pa.Table:
         total = 0.0
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        for keys, qlo, qhi in ray.get(clauses_ref):
-            m = pc.fill_null(pc.is_in(t["l_partkey"], value_set=keys), False)
+        for kref, qlo, qhi in clause_keys:
+            m = pc.fill_null(pc.is_in(t["l_partkey"], value_set=ray.get(kref)), False)
             m = pc.and_(
                 m,
                 pc.and_(
@@ -4317,14 +4328,20 @@ def q_market_share(sf_dir: str):
         "n_nationkey"
     ].combine_chunks()
 
-    part_keys = (
-        pq.read_table(
-            f"{sf_dir}/part.parquet",
-            columns=["p_partkey"],
-            filters=[("p_type", "=", "MEDIUM")],
-        )["p_partkey"].combine_chunks()
+    from .runtime import guarded_broadcast
+
+    # p_type cut pushed into a distributed scan; keys distinct-ified
+    # per block and size-guarded before the broadcast
+    part_ref = guarded_broadcast(
+        _read(
+            sf_dir,
+            "part",
+            ["p_partkey"],
+            filter=pads.field("p_type") == "MEDIUM",
+        ),
+        keys_on="p_partkey",
+        what="Q8 MEDIUM part keys",
     )
-    part_ref = ray.put(part_keys)
 
     sup = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
@@ -4340,8 +4357,8 @@ def q_market_share(sf_dir: str):
     )
     asia_cust = cust.filter(
         pc.is_in(cust["c_nationkey"], value_set=asia_nat)
-    )["c_custkey"].combine_chunks()
-    cust_ref = ray.put(asia_cust)
+    )["c_custkey"]
+    cust_ref = guarded_broadcast(asia_cust, what="Q8 ASIA customer keys")
 
     def orders_side(t: pa.Table) -> pa.Table:
         keep = pc.fill_null(

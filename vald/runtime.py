@@ -9,7 +9,17 @@ __all__ = [
     "join_remote_args",
     "join_barrier",
     "bucketed_group_agg",
+    "broadcast_or_semijoin",
+    "guarded_broadcast",
+    "DEFAULT_MAX_BROADCAST_KEYS",
 ]
+
+# Key sets larger than this never ride a driver-side ``ray.put``
+# broadcast: membership routes through a hash-partitioned semi/anti
+# join instead (the B5 planner rule, shared by validate() and every
+# catalog query). 2M int64 keys ~= 16 MB broadcast object — cheap to
+# ship once per node, safely below worker-heap concerns.
+DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
 
 
 def join_barrier(ds):
@@ -82,6 +92,198 @@ def join_partitions(requested: int | None, default: int = 8) -> int:
     except Exception:  # not initialised yet — let the call site's value stand
         return want
     return max(2, min(want, cpus))
+
+
+def _as_key_array(keys, keys_on: str):
+    """Normalize a driver-side key container to a deduped, null-free
+    ChunkedArray, or return None when ``keys`` is a Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = None
+    if isinstance(keys, pa.Table):
+        arr = keys[keys_on]
+    elif isinstance(keys, pa.ChunkedArray):
+        arr = keys
+    elif isinstance(keys, pa.Array):
+        arr = pa.chunked_array([keys])
+    elif isinstance(keys, (list, tuple, set, frozenset)):
+        arr = pa.chunked_array([pa.array(list(keys))])
+    else:
+        try:
+            import numpy as np
+
+            if isinstance(keys, np.ndarray):
+                arr = pa.chunked_array([pa.array(keys)])
+        except Exception:  # pragma: no cover - numpy always present here
+            pass
+    if arr is None:
+        return None
+    # NULL keys never match in the join path; drop them up front so the
+    # broadcast pc.is_in path agrees (is_in with a NULL in value_set
+    # would otherwise report NULL children as members).
+    return pc.unique(pc.drop_null(arr.combine_chunks()))
+
+
+def _local_distinct_keys(keys_ds, keys_on: str):
+    """One column, per-block local distinct, materialized.
+
+    The materialize is load-bearing twice over: it is the count we
+    guard the broadcast decision on, and it is the all-to-all barrier
+    the downstream ``Dataset.join`` needs (see ``join_barrier``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        t = t.select([keys_on])
+        t = t.filter(pc.is_valid(t[keys_on]))
+        return t.group_by([keys_on], use_threads=False).aggregate([])
+
+    return keys_ds.map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+
+def broadcast_or_semijoin(
+    ds,
+    on: str,
+    keys,
+    keys_on: "str | None" = None,
+    *,
+    anti: bool = False,
+    max_broadcast_keys: "int | None" = None,
+    num_partitions: "int | None" = None,
+):
+    """Membership filter of ``ds`` against a key set, B5-planner shaped.
+
+    Keeps rows of ``ds`` whose ``on`` value appears in ``keys``
+    (``anti=True`` inverts: keep rows whose key is absent). ``keys``
+    may be a Dataset (scalable path), or a driver-side Arrow
+    array/table/list for already-bounded sets.
+
+    Planner rule (the guard every call site inherits):
+
+    - key count <= ``max_broadcast_keys`` (default 2M): distinct keys
+      — computed DISTRIBUTED-first for Dataset inputs, per-block local
+      ``group_by`` so the driver only ever pulls the deduped partials —
+      broadcast once via ``ray.put``; the filter is one vectorized
+      ``pc.is_in`` per batch, zero shuffles.
+    - above the threshold: the keys NEVER land on the driver; ``ds``
+      hash-partition semi/anti-joins against the distinct-key Dataset
+      (``left_semi`` / ``left_anti``), which scales to fact-sized key
+      sets at the cost of one exchange of ``ds``.
+
+    NULL handling matches SQL semi-join semantics on both paths: a
+    NULL child key is never a member (dropped by semi, kept by anti);
+    NULL keys in the key set are ignored.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    threshold = int(
+        DEFAULT_MAX_BROADCAST_KEYS if max_broadcast_keys is None else max_broadcast_keys
+    )
+    keys_on = keys_on or on
+
+    arr = _as_key_array(keys, keys_on)
+    if arr is not None and len(arr) <= threshold:
+        return _broadcast_membership(ds, on, arr, anti)
+    if arr is not None:
+        m = ray.data.from_arrow(pa.table({keys_on: arr}))
+        n = len(arr)
+    else:
+        m = _local_distinct_keys(keys, keys_on)
+        n = m.count()
+        if n <= threshold:
+            parts = [p for p in ray.get(m.to_arrow_refs()) if len(p)]
+            if not parts:
+                arr = pa.chunked_array([pa.array([], type=pa.null())])
+            else:
+                t = pa.concat_tables(parts)
+                arr = (
+                    t.group_by([keys_on], use_threads=False)
+                    .aggregate([])[keys_on]
+                    .combine_chunks()
+                )
+            return _broadcast_membership(ds, on, arr, anti)
+
+    if n == 0:
+        # Ray 2.49 joins die on all-empty inputs (see barrier_nonempty);
+        # the correct result is known anyway.
+        return ds if anti else ds.limit(0)
+    return ds.join(
+        m,
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=join_partitions(num_partitions),
+        on=(on,),
+        right_on=(keys_on,) if keys_on != on else None,
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+
+def _broadcast_membership(ds, on: str, arr, anti: bool):
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return ds if anti else ds.limit(0)
+    keys_ref = ray.put(arr)
+
+    def member(t):
+        m = pc.fill_null(pc.is_in(t[on], value_set=ray.get(keys_ref)), False)
+        return t.filter(pc.invert(m) if anti else m)
+
+    return ds.map_batches(member, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def guarded_broadcast(
+    keys,
+    keys_on: "str | None" = None,
+    *,
+    max_broadcast_keys: "int | None" = None,
+    what: str = "key set",
+) -> "ray.ObjectRef":
+    """``ray.put`` of a key array with the B5 size guard.
+
+    For call sites that fuse membership with other per-batch work (LUT
+    gathers, multi-clause predicates) and therefore can't use
+    ``broadcast_or_semijoin`` directly: normalizes Dataset / Arrow /
+    list inputs to a deduped null-free array (Dataset inputs dedup
+    distributed-first, per-block local distinct) and REFUSES — loudly,
+    not with a driver OOM at 100x — to broadcast past the threshold.
+    Callers hitting the ValueError must restructure onto the join path.
+    """
+    import pyarrow as pa
+
+    threshold = int(
+        DEFAULT_MAX_BROADCAST_KEYS if max_broadcast_keys is None else max_broadcast_keys
+    )
+    arr = _as_key_array(keys, keys_on or "key")
+    if arr is None:  # Dataset
+        if keys_on is None:
+            raise ValueError("guarded_broadcast needs keys_on for Dataset inputs")
+        m = _local_distinct_keys(keys, keys_on)
+        n = m.count()
+        if n > threshold:
+            raise ValueError(
+                f"{what}: {n} keys exceeds max_broadcast_keys={threshold}; "
+                "route through broadcast_or_semijoin instead of broadcasting"
+            )
+        parts = [p for p in ray.get(m.to_arrow_refs()) if len(p)]
+        if not parts:
+            arr = pa.chunked_array([pa.array([], type=pa.null())])
+        else:
+            t = pa.concat_tables(parts)
+            arr = (
+                t.group_by([keys_on], use_threads=False)
+                .aggregate([])[keys_on]
+                .combine_chunks()
+            )
+    elif len(arr) > threshold:
+        raise ValueError(
+            f"{what}: {len(arr)} keys exceeds max_broadcast_keys={threshold}; "
+            "route through broadcast_or_semijoin instead of broadcasting"
+        )
+    return ray.put(arr)
 
 
 def bucketed_group_agg(
