@@ -31,6 +31,7 @@ __all__ = [
     "refint_anti_join_results",
     "fused_refint_anti_results",
     "drift_check_results",
+    "group_drift_check_results",
     "fd_check_results",
     "completeness_check_results",
     "quantile_bounds_check_results",
@@ -732,6 +733,16 @@ def drift_check_results(
     from . import drift
 
     return drift.drift_check_results(ds, cs, dist)
+
+
+def group_drift_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """Per-group KS/PSI drift (``kind: group_drift``) — delegates to
+    vald.drift (needs sketches)."""
+    from . import drift
+
+    return drift.group_drift_check_results(ds, cs, dist)
 
 
 def completeness_check_results(

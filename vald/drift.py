@@ -45,6 +45,9 @@ __all__ = [
     "drift_check_results",
     "psi_numeric",
     "psi_categorical",
+    "build_group_baseline",
+    "group_drift_stats",
+    "group_drift_check_results",
 ]
 
 BASELINE_SCHEMA = pa.schema(
@@ -312,6 +315,317 @@ class _DriftCompare:
                 out["n_checked"].append(0)
                 out["n_violations"].append(0)
         return P.result_rows(out)
+
+
+# ---------------------------------------------------------------------------
+# per-GROUP drift (VERDICT r3 item 5): the per-language / per-domain
+# distribution-shift check a training pipeline actually runs. Same
+# sketch algebra as B9, but the scope key is a data column (lang,
+# domain, source) instead of the partition hash: per-batch t-digest /
+# value-count partials per (group, column), merged per group, KS/PSI
+# vs a per-group baseline. Exchange volume is one ~delta-centroid
+# summary per (group, batch) — raw values never move; group count is
+# guarded by max_groups (same rule as ops.stats.group_zscore).
+# ---------------------------------------------------------------------------
+
+GROUP_BASELINE_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("column", pa.string()),
+        ("kind", pa.string()),  # "numeric" | "categorical"
+        ("n", pa.int64()),
+        ("payload", pa.binary()),
+        ("values_json", pa.string()),
+    ]
+)
+
+_GROUP_SKETCH_SCHEMA = GROUP_BASELINE_SCHEMA  # partials share the layout
+
+DEFAULT_MAX_GROUPS = 100_000
+
+
+def _group_sketch_partials(
+    group_col: str, numeric_cols: list[str], cat_cols: list[str]
+):
+    """One sketch row per (group, column) per batch. The Python loop is
+    over GROUPS (bounded: languages/domains), never rows — values enter
+    each digest as one vectorized update. NULL group rows are skipped
+    (unchecked), matching grouped-op policy elsewhere."""
+    import pandas as pd
+
+    from .aggregates import _numeric_view
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _GROUP_SKETCH_SCHEMA.empty_table()
+        g = pc.cast(t[group_col], pa.string()).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(g, use_na_sentinel=True)
+        rows = {f.name: [] for f in _GROUP_SKETCH_SCHEMA}
+        masks = [codes == gi for gi in range(len(uniq))]
+        for c in numeric_cols:
+            nv = _numeric_view(t[c])
+            for gi, gval in enumerate(uniq):
+                vals = (
+                    np.empty(0) if nv is None else nv[masks[gi]]
+                )
+                vals = vals[~np.isnan(vals)] if len(vals) else vals
+                rows["group"].append(str(gval))
+                rows["column"].append(c)
+                rows["kind"].append("numeric")
+                rows["n"].append(int(len(vals)))
+                rows["payload"].append(TDigest().update(vals).serialize())
+                rows["values_json"].append("")
+        for c in cat_cols:
+            for gi, gval in enumerate(uniq):
+                vc = pc.value_counts(t[c].filter(pa.array(masks[gi])).drop_null())
+                counts = {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
+                rows["group"].append(str(gval))
+                rows["column"].append(c)
+                rows["kind"].append("categorical")
+                rows["n"].append(int(sum(counts.values())))
+                rows["payload"].append(b"")
+                rows["values_json"].append(json.dumps(counts, sort_keys=True))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], type=f.type) for f in _GROUP_SKETCH_SCHEMA],
+            schema=_GROUP_SKETCH_SCHEMA,
+        )
+
+    return fn
+
+
+def _merge_group_sketch(g: pa.Table) -> pa.Table:
+    kind = g["kind"][0].as_py()
+    n = int(pc.sum(g["n"]).as_py() or 0)
+    if kind == "numeric":
+        td = TDigest()
+        for b in g["payload"].to_pylist():
+            td.merge(TDigest.deserialize(b))
+        payload, values_json = td.serialize(), ""
+    else:
+        counts: dict[str, int] = {}
+        for s in g["values_json"].to_pylist():
+            for k, v in json.loads(s or "{}").items():
+                counts[k] = counts.get(k, 0) + v
+        payload, values_json = b"", json.dumps(counts, sort_keys=True)
+    return pa.Table.from_arrays(
+        [
+            pa.array([g["group"][0].as_py()]),
+            pa.array([g["column"][0].as_py()]),
+            pa.array([kind]),
+            pa.array([n], type=pa.int64()),
+            pa.array([payload], type=pa.binary()),
+            pa.array([values_json]),
+        ],
+        schema=_GROUP_SKETCH_SCHEMA,
+    )
+
+
+def _merged_group_sketches(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    numeric_cols: list[str],
+    cat_cols: list[str],
+) -> "ray.data.Dataset":
+    cols = list(dict.fromkeys([group_col] + numeric_cols + cat_cols))
+    partials = ds.map_batches(
+        lambda t, c=cols: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        _group_sketch_partials(group_col, numeric_cols, cat_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby(["group", "column"]).map_groups(
+        _merge_group_sketch, batch_format="pyarrow"
+    )
+
+
+def build_group_baseline(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    numeric_cols: list[str],
+    cat_cols: list[str] | None = None,
+    *,
+    max_groups: int = DEFAULT_MAX_GROUPS,
+) -> pa.Table:
+    """Per-group baseline profile from a (clean) reference dataset —
+    rows (group, column, kind, n, payload=t-digest, values_json=probs).
+    Save/load with save_baseline/load_baseline (plain parquet)."""
+    merged = _merged_group_sketches(ds, group_col, numeric_cols, cat_cols or [])
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    if len(t) > max_groups * max(1, len(numeric_cols) + len(cat_cols or [])):
+        raise ValueError(
+            f"group baseline: {len(t)} (group, column) rows exceeds "
+            f"max_groups={max_groups}; a group key this wide should be "
+            "profiled per partition (kind: drift), not per group"
+        )
+    out = {f.name: [] for f in GROUP_BASELINE_SCHEMA}
+    for i in range(len(t)):
+        kind = t["kind"][i].as_py()
+        n = t["n"][i].as_py()
+        out["group"].append(t["group"][i].as_py())
+        out["column"].append(t["column"][i].as_py())
+        out["kind"].append(kind)
+        out["n"].append(n)
+        if kind == "numeric":
+            out["payload"].append(t["payload"][i].as_py())
+            out["values_json"].append("")
+        else:
+            counts = json.loads(t["values_json"][i].as_py() or "{}")
+            probs = {k: v / n for k, v in counts.items()} if n else {}
+            out["payload"].append(b"")
+            out["values_json"].append(json.dumps(probs, sort_keys=True))
+    return pa.Table.from_arrays(
+        [pa.array(out[f.name], type=f.type) for f in GROUP_BASELINE_SCHEMA],
+        schema=GROUP_BASELINE_SCHEMA,
+    )
+
+
+def _group_baseline_index(t: pa.Table) -> dict:
+    base: dict[tuple[str, str], tuple[str, object]] = {}
+    for i in range(len(t)):
+        key = (t["group"][i].as_py(), t["column"][i].as_py())
+        kind = t["kind"][i].as_py()
+        if kind == "numeric":
+            base[key] = (kind, TDigest.deserialize(t["payload"][i].as_py()))
+        else:
+            base[key] = (kind, json.loads(t["values_json"][i].as_py() or "{}"))
+    return base
+
+
+GROUP_DRIFT_STATS_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("column", pa.string()),
+        ("kind", pa.string()),
+        ("n", pa.int64()),
+        ("ks", pa.float64()),
+        ("psi", pa.float64()),
+        ("fired", pa.bool_()),
+    ]
+)
+
+
+def group_drift_stats(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    baseline: "pa.Table | str",
+    numeric_cols: list[str],
+    cat_cols: list[str] | None = None,
+    *,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.25,
+) -> "ray.data.Dataset":
+    """Standalone per-group drift op: one (group, column) row with the
+    KS / PSI statistics vs the per-group baseline and the fired flag.
+    Groups absent from the baseline fire with ks=psi=inf (a NEW
+    language/domain appearing IS distribution shift)."""
+    if isinstance(baseline, str):
+        baseline = load_baseline(baseline)
+    base_ref = ray.put(baseline)
+    kst, psit = float(ks_threshold), float(psi_threshold)
+    merged = _merged_group_sketches(ds, group_col, numeric_cols, cat_cols or [])
+
+    def compare(t: pa.Table) -> pa.Table:
+        base = _group_baseline_index(ray.get(base_ref))
+        rows = {f.name: [] for f in GROUP_DRIFT_STATS_SCHEMA}
+        for i in range(len(t)):
+            gval = t["group"][i].as_py()
+            col = t["column"][i].as_py()
+            kind = t["kind"][i].as_py()
+            n = int(t["n"][i].as_py() or 0)
+            hit = base.get((gval, col))
+            if hit is None:
+                ks = psi = float("inf")
+                fired = True
+            elif kind == "numeric":
+                td = TDigest.deserialize(t["payload"][i].as_py())
+                ks = ks_statistic(td, hit[1])
+                psi = psi_numeric(td, hit[1])
+                fired = ks > kst or psi > psit
+            else:
+                counts = json.loads(t["values_json"][i].as_py() or "{}")
+                ks = 0.0
+                psi = psi_categorical(counts, hit[1])
+                fired = psi > psit
+            rows["group"].append(gval)
+            rows["column"].append(col)
+            rows["kind"].append(kind)
+            rows["n"].append(n)
+            rows["ks"].append(float(ks))
+            rows["psi"].append(float(psi))
+            rows["fired"].append(bool(fired))
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows[f.name], type=f.type)
+                for f in GROUP_DRIFT_STATS_SCHEMA
+            ],
+            schema=GROUP_DRIFT_STATS_SCHEMA,
+        )
+
+    return merged.map_batches(compare, batch_format="pyarrow")
+
+
+def group_drift_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """``kind: group_drift`` entry called from pipeline.validate.
+
+    params: group_by (the scope column), columns (numeric),
+    cat_columns, baseline (path) OR baseline_table (pa.Table),
+    ks_threshold, psi_threshold. Verdict rows attribute to
+    partition_id = hash(group) % num_partitions so per-group outcomes
+    stay deterministic across parallelism levels; the group itself is
+    recorded in row_ref/observed."""
+    from .hashing import partition_ids as _pids
+
+    bt = dist.params.get("baseline_table")
+    baseline = bt if bt is not None else load_baseline(dist.params["baseline"])
+    stats = group_drift_stats(
+        ds,
+        dist.params["group_by"],
+        baseline,
+        list(dist.params.get("columns", [])),
+        list(dist.params.get("cat_columns", [])),
+        ks_threshold=float(dist.params.get("ks_threshold", 0.15)),
+        psi_threshold=float(dist.params.get("psi_threshold", 0.25)),
+    )
+    cid = dist.constraint_id
+    n_parts = cs.num_partitions
+
+    def to_results(t: pa.Table) -> pa.Table:
+        out = {f.name: [] for f in P.RESULT_SCHEMA}
+        if len(t) == 0:
+            return P.result_rows(out)
+        pids = _pids(t["group"], n_parts)
+        for i in range(len(t)):
+            gval = t["group"][i].as_py()
+            col = t["column"][i].as_py()
+            fired = bool(t["fired"][i].as_py())
+            obs = f"ks={t['ks'][i].as_py():.4f},psi={t['psi'][i].as_py():.4f}"
+            out["partition_id"].append(int(pids[i]))
+            out["constraint_id"].append(f"{cid}.{col}")
+            out["row_ref"].append("")
+            out["column"].append("")
+            out["observed"].append("")
+            out["detail"].append("")
+            out["is_violation"].append(False)
+            out["n_checked"].append(int(t["n"][i].as_py() or 0))
+            out["n_violations"].append(1 if fired else 0)
+            if fired:
+                out["partition_id"].append(int(pids[i]))
+                out["constraint_id"].append(f"{cid}.{col}")
+                out["row_ref"].append(f"group={gval}")
+                out["column"].append(col)
+                out["observed"].append(obs)
+                out["detail"].append("group_drift")
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    return stats.map_batches(to_results, batch_format="pyarrow")
 
 
 def drift_check_results(

@@ -470,6 +470,19 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "group_drift":
+            # per-group (language/domain/source) distribution shift vs
+            # a per-group baseline — params pass through like drift
+            gcol = chk["group_by"]
+            cid = chk.get("constraint_id", f"{table}.{gcol}.group_drift")
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "group_drift",
+                    {k: v for k, v in chk.items() if k not in ("kind", "constraint_id", "severity")},
+                    chk.get("severity", "warn"),
+                )
+            )
         elif kind == "drift":
             cid = chk.get("constraint_id", f"{table}.drift")
             cs.dist_checks.append(

@@ -1047,6 +1047,10 @@ def validate(
             # drift re-reads the input for its sketch partials (its own
             # column-pruned pass); fine — sketch columns are narrow
             combined = combined.union(cd.drift_check_results(ds, cs, dist))
+        elif dist.kind == "group_drift":
+            # per-group sketch pass: exchange is one digest per
+            # (group, batch); see drift.group_drift_check_results
+            combined = combined.union(cd.group_drift_check_results(ds, cs, dist))
         elif dist.kind == "fd":
             # FD re-reads the input column-pruned to det+dep (narrow);
             # one exchange of locally-distinct pairs, see fd_check_results

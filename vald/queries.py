@@ -1703,6 +1703,48 @@ def q_drift_corpus(sf_dir: str):
     return res.verdicts_table()
 
 
+def q_group_drift(sf_dir: str):
+    """Per-group (per-language) drift over documents.n_chars — null
+    direction (even/odd doc_id halves share the distribution: no fire)
+    plus the fire direction (a shifted copy of one language fires only
+    that group). Rows-only: digest merge order is partition-dependent,
+    so the KS/PSI floats aren't SQL-reproducible; row COUNT and the
+    fired flags are deterministic."""
+    from . import drift as D
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    # null direction compares the corpus against ITS OWN baseline
+    # (KS ~ digest error only) — per-language doc counts at small sf
+    # are tens of rows, where any disjoint-halves split fires on
+    # legitimate sampling noise (two-sample KS critical value at
+    # n=30 is ~0.35); the statistical fire/null behavior at healthy n
+    # is pinned by tests/test_group_drift.py
+    base = D.build_group_baseline(docs, "lang", ["n_chars"])
+    cur = docs
+    null_side = D.group_drift_stats(cur, "lang", base, ["n_chars"]).to_pandas()
+    null_side["direction"] = "null"
+
+    def shift_en(t: pa.Table) -> pa.Table:
+        is_en = pc.fill_null(pc.equal(t["lang"], pa.scalar("en")), False)
+        bumped = pc.add(t["n_chars"], pa.scalar(10_000))
+        return t.set_column(
+            t.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.if_else(is_en, bumped, t["n_chars"]),
+        )
+
+    fire_side = D.group_drift_stats(
+        cur.map_batches(shift_en, batch_format="pyarrow", zero_copy_batch=True),
+        "lang",
+        base,
+        ["n_chars"],
+    ).to_pandas()
+    fire_side["direction"] = "fire"
+    out = pd.concat([null_side, fire_side], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_media_decode(sf_dir: str):
     from .ops.multimodal import decode_media, fake_media_dataset
 
@@ -4670,6 +4712,7 @@ QUERIES = {
     "q_fingerprints": q_fingerprints,
     "q_profile_sketch": q_profile_sketch,
     "q_drift_corpus": q_drift_corpus,
+    "q_group_drift": q_group_drift,
     "q_media_decode": q_media_decode,
     "q_knn_ivf": q_knn_ivf,
     "q_corpus_verdicts": q_corpus_verdicts,
