@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The sandbox has no image/audio libraries, so the CODEC is a
+The sandbox has no image/audio libraries, so the default CODEC is a
 deterministic fake (clearly marked): payloads are self-describing
 byte blobs with a magic header; ``decode`` parses the header and
 "samples" the body. Everything Ray-side — schema, batch sizing for
 large binary rows, actor signature, output layout — is real and
-tested, so swapping in a real codec (PIL / torchaudio) is a
-one-function change (``_decode_payload``).
+tested. A REAL-codec escape hatch exists (``_load_real_codec``):
+each stage try-imports PIL/cv2 once per actor and routes non-VMED
+payloads through it; DecodeStage labels every row with the ``codec``
+that decoded it, so an environment that ships PIL picks up real
+image decoding with zero code change.
 
 Memory note (SURVEY.md §4.3): binary payloads are large — these stages
 default to small ``batch_size`` so batch × concurrency stays inside a
@@ -74,6 +77,71 @@ def _decode_payload(payload: bytes) -> dict:
     }
 
 
+def _load_real_codec():
+    """Real-codec escape hatch (VERDICT r3 item 7): try PIL then cv2 at
+    stage init, return a decode callable with a ``codec_name`` attr, or
+    None when neither is installed (this sandbox). Stages fall back to
+    the fake VMED codec, so the same tests pass offline; a round-N
+    environment that ships PIL/cv2 picks the real path up automatically
+    for non-VMED payloads (real image bytes: PNG/JPEG/...)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def decode(payload: bytes) -> dict:
+            img = Image.open(io.BytesIO(payload))
+            arr = np.asarray(img)
+            if arr.ndim == 0:
+                raise ValueError("PIL decoded a zero-dim image")
+            h, w = arr.shape[0], (arr.shape[1] if arr.ndim > 1 else 1)
+            return {
+                "kind": "image",
+                "height": int(h),
+                "width": int(w),
+                "n_frames": 1,
+                "body": np.ascontiguousarray(arr).reshape(-1).astype(np.uint8),
+            }
+
+        decode.codec_name = "pil"
+        return decode
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore[import-not-found]
+
+        def decode(payload: bytes) -> dict:
+            arr = cv2.imdecode(
+                np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_UNCHANGED
+            )
+            if arr is None:
+                raise ValueError("cv2 could not decode payload")
+            h, w = arr.shape[0], (arr.shape[1] if arr.ndim > 1 else 1)
+            return {
+                "kind": "image",
+                "height": int(h),
+                "width": int(w),
+                "n_frames": 1,
+                "body": np.ascontiguousarray(arr).reshape(-1).astype(np.uint8),
+            }
+
+        decode.codec_name = "cv2"
+        return decode
+    except ImportError:
+        return None
+
+
+def _decode_any(payload: bytes, real=None) -> "tuple[dict, str]":
+    """Dispatch: VMED-magic payloads always take the fake codec (the
+    deterministic synthetic format); anything else goes to the real
+    codec when one is installed. Returns (decoded, codec_name)."""
+    if payload[:4] == _MAGIC:
+        return _decode_payload(payload), "vmed-fake"
+    if real is not None:
+        return real(payload), real.codec_name
+    raise ValueError("bad magic: not a VMED payload and no real codec installed")
+
+
 def fake_media_dataset(n: int, seed: int = 42, kind: str = "image") -> "ray.data.Dataset":
     """Deterministic synthetic media table (binary payloads ~4-64 KiB)."""
 
@@ -107,32 +175,38 @@ def fake_media_dataset(n: int, seed: int = 42, kind: str = "image") -> "ray.data
 class DecodeStage:
     """Actor: decode payload → dimensions + channel statistics.
     Bad payloads become rows in an ``decode_error`` column instead of
-    failing the task (poison-pill tolerance)."""
+    failing the task (poison-pill tolerance). The real codec (PIL/cv2)
+    is resolved ONCE per actor in __init__ (B7 pattern); each row's
+    ``codec`` column records which codec actually decoded it."""
 
     def __init__(self, payload_col: str = "payload"):
         self.payload_col = payload_col
+        self.real = _load_real_codec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs, ws, nfs, means, errs = [], [], [], [], []
+        hs, ws, nfs, means, errs, codecs = [], [], [], [], [], []
         for p in t[self.payload_col].to_pylist():
             try:
-                d = _decode_payload(p)
+                d, codec = _decode_any(p, self.real)
                 hs.append(d["height"])
                 ws.append(d["width"])
                 nfs.append(d["n_frames"])
                 means.append(float(d["body"].mean()) if len(d["body"]) else 0.0)
                 errs.append(None)
+                codecs.append(codec)
             except (ValueError, struct.error) as e:
                 hs.append(None)
                 ws.append(None)
                 nfs.append(None)
                 means.append(None)
                 errs.append(str(e))
+                codecs.append(None)
         t = t.drop_columns([self.payload_col])  # drop the heavy bytes ASAP
         t = t.append_column("height", pa.array(hs, type=pa.int32()))
         t = t.append_column("width", pa.array(ws, type=pa.int32()))
         t = t.append_column("n_frames", pa.array(nfs, type=pa.int32()))
         t = t.append_column("mean_value", pa.array(means, type=pa.float64()))
+        t = t.append_column("codec", pa.array(codecs, type=pa.string()))
         return t.append_column("decode_error", pa.array(errs, type=pa.string()))
 
 
@@ -157,12 +231,13 @@ class EmbedStage:
         self.W = rng.standard_normal((256, dim)).astype(np.float32)  # "weights"
         self.payload_col = payload_col
         self.dim = dim
+        self.real = _load_real_codec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         embs = np.zeros((len(t), self.dim), dtype=np.float32)
         for i, p in enumerate(t[self.payload_col].to_pylist()):
             try:
-                d = _decode_payload(p)
+                d, _ = _decode_any(p, self.real)
                 hist = np.bincount(d["body"], minlength=256).astype(np.float32)
                 hist /= max(1.0, hist.sum())
                 embs[i] = hist @ self.W
@@ -200,12 +275,13 @@ class FrameSampleStage:
     def __init__(self, stride: int = 4, payload_col: str = "payload"):
         self.stride = stride
         self.payload_col = payload_col
+        self.real = _load_real_codec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frames, means = [], [], []
         for mid, p in zip(t["media_id"].to_pylist(), t[self.payload_col].to_pylist()):
             try:
-                d = _decode_payload(p)
+                d, _ = _decode_any(p, self.real)
             except (ValueError, struct.error):
                 continue
             frame_len = d["height"] * d["width"]
@@ -253,6 +329,7 @@ class ResizeStage:
         self.out_h = out_h
         self.out_w = out_w
         self.payload_col = payload_col
+        self.real = _load_real_codec()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, kinds, payloads = [], [], []
@@ -263,7 +340,7 @@ class ResizeStage:
             t[self.payload_col].to_pylist(),
         ):
             try:
-                d = _decode_payload(p)
+                d, _ = _decode_any(p, self.real)
             except (ValueError, struct.error):
                 continue
             h, w = d["height"], d["width"]
