@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q_returned_items",
     "q_supplier_cnt",
     "q_waiting_orders",
+    "q_top_balance",
+    "q_group_drift",
     "q_shuffle",
     "q_zscore",
     "q_tfidf",
@@ -666,13 +668,75 @@ def run_stage_scaling() -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# ALU-probe gate (VERDICT r3 item 4): this VM's multi-core delivery
+# swings intraday (same code, same input: eff 0.832 on a clean host vs
+# 0.70-0.75 degraded — BENCH/BASELINE.md). The probe is a fixed-work
+# pure-Python integer loop per process (no memory traffic): ~0.89-0.92
+# s/proc = clean band; >1.0 = degraded. --scaling measures it before
+# and after the campaign, retries while degraded, annotates the result,
+# and appends every attempt to BENCH/scaling_runs.json (auto_runs) so
+# the probe-gated trail is a recorded artifact either way.
+# ---------------------------------------------------------------------------
+
+PROBE_GATE = float(os.environ.get("VALD_PROBE_GATE", "1.0"))
+PROBE_RETRIES = int(os.environ.get("VALD_PROBE_RETRIES", "2"))
+PROBE_WAIT = int(os.environ.get("VALD_PROBE_WAIT", "120"))
+SCALING_LOG = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_runs.json"
+)
+
+
+def _alu_probe(n: int = 8) -> float:
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "alu_probe.py"
+    )
+    out = subprocess.run(
+        [sys.executable, script, str(n)], capture_output=True, text=True, check=True
+    ).stdout
+    return float(out.strip().split()[-1])
+
+
+def _probe_gate() -> dict:
+    """Probe host CPU delivery at 8 procs; wait+retry while degraded."""
+    readings = []
+    for attempt in range(PROBE_RETRIES + 1):
+        p = _alu_probe(8)
+        readings.append(p)
+        if p <= PROBE_GATE:
+            break
+        if attempt < PROBE_RETRIES:
+            time.sleep(PROBE_WAIT)
+    return {
+        "probe_gate": PROBE_GATE,
+        "probe_readings": readings,
+        "probe_before": readings[-1],
+        "probe_clean": readings[-1] <= PROBE_GATE,
+    }
+
+
+def _record_scaling_run(entry: dict) -> None:
+    """Append the annotated campaign to BENCH/scaling_runs.json under
+    auto_runs — both clean and probe-gated runs are part of the trail."""
+    try:
+        with open(SCALING_LOG) as f:
+            log = json.load(f)
+    except (OSError, ValueError):
+        log = {}
+    log.setdefault("auto_runs", []).append(entry)
+    with open(SCALING_LOG, "w") as f:
+        json.dump(log, f, indent=1)
+
+
 def run_scaling() -> dict:
     """Fresh process per parallelism level; same pre-written input.
 
     Scaling uses a larger corpus (default 8M rows, VALD_SCALE_ROWS) than
     the plain headline so the parallel phase dominates fixed startup
     (weak-vs-strong scaling: the criterion is about throughput on a
-    compute-dominated job, not about a job too small to fill a node)."""
+    compute-dominated job, not about a job too small to fill a node).
+    The campaign is probe-gated (see above): it waits for a clean host
+    when it can, and records the probe band it actually ran in."""
     os.environ["VALD_BENCH_ROWS"] = os.environ.get("VALD_SCALE_ROWS", "8000000")
     global CORPUS_ROWS, CORPUS_DIR
     CORPUS_ROWS = int(os.environ["VALD_BENCH_ROWS"])
@@ -716,6 +780,7 @@ def run_scaling() -> dict:
     # throttle-insensitive at 120-127 s across every machine state).
     # Default hi-first so the throttle-sensitive level runs on the
     # cooler machine; VALD_SCALE_COOLDOWN seconds of idle in between.
+    gate = _probe_gate() if os.environ.get("VALD_PROBE_SKIP") != "1" else {}
     cooldown = int(os.environ.get("VALD_SCALE_COOLDOWN", "60"))
     if os.environ.get("VALD_SCALE_ORDER", "hi_first") == "hi_first":
         r_hi = child(hi)
@@ -727,7 +792,7 @@ def run_scaling() -> dict:
         r_hi = child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = t_lo / ((hi / lo) * t_hi)
-    return {
+    result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -747,6 +812,16 @@ def run_scaling() -> dict:
             "engine; 2 vs 8 measures the engine on real 4x hardware"
         ),
     }
+    result.update(gate)
+    if gate:
+        try:
+            result["probe_after"] = _alu_probe(8)
+        except Exception:
+            pass
+        _record_scaling_run(
+            dict(result, ts=time.strftime("%Y-%m-%dT%H:%M:%S"), round="r4-auto")
+        )
+    return result
 
 
 if __name__ == "__main__":

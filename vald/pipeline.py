@@ -968,8 +968,19 @@ def validate(
             broadcast_refs[cid] = ray.put(bloom)
             continue
         if isinstance(src, list):
-            broadcast_refs[cid] = ray.put(set(src))
-            continue
+            if strategy == "anti_join":
+                # honor a forced join for list parents too: convert to a
+                # one-column (or tuple-exploded) Arrow table and fall
+                # through to the Table branch
+                if src and isinstance(src[0], tuple):
+                    src = pa.table(
+                        {c: pa.array([v[i] for v in src]) for i, c in enumerate(pcols)}
+                    )
+                else:
+                    src = pa.table({pcols[0]: pa.array(list(src))})
+            else:
+                broadcast_refs[cid] = ray.put(set(src))
+                continue
         if isinstance(src, pa.Table):
             if strategy == "anti_join" or (strategy == "auto" and len(src) > threshold):
                 anti_parents[cid] = ray.data.from_arrow(src.select(pcols))

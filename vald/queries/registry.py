@@ -1,0 +1,873 @@
+"""QUERIES / ORACLE_SQL registries (driver contract surface).
+
+Verbatim from the pre-split single file; tests/test_registry_split.py
+asserts key sets and oracle-SQL hashes match the frozen snapshot."""
+
+from __future__ import annotations
+
+from .checks import *  # noqa: F401,F403
+from .llmops import *  # noqa: F401,F403
+from .relational import *  # noqa: F401,F403
+from .temporal import *  # noqa: F401,F403
+
+# underscore constants interpolated into ORACLE_SQL f-strings (star
+# imports skip underscore names)
+from .llmops import (  # noqa: E402
+    _DECONTAM_THRESHOLD,
+    _PII_EMAIL,
+    _PII_KW,
+    _SPLIT_MAX,
+    _SPLIT_OVERLAP,
+)
+from .relational import _BIG_ORDER_QTY  # noqa: E402
+
+
+
+QUERIES = {
+    "q_required_nulls": q_required_nulls,
+    "q_enum_violations": q_enum_violations,
+    "q_enum_counts": q_enum_counts,
+    "q_pattern": q_pattern,
+    "q_range": q_range,
+    "q_strlen": q_strlen,
+    "q_list_bounds": q_list_bounds,
+    "q_unique_key": q_unique_key,
+    "q_ref_integrity": q_ref_integrity,
+    "q_profile_exact": q_profile_exact,
+    "q_quantiles_exact": q_quantiles_exact,
+    "q_json_props": q_json_props,
+    "q_dependencies": q_dependencies,
+    "q_topk_offenders": q_topk_offenders,
+    "q_dedup": q_dedup,
+    "q_pricing_summary": q_pricing_summary,
+    "q_window_hourly": q_window_hourly,
+    "q_shipping_priority": q_shipping_priority,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_asof": q_asof,
+    "q_range_join": q_range_join,
+    "q_transitions": q_transitions,
+    "q_top_tokens": q_top_tokens,
+    "q_price_bands": q_price_bands,
+    "q_window_sliding": q_window_sliding,
+    "q_sessions": q_sessions,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_content_sha": q_content_sha,
+    "q_exact_dedup": q_exact_dedup,
+    "q_token_counts": q_token_counts,
+    "q_text_stats": q_text_stats,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_knn_cosine": q_knn_cosine,
+    "q_unique_items": q_unique_items,
+    "q_divisible": q_divisible,
+    "q_struct_path": q_struct_path,
+    "q_not": q_not,
+    "q_one_of": q_one_of,
+    "q_top_cust_per_nation": q_top_cust_per_nation,
+    "q_max_by": q_max_by,
+    "q_priority_lines": q_priority_lines,
+    "q_daily_distinct": q_daily_distinct,
+    "q_price_median_by_priority": q_price_median_by_priority,
+    "q_value_histogram": q_value_histogram,
+    "q_corr": q_corr,
+    "q_sample": q_sample,
+    "q_near_dup_groups": q_near_dup_groups,
+    "q_embedding_dups": q_embedding_dups,
+    "q_curate": q_curate,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_langid": q_langid,
+    "q_quality_scores": q_quality_scores,
+    "q_fingerprints": q_fingerprints,
+    "q_profile_sketch": q_profile_sketch,
+    "q_drift_corpus": q_drift_corpus,
+    "q_group_drift": q_group_drift,
+    "q_media_decode": q_media_decode,
+    "q_knn_ivf": q_knn_ivf,
+    "q_corpus_verdicts": q_corpus_verdicts,
+    "q_corpus_violations": q_corpus_violations,
+    "q_cumulative": q_cumulative,
+    "q_rolling": q_rolling,
+    "q_trade_volume": q_trade_volume,
+    "q_market_share": q_market_share,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_latest_event": q_latest_event,
+    "q_label_centroids": q_label_centroids,
+    "q_group_quantile_sketch": q_group_quantile_sketch,
+    "q_group_distinct_sketch": q_group_distinct_sketch,
+    "q_lag": q_lag,
+    "q_order_priority": q_order_priority,
+    "q_line_dedup": q_line_dedup,
+    "q_repetition": q_repetition,
+    "q_stratified": q_stratified,
+    "q_quantile_filter": q_quantile_filter,
+    "q_dup_passages": q_dup_passages,
+    "q_pack": q_pack,
+    "q_cust_order_counts": q_cust_order_counts,
+    "q_rollup": q_rollup,
+    "q_decontam": q_decontam,
+    "q_pii_scrub": q_pii_scrub,
+    "q_small_qty_revenue": q_small_qty_revenue,
+    "q_global_rank": q_global_rank,
+    "q_big_orders": q_big_orders,
+    "q_split_docs": q_split_docs,
+    "q_returned_items": q_returned_items,
+    "q_fd_violations": q_fd_violations,
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_infer_spec": q_infer_spec,
+    "q_completeness": q_completeness,
+    "q_quantile_bounds": q_quantile_bounds,
+    "q_spec_diff": q_spec_diff,
+    "q_promo_revenue": q_promo_revenue,
+    "q_supplier_cnt": q_supplier_cnt,
+    "q_waiting_orders": q_waiting_orders,
+    "q_top_balance": q_top_balance,
+    "q_shuffle": q_shuffle,
+    "q_zscore": q_zscore,
+    "q_importance": q_importance,
+    "q_tfidf": q_tfidf,
+    "q_pivot": q_pivot,
+    "q_status_days": q_status_days,
+    "q_logprob": q_logprob,
+    "q_budget_select": q_budget_select,
+    "q_mix": q_mix,
+    "q_order_counts": q_order_counts,
+    "q_top_supplier": q_top_supplier,
+    "q_brand_revenue": q_brand_revenue,
+    "q_kmeans": q_kmeans,
+    "q_semdedup": q_semdedup,
+}
+
+
+ORACLE_SQL = {
+    "q_required_nulls": "SELECT count(*) - count(o_custkey) AS n_null FROM orders",
+    "q_enum_violations": (
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+        "WHERE l_returnflag NOT IN ('A','N','R')"
+    ),
+    "q_enum_counts": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q_pattern": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT regexp_matches(c_name, '^Customer#[0-9]+$')"
+    ),
+    "q_range": (
+        "SELECT l_orderkey, l_linenumber, l_discount FROM lineitem "
+        "WHERE l_discount < 0.0 OR l_discount > 0.1"
+    ),
+    "q_strlen": (
+        "SELECT doc_id, length(text) AS text_len FROM documents WHERE length(text) < 100"
+    ),
+    "q_list_bounds": (
+        "SELECT vec_id, len(embedding)::BIGINT AS emb_len FROM embeddings "
+        "WHERE len(embedding) <> 64"
+    ),
+    "q_unique_key": (
+        "SELECT o_orderkey, count(*) AS cnt FROM orders "
+        "GROUP BY o_orderkey HAVING count(*) > 1"
+    ),
+    "q_ref_integrity": (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"
+    ),
+    "q_profile_exact": (
+        "SELECT count(*) AS n, count(*) - count(l_quantity) AS n_null, "
+        "round(min(l_quantity), 6) AS min_q, round(max(l_quantity), 6) AS max_q, "
+        "round(avg(l_quantity), 6) AS avg_q, count(DISTINCT l_quantity) AS n_distinct "
+        "FROM lineitem"
+    ),
+    "q_quantiles_exact": (
+        "SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price, "
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price FROM lineitem"
+    ),
+    "q_json_props": (
+        # integer-or-NULL extraction matching _json_int exactly: ints,
+        # integral doubles, digit-strings; bools/other are NULL
+        "WITH e AS (SELECT event_id, CASE "
+        "WHEN json_type(props,'$.k') IN ('BIGINT','UBIGINT') "
+        "THEN json_extract(props,'$.k')::BIGINT "
+        "WHEN json_type(props,'$.k') = 'DOUBLE' "
+        "AND json_extract(props,'$.k')::DOUBLE = floor(json_extract(props,'$.k')::DOUBLE) "
+        "THEN CAST(json_extract(props,'$.k')::DOUBLE AS BIGINT) "
+        "WHEN json_type(props,'$.k') = 'VARCHAR' "
+        "AND regexp_matches(json_extract_string(props,'$.k'), '^-?[0-9]+$') "
+        "THEN CAST(json_extract_string(props,'$.k') AS BIGINT) "
+        "ELSE NULL END AS k FROM events) "
+        "SELECT event_id, k FROM e WHERE k >= 90"
+    ),
+    "q_dependencies": "SELECT doc_id FROM documents WHERE length(text) <> n_chars",
+    "q_topk_offenders": (
+        "SELECT event_type, count(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
+    ),
+    "q_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "q_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_quantity) / count(*), 6) AS avg_qty, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q_window_hourly": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "q_shipping_priority": (
+        "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue, o_orderdate FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "q_revenue_by_nation": (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
+    ),
+    "q_asof": (
+        "SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "q_range_join": (
+        "SELECT e.event_id, e.user_id, e.ts, w.win_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') e "
+        "JOIN (SELECT event_id AS win_id, user_id, ts AS w_start, "
+        "ts + INTERVAL 24 HOUR AS w_end FROM events "
+        "WHERE event_type = 'purchase') w "
+        "ON e.user_id = w.user_id "
+        "AND e.ts >= w.w_start AND e.ts < w.w_end"
+    ),
+    "q_top_tokens": (
+        # whitespace split mirrors Arrow utf8_split_whitespace on the
+        # ASCII corpus; empty tokens dropped on both sides
+        "SELECT token, count(*)::BIGINT AS n FROM ("
+        "SELECT unnest(string_split_regex(coalesce(text,''), "
+        "'[ \t\n\x0b\f\r]+')) AS token FROM documents) "
+        "WHERE token <> '' GROUP BY token "
+        "ORDER BY n DESC, token LIMIT 10"
+    ),
+    "q_price_bands": (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "('p0_1k', 0.0, 1000.0), ('p1k_10k', 1000.0, 10000.0), "
+        "('p10k_50k', 10000.0, 50000.0), ('p50k_plus', 50000.0, 1e18)) "
+        "SELECT band, count(*)::BIGINT AS n, "
+        "round(sum(l_extendedprice), 2) AS total "
+        "FROM lineitem JOIN bands "
+        "ON l_extendedprice >= lo AND l_extendedprice < hi "
+        "GROUP BY band"
+    ),
+    "q_window_sliding": (
+        "WITH w AS (SELECT date_trunc('hour', ts) AS window_start FROM events "
+        "UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events) "
+        "SELECT window_start, count(*) AS n FROM w GROUP BY 1"
+    ),
+    "q_sessions": (
+        "WITH o AS (SELECT user_id, ts, CASE WHEN "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS is_new FROM events), "
+        "s AS (SELECT user_id, ts, CAST(sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS session_id FROM o) "
+        "SELECT user_id, session_id, min(ts) AS session_start, "
+        "count(*) AS n_events FROM s GROUP BY user_id, session_id"
+    ),
+    "q_semi_join": (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    ),
+    "q_anti_join": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders)"
+    ),
+    "q_content_sha": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+    "q_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_token_counts": (
+        # NULL/empty/whitespace-only text counts 0 tokens, matching
+        # Python str.split() semantics in TokenCount (ADVICE r1)
+        "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws "
+        "FROM documents"
+    ),
+    "q_text_stats": (
+        # n_chars is BYTE length (strlen); ASCII corpus so == char count.
+        # n_tokens = maximal non-whitespace runs (str.split semantics);
+        # whitespace class matches ops.text._WS_BYTES exactly.
+        "SELECT doc_id, "
+        "strlen(coalesce(text,''))::BIGINT AS n_chars, "
+        "length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha, "
+        "length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g'))::BIGINT AS n_digit, "
+        "len(list_filter(string_split_regex(coalesce(text,''), "
+        "'[ \t\n\x0b\f\r]+'), x -> x <> ''))::BIGINT AS n_tokens "
+        "FROM documents"
+    ),
+    "q_jaccard_pairs": (
+        # exact distinct-12-gram Jaccard; empty/NULL text yields the
+        # single shingle '' (substr semantics), matching the kernel's
+        # max(1, len-k+1) window count. Threshold on the UNROUNDED
+        # ratio, display rounded to 6dp — both sides identical.
+        "WITH sh AS ("
+        " SELECT DISTINCT doc_id, substr(coalesce(text,''), CAST(i AS INT), 12) AS sh"
+        " FROM (SELECT doc_id, text, unnest(generate_series(1,"
+        " greatest(1, length(coalesce(text,''))-11))) AS i FROM documents)"
+        "), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS ("
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c"
+        " FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
+    ),
+    "q_knn_cosine": (
+        # DOUBLE[] casts force double-precision accumulation (and a
+        # DOUBLE result dtype) to match the float64 Ray-side matmul;
+        # on FLOAT[] inputs list_cosine_similarity returns FLOAT and
+        # the driver's value hash sees different bits for equal values
+        "SELECT vec_id, round(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "WHERE vec_id = 0)), 6) AS sim "
+        "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
+    ),
+    "q_unique_items": (
+        "SELECT vec_id, len(list_distinct(embedding))::BIGINT AS n_distinct, "
+        "len(list_distinct(embedding)) = len(embedding) AS is_unique FROM embeddings"
+    ),
+    "q_divisible": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity % 7 <> 0"
+    ),
+    "q_struct_path": (
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars < 200"
+    ),
+    "q_not": (
+        "SELECT event_id FROM events "
+        "WHERE json_type(props,'$.k') IN ('BIGINT','UBIGINT') "
+        "AND json_extract(props,'$.k')::BIGINT >= 50"
+    ),
+    "q_one_of": (
+        # Full mirror of the kernel's draft-03 oneOf semantics (ADVICE
+        # r2: the old NOT IN form let 'NULL NOT IN (...)' drop the
+        # absent-k / JSON-null / non-object rows the kernel flags):
+        #  - props SQL NULL        -> kernel skips the row   (excluded)
+        #  - k absent / non-object -> both branches vacuous  (violation)
+        #  - numeric k             -> violation iff 50<=k<=80 (both hold)
+        #  - non-numeric k (string/bool/object/array/json-null) ->
+        #    minimum/maximum vacuous on both                  (violation)
+        # Malformed-JSON props would error here and fail closed in the
+        # kernel; generated testdata is always valid JSON.
+        "SELECT event_id FROM events WHERE props IS NOT NULL AND (CASE "
+        "WHEN json_type(props,'$.k') IS NULL THEN TRUE "
+        "WHEN json_type(props,'$.k') IN ('BIGINT','UBIGINT') "
+        "THEN json_extract(props,'$.k')::BIGINT BETWEEN 50 AND 80 "
+        "WHEN json_type(props,'$.k') = 'DOUBLE' "
+        "THEN json_extract(props,'$.k')::DOUBLE BETWEEN 50 AND 80 "
+        "ELSE TRUE END)"
+    ),
+    "q_top_cust_per_nation": (
+        "SELECT n_name, c_custkey, c_acctbal, rn FROM ("
+        "SELECT c_nationkey, c_custkey, c_acctbal, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey) AS rn "
+        "FROM customer WHERE c_nationkey IS NOT NULL "
+        "AND c_acctbal IS NOT NULL) t "
+        "JOIN nation ON n_nationkey = c_nationkey WHERE rn <= 3"
+    ),
+    "q_max_by": (
+        "SELECT event_type, event_id, value FROM ("
+        "SELECT event_type, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS rn "
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL"
+        ") t WHERE rn = 1"
+    ),
+    "q_priority_lines": (
+        "SELECT l_returnflag, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END)::BIGINT AS high_lines, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END)::BIGINT AS low_lines "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "GROUP BY l_returnflag"
+    ),
+    "q_daily_distinct": (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1"
+    ),
+    "q_price_median_by_priority": (
+        "SELECT o_orderpriority, "
+        "round(quantile_cont(o_totalprice, 0.5), 6) AS median_price "
+        "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1"
+    ),
+    "q_value_histogram": (
+        "SELECT FLOOR(value / 5.0)::BIGINT AS bin, COUNT(*)::BIGINT AS n "
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1"
+    ),
+    "q_corr": (
+        "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS "
+        "NOT NULL AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)"
+    ),
+    "q_sample": (
+        # canonical non-negative mod: SQL % follows the dividend's sign,
+        # numpy's follows the divisor's — without the +M fold a negative
+        # id would diverge (self-audit; testdata ids are non-negative)
+        "SELECT event_id, event_type FROM events WHERE event_id IS NOT NULL "
+        "AND ((event_id * 2654435761) % 4294967296 + 4294967296) "
+        "% 4294967296 < 429496729"
+    ),
+    "q_cumulative": (
+        "SELECT user_id, event_id, "
+        "count(*) OVER w AS cum_n, "
+        "round(sum(COALESCE(value, 0)) OVER w, 6) AS cum_sum "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    "q_label_centroids": (
+        "SELECT label, dim, round(avg(val), 6) AS mean_val, "
+        "count(*)::BIGINT AS n FROM ("
+        "SELECT CAST(label AS BIGINT) AS label, unnest(embedding) AS val, "
+        "generate_subscripts(embedding, 1)::BIGINT AS dim FROM embeddings "
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL) "
+        "GROUP BY label, dim"
+    ),
+    "q_latest_event": (
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id) AS rn "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        ") WHERE rn = 1"
+    ),
+    "q_heavy_hitters": (
+        "SELECT user_id, count(*) AS est_count, count(*) AS max_count "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
+        "ORDER BY est_count DESC, user_id LIMIT 10"
+    ),
+    "q_market_share": (
+        "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_2' "
+        "THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share FROM ("
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+        "FROM part, supplier, lineitem, orders, customer, "
+        "nation n1, nation n2, region "
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+        "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND p_type = 'MEDIUM') GROUP BY o_year ORDER BY o_year"
+    ),
+    "q_trade_volume": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem, orders, supplier, customer, nation n1, nation n2 "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+        "AND c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"
+    ),
+    "q_rolling": (
+        "SELECT user_id, event_id, "
+        "count(*) OVER w AS roll_n, "
+        "round(sum(COALESCE(value, 0)) OVER w, 6) AS roll_sum "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    ),
+    "q_cust_order_counts": (
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey"
+    ),
+    "q_rollup": (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+        "round(sum(l_quantity), 6) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "q_transitions": (
+        "SELECT prev, curr, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev, event_type AS curr "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL) "
+        "WHERE prev IS NOT NULL AND curr IS NOT NULL GROUP BY prev, curr"
+    ),
+    "q_lag": (
+        "SELECT event_id, user_id, "
+        "CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us FROM ("
+        "SELECT event_id, user_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL) WHERE prev_ts IS NOT NULL"
+    ),
+    "q_order_priority": (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY 1"
+    ),
+    "q_line_dedup": (
+        "WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line "
+        "FROM documents WHERE text IS NOT NULL), "
+        "f AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l) "
+        "GROUP BY line HAVING count(*) >= 300) "
+        "SELECT doc_id, count(*)::BIGINT AS n_lines, "
+        "CAST(sum(CASE WHEN line IN (SELECT line FROM f) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_removed FROM l GROUP BY doc_id"
+    ),
+    "q_repetition": (
+        "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+        "count(DISTINCT line)::BIGINT AS n_distinct FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS line "
+        "FROM documents WHERE text IS NOT NULL) GROUP BY doc_id"
+    ),
+    "q_stratified": (
+        "SELECT event_id, event_type FROM events "
+        "WHERE event_id IS NOT NULL AND event_type IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 20"
+    ),
+    "q_quantile_filter": (
+        "SELECT event_id, value FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(value) AND value >= ("
+        "SELECT quantile_cont(value, 0.9) FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(value))"
+    ),
+    "q_dup_passages": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS gram "
+        "FROM d, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(l)-3, 0))) AS i) g), "
+        "f AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w) "
+        "GROUP BY gram HAVING count(*) >= 2) "
+        "SELECT doc_id, count(*)::BIGINT AS n_windows, "
+        "CAST(sum(CASE WHEN gram IN (SELECT gram FROM f) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_windows FROM w GROUP BY doc_id"
+    ),
+    "q_decontam": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, "
+        "l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS gram "
+        "FROM d, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(l)-4, 0))) AS i) g), "
+        "e AS (SELECT DISTINCT gram FROM w "
+        f"WHERE (doc_id * 2654435761) % 4294967296 < {_DECONTAM_THRESHOLD}) "
+        "SELECT doc_id, count(*)::BIGINT AS n_windows, "
+        "CAST(sum(CASE WHEN gram IN (SELECT gram FROM e) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_eval_windows FROM w GROUP BY doc_id"
+    ),
+    "q_pii_scrub": (
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email, "
+        f"len(regexp_extract_all(text, '{_PII_KW}'))::BIGINT AS n_kw, "
+        f"regexp_replace(text, '{_PII_KW}', '<KW>', 'g') AS scrubbed "
+        "FROM documents WHERE text IS NOT NULL"
+    ),
+    "q_small_qty_revenue": (
+        "SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly "
+        "FROM lineitem, part WHERE p_partkey = l_partkey "
+        "AND p_brand = 'Brand#13' AND p_size < 15 "
+        "AND l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = p_partkey)"
+    ),
+    "q_global_rank": (
+        "SELECT o_totalprice, o_orderkey, "
+        "ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS rnk, "
+        "NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS tile "
+        "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+    ),
+    "q_split_docs": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents WHERE text IS NOT NULL), "
+        "c AS (SELECT doc_id, i AS chunk_id, "
+        f"l[i*{_SPLIT_MAX - _SPLIT_OVERLAP}+1 : "
+        f"least(i*{_SPLIT_MAX - _SPLIT_OVERLAP}+{_SPLIT_MAX}, len(l))] AS toks "
+        "FROM d, LATERAL (SELECT unnest(generate_series(0, "
+        f"(len(l)-1)//{_SPLIT_MAX - _SPLIT_OVERLAP})) AS i) g "
+        "WHERE len(l) > 0) "
+        "SELECT doc_id, chunk_id::BIGINT AS chunk_id, "
+        "array_to_string(toks, ' ') AS chunk, len(toks)::BIGINT AS n_tokens "
+        "FROM c"
+    ),
+    "q_big_orders": (
+        "WITH j AS (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem "
+        "WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey "
+        f"HAVING sum(l_quantity) > {_BIG_ORDER_QTY}) "
+        "SELECT c_name, o_orderkey, o_totalprice, round(qty, 2) AS sum_qty "
+        "FROM j JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey"
+    ),
+    "q_returned_items": (
+        "SELECT c.c_custkey, c.c_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "c.c_acctbal "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE l.l_returnflag = 'R' "
+        "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-07-01' "
+        "GROUP BY c.c_custkey, c.c_name, c.c_acctbal "
+        "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, "
+        "c.c_custkey LIMIT 20"
+    ),
+    "q_quantile_bounds": (
+        "WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo, "
+        "quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem) "
+        "SELECT count(*)::BIGINT AS n_checked, "
+        "sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi "
+        "THEN 1 ELSE 0 END)::BIGINT AS n_out "
+        "FROM lineitem, b WHERE l_extendedprice IS NOT NULL"
+    ),
+    "q_completeness": (
+        "SELECT 'o_custkey' AS col, count(*)::BIGINT AS n, "
+        "CASE WHEN (count(*) - count(o_custkey)) / count(*)::DOUBLE > 0.0001 "
+        "THEN (count(*) - count(o_custkey))::BIGINT ELSE 0::BIGINT END "
+        "AS n_null_flagged, "
+        "((count(*) - count(o_custkey)) / count(*)::DOUBLE > 0.0001) AS firing "
+        "FROM orders"
+    ),
+    "q_fd_violations": (
+        "SELECT l_partkey, count(DISTINCT l_suppkey)::BIGINT AS n_dep, "
+        "count(*)::BIGINT AS n_rows FROM lineitem "
+        "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL "
+        "GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) >= 2"
+    ),
+    "q_infer_spec": (
+        "SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n, "
+        "(count(*) - count(o_orderkey))::BIGINT AS n_null, "
+        "(count(*) > 0 AND count(o_orderkey) = count(*)) AS required, "
+        "round(min(o_orderkey)::DOUBLE, 6) AS num_min, "
+        "round(max(o_orderkey)::DOUBLE, 6) AS num_max, "
+        "NULL::BIGINT AS len_min, NULL::BIGINT AS len_max, "
+        "NULL::VARCHAR AS enum_csv FROM orders "
+        "UNION ALL "
+        "SELECT 'o_orderstatus', count(*)::BIGINT, "
+        "(count(*) - count(o_orderstatus))::BIGINT, "
+        "(count(*) > 0 AND count(o_orderstatus) = count(*)), "
+        "NULL::DOUBLE, NULL::DOUBLE, "
+        "min(length(o_orderstatus))::BIGINT, max(length(o_orderstatus))::BIGINT, "
+        "CASE WHEN count(DISTINCT o_orderstatus) <= 16 "
+        "THEN string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) "
+        "ELSE NULL END FROM orders "
+        "UNION ALL "
+        "SELECT 'o_orderpriority', count(*)::BIGINT, "
+        "(count(*) - count(o_orderpriority))::BIGINT, "
+        "(count(*) > 0 AND count(o_orderpriority) = count(*)), "
+        "NULL::DOUBLE, NULL::DOUBLE, "
+        "min(length(o_orderpriority))::BIGINT, max(length(o_orderpriority))::BIGINT, "
+        "CASE WHEN count(DISTINCT o_orderpriority) <= 16 "
+        "THEN string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) "
+        "ELSE NULL END FROM orders "
+        "UNION ALL "
+        "SELECT 'o_totalprice', count(*)::BIGINT, "
+        "(count(*) - count(o_totalprice))::BIGINT, "
+        "(count(*) > 0 AND count(o_totalprice) = count(*)), "
+        "round(min(o_totalprice), 6), round(max(o_totalprice), 6), "
+        "NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR FROM orders"
+    ),
+    "q_forecast_revenue": (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 "
+        "AND l_quantity < 24"
+    ),
+    "q_promo_revenue": (
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-03-01' "
+        "AND l_shipdate < TIMESTAMP '1997-06-01'"
+    ),
+    "q_supplier_cnt": (
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO' "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "AND l_suppkey IS NOT NULL "
+        "GROUP BY p_brand, p_type, p_size"
+    ),
+    "q_waiting_orders": (
+        "SELECT s.s_name, count(*)::BIGINT AS numwait FROM supplier s "
+        "JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
+        "WHERE o.o_orderstatus = 'F' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey "
+        "AND l3.l_shipdate > l1.l_shipdate) "
+        "GROUP BY s.s_name"
+    ),
+    "q_top_balance": (
+        "SELECT c_mktsegment, count(*)::BIGINT AS numcust, "
+        "round(sum(c_acctbal), 2) AS totacctbal FROM customer "
+        "WHERE c_acctbal > "
+        "(SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL) "
+        "GROUP BY c_mktsegment"
+    ),
+    "q_shuffle": (
+        "SELECT event_id, ROW_NUMBER() OVER (ORDER BY "
+        "((event_id * 2654435761) % 4294967296 + 4294967296) % 4294967296, "
+        "event_id)::BIGINT AS pos "
+        "FROM events WHERE event_id IS NOT NULL"
+    ),
+    "q_zscore": (
+        "SELECT event_id, round((value - avg(value) OVER w) "
+        "/ stddev_pop(value) OVER w, 4) AS z "
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+        "AND event_type IS NOT NULL AND event_id IS NOT NULL "
+        "WINDOW w AS (PARTITION BY event_type)"
+    ),
+    "q_tfidf": (
+        # single-spaced corpus: string_split and the engine's
+        # str.split-semantics tokenizer agree (the shared caveat of
+        # every string_split oracle here)
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents WHERE text IS NOT NULL), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok "
+        "WHERE term <> '' GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
+        "WHERE term <> '' GROUP BY term), "
+        "n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL) "
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf "
+        "FROM tf JOIN df USING (term), n"
+    ),
+    "q_pivot": (
+        "SELECT user_id, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error, "
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+        "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
+    ),
+    "q_status_days": (
+        "WITH p AS (SELECT o_orderdate AS day, count(*)::BIGINT AS n_p "
+        "FROM orders WHERE o_orderstatus = 'P' AND o_orderdate IS NOT NULL "
+        "GROUP BY 1), "
+        "f AS (SELECT o_orderdate AS day, count(*)::BIGINT AS n_f "
+        "FROM orders WHERE o_orderstatus = 'F' AND o_orderdate IS NOT NULL "
+        "GROUP BY 1) "
+        "SELECT COALESCE(p.day, f.day) AS day, p.n_p, f.n_f "
+        "FROM p FULL OUTER JOIN f ON p.day = f.day"
+    ),
+    "q_mix": (
+        # same Knuth-hash order as hash_sample; scale/quota derived
+        # from counts with IEEE-identical double math on both sides
+        "WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents "
+        "WHERE lang IS NOT NULL GROUP BY lang), "
+        "tgt(lang, p) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), "
+        "('fr', 0.15), ('zh', 0.15)), "
+        "s AS (SELECT min(n / p) AS scale FROM cnt JOIN tgt USING (lang)), "
+        "quota AS (SELECT lang, CAST(floor(p * scale) AS BIGINT) AS k "
+        "FROM tgt, s), "
+        "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+        "FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL) "
+        "SELECT r.doc_id, r.lang FROM r JOIN quota USING (lang) WHERE rn <= k"
+    ),
+    "q_order_counts": (
+        "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, count(*)::BIGINT AS custdist "
+        "FROM per_cust GROUP BY c_count"
+    ),
+    "q_top_supplier": (
+        "WITH rev AS (SELECT l_suppkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+    ),
+    "q_brand_revenue": (
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 10 AND 40 "
+        "AND l_quantity BETWEEN 20 AND 40)"
+    ),
+    "q_budget_select": (
+        # same whitespace-token definition as q_token_counts; NULL
+        # lang/n_chars guarded like the op's bucketize drop
+        "WITH tok AS (SELECT doc_id, lang, n_chars, "
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws "
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL), "
+        # SUM(BIGINT) OVER returns HUGEINT in DuckDB, which fetchdf
+        # floats; BIGINT cast keeps the dtype int64 like the Ray side
+        "w AS (SELECT *, CAST(SUM(n_tokens_ws) OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
+        "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
+        "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_logprob": (
+        # NULL-text docs produce no row; docs whose tokens are all
+        # empty-after-split keep n_tokens=0 with NULL logprob
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents WHERE text IS NOT NULL), "
+        "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), "
+        "lm AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY term), "
+        "tot AS (SELECT count(*) AS total FROM tok2), "
+        "per_doc AS (SELECT tok2.doc_id, count(*)::BIGINT AS n_tokens, "
+        "round(avg(ln(lm.cnt::DOUBLE / tot.total)), 6) AS logprob "
+        "FROM tok2 JOIN lm USING (term), tot GROUP BY tok2.doc_id) "
+        "SELECT d.doc_id, COALESCE(per_doc.n_tokens, 0) AS n_tokens, "
+        "per_doc.logprob "
+        "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
+        "LEFT JOIN per_doc USING (doc_id)"
+    ),
+    # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
+    # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
+    # q_drift_corpus q_media_decode q_knn_ivf q_corpus_verdicts
+    # q_corpus_violations q_importance (hashed feature space + logs)
+}

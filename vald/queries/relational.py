@@ -1,0 +1,2629 @@
+"""Relational catalog queries: TPC-H-shaped joins, grouped aggregates, ranking, set ops, distribution stats.
+
+Split from the single-file catalog (round 4, VERDICT item 6): shared
+read/schema helpers live in ``vald.queries._shared``; the QUERIES /
+ORACLE_SQL registries in ``vald.queries.registry`` are asserted
+identical to the pre-split snapshot by tests/test_registry_split.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum
+
+from ._shared import _empty, _ensure_schema, _mkt_keys_ds, _read
+
+
+
+# ---------------------------------------------------------------------------
+# B12 top-k
+# ---------------------------------------------------------------------------
+
+
+def q_topk_offenders(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("event_type", use_threads=False).aggregate([("event_type", "count")])
+        return agg.rename_columns(["event_type", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "event_type"], descending=[True, False]).limit(5)
+    return _ensure_schema(top, pa.schema([("event_type", pa.string()), ("n", pa.int64())]))
+
+
+
+# ---------------------------------------------------------------------------
+# B11 dedup (distinct pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"], use_threads=False).aggregate([])
+
+    from ..runtime import bucketed_group_agg
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        [],  # empty aggs = exact global distinct on the pair
+    )
+    return _ensure_schema(pairs, pa.schema([("user_id", pa.int64()), ("event_type", pa.string())]))
+
+
+
+# ---------------------------------------------------------------------------
+# analytical breadth: TPC-H Q1-style pricing summary (grouped aggregate
+# with computed expressions, fully pre-aggregated per batch)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "price": t["l_extendedprice"],
+                "disc_price": disc_price,
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = t2.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("n", "sum")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "sum_disc_price", "n"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    cols = {
+        "l_returnflag": t["l_returnflag"],
+        "l_linestatus": t["l_linestatus"],
+        "sum_qty": pa.array([round(v, 2) for v in t["sum_qty"].to_pylist()]),
+        "sum_price": pa.array([round(v, 2) for v in t["sum_price"].to_pylist()]),
+        "sum_disc_price": pa.array(
+            [round(v, 2) for v in t["sum_disc_price"].to_pylist()]
+        ),
+        "avg_qty": pa.array(
+            [
+                round(q / n, 6)
+                for q, n in zip(t["sum_qty"].to_pylist(), t["n"].to_pylist())
+            ]
+        ),
+        "n": pc.cast(t["n"], pa.int64()),
+    }
+    return pa.table(cols)
+
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: TPC-H Q3-style shipping priority — broadcast
+# dimension filter + pre-aggregated fact + NATIVE hash inner join
+# (Dataset.join, partitions clamped) + top-k
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
+
+
+
+def q_shipping_priority(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import (
+        broadcast_or_semijoin,
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    cutoff = pa.scalar(_Q3_CUTOFF)
+
+    # date cut pushed into the scan; market-segment membership through
+    # the shared B5 switch (broadcast under threshold, left_semi above)
+    orders = broadcast_or_semijoin(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pads.field("o_orderdate") < cutoff,
+        ),
+        "o_custkey",
+        _mkt_keys_ds(sf_dir, "BUILDING"),
+        keys_on="c_custkey",
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        agg = small.group_by("l_orderkey", use_threads=False).aggregate(
+            [("revenue", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "revenue"])
+
+    li = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=pads.field("l_shipdate") > cutoff,
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("revenue", "sum")],
+    )
+
+    # join_barrier: li's upstream is an all-to-all groupby — piping it
+    # straight into the join livelocks Ray 2.49 on small CPU budgets
+    joined = join_barrier(li).join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+    # ADAPTIVE over-fetch then re-rank on ROUNDED revenue with key
+    # tiebreak, mirroring the oracle's ORDER BY round(...,2) DESC,
+    # l_orderkey. Rounding is monotone, so the fetch is provably
+    # complete when the smallest fetched rounded value is strictly
+    # below the rank-10 rounded value (ADVICE r2: a fixed 20 could
+    # miss a >20-way rounded tie at the boundary).
+    limit = 20
+    while True:
+        top = joined.sort(
+            ["revenue", "l_orderkey"], descending=[True, False]
+        ).limit(limit)
+        df = top.to_pandas()
+        exhausted = len(df) < limit
+        df["revenue"] = df["revenue"].round(2)
+        out10 = df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+        if (
+            exhausted
+            or len(out10) < 10
+            or float(df["revenue"].min()) < float(out10["revenue"].iloc[-1])
+        ):
+            df = out10
+            break
+        limit *= 4
+    return pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"].tolist(), type=pa.int64()),
+            "revenue": pa.array(df["revenue"].tolist(), type=pa.float64()),
+            "o_orderdate": pa.array(
+                df["o_orderdate"].tolist(), type=pa.timestamp("us")
+            ),
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14 set ops: semi / anti join via broadcast key membership
+# ---------------------------------------------------------------------------
+
+
+_PRICE_BANDS = [
+    ("p0_1k", 0.0, 1_000.0),
+    ("p1k_10k", 1_000.0, 10_000.0),
+    ("p10k_50k", 10_000.0, 50_000.0),
+    ("p50k_plus", 50_000.0, 1e18),
+]
+
+
+
+def q_price_bands(sf_dir: str):
+    """Broadcast RANGE JOIN: classify every lineitem row into a price
+    band via np.searchsorted against the (tiny) sorted band-edge table
+    — the small side never shuffles, the classification is one
+    vectorized binary search per batch, and the groupby moves one row
+    per band per batch (per-batch pre-aggregation)."""
+    edges = np.array([b[1] for b in _PRICE_BANDS] + [_PRICE_BANDS[-1][2]])
+    labels = np.array([b[0] for b in _PRICE_BANDS], dtype=object)
+
+    def classify(t: pa.Table) -> pa.Table:
+        px = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, px, side="right") - 1
+        keep = (idx >= 0) & (idx < len(labels))
+        idx, px = idx[keep], px[keep]
+        tt = pa.table(
+            {
+                "band": pa.array(labels[idx], type=pa.string()),
+                "n": pa.array(np.ones(len(px), dtype=np.int64)),
+                "total": pa.array(px, type=pa.float64()),
+            }
+        )
+        agg = tt.group_by("band", use_threads=False).aggregate(
+            [("n", "sum"), ("total", "sum")]
+        )
+        return agg.rename_columns(["band", "n", "total"])
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    schema = pa.schema(
+        [("band", pa.string()), ("n", pa.int64()), ("total", pa.float64())]
+    )
+    if len(t) == 0:
+        return _empty(schema)
+    return pa.table(
+        {
+            "band": t["band"],
+            "n": t["n"],
+            "total": pa.array(
+                [round(v, 2) for v in t["total"].to_pylist()], type=pa.float64()
+            ),
+        }
+    )
+
+
+
+def q_top_tokens(sf_dir: str):
+    """Top-10 corpus vocabulary tokens: Arrow-native whitespace split +
+    per-batch token-count pre-aggregation BEFORE the shuffle (the
+    explode-then-groupby pattern — the all-to-all moves one row per
+    distinct token per batch, never one row per token occurrence)."""
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(pc.fill_null(t["text"], "")))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        tt = pa.table({"token": toks, "n": pa.array(np.ones(len(toks), dtype=np.int64))})
+        agg = tt.group_by("token", use_threads=False).aggregate([("n", "sum")])
+        return agg.rename_columns(["token", "n"])
+
+    from ..runtime import bucketed_group_agg
+
+    out = (
+        bucketed_group_agg(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                tok_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "token",
+            [("n", "sum")],
+        )
+        .sort(["n", "token"], descending=[True, False])
+        .limit(10)
+    )
+    return _ensure_schema(
+        out, pa.schema([("token", pa.string()), ("n", pa.int64())])
+    )
+
+
+
+def q_asof(sf_dir: str):
+    """Each click event joined to the user's most recent prior view
+    (backward as-of join, ops.joins.asof_join) — oracle = DuckDB's
+    native ASOF JOIN. Only the matched ts is attached (payload
+    functionally dependent on (user, ts)), so right-ts ties cannot
+    make the result nondeterministic."""
+    import pyarrow.dataset as pads
+
+    from ..ops.joins import asof_join
+
+    clicks = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "click",
+    ).drop_columns(["event_type"])
+    views = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "view",
+    ).drop_columns(["event_type"])
+    out = asof_join(
+        clicks,
+        views,
+        by="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols={"ts": "view_ts"},
+        join_type="inner",
+        num_buckets=32,
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("view_ts", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+
+
+def q_range_join(sf_dir: str):
+    """Click events attributed to 24h purchase windows of the same user
+    (interval containment join, ops.joins.range_join) — multi-match:
+    one output row per (click, window) pair, like the oracle's SQL
+    inner join on the range predicate. Both sides come off the SAME
+    pushed-predicate events scan; windows are derived per batch
+    (w_start = ts, w_end = ts + 24h) before the single bucket shuffle."""
+    import pyarrow.dataset as pads
+
+    from ..ops.joins import range_join
+
+    clicks = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "click",
+    ).drop_columns(["event_type"])
+
+    def to_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        return pa.table(
+            {
+                "win_id": t["event_id"],
+                "user_id": t["user_id"],
+                "w_start": ts,
+                "w_end": pc.add(ts, pa.scalar(86_400_000_000, pa.duration("us"))),
+            }
+        )
+
+    windows = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(to_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = range_join(
+        clicks,
+        windows,
+        by="user_id",
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        point_cols=["event_id", "user_id", "ts"],
+        interval_cols={"win_id": "win_id"},
+        join_type="inner",
+        closed="left",
+        num_buckets=32,
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("win_id", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+_Q5_LO = np.datetime64("1996-01-01T00:00:00", "us")
+
+_Q5_HI = np.datetime64("1998-01-01T00:00:00", "us")
+
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 flavor: revenue by nation for ASIA customers served by
+    a supplier in the SAME nation, over a two-year order window.
+
+    Plan (scale notes): region/nation are fixed-size (5/25 rows) —
+    driver-read and folded into dense numpy lookup tables. supplier and
+    the region-filtered customer key→nation maps broadcast once via
+    ``ray.put`` (suppkey/custkey are dense ints, so the lookup is an
+    O(1) gather, not a hash probe); above a ``max_broadcast_keys``-sized
+    customer table, route the customer map through the native join
+    planner instead (same threshold policy as B5 refint — documented,
+    not implemented twice). The orders date cut is PUSHED into the
+    parquet scan; lineitem is pre-aggregated per batch by
+    (l_orderkey, s_nat) before the single native hash join on
+    orderkey, so the join moves one row per (order, supplier-nation)
+    per batch, never a raw lineitem row."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..runtime import join_partitions, join_remote_args
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_reg = reg.filter(pc.equal(reg["r_name"], pa.scalar("ASIA")))[
+        "r_regionkey"
+    ].combine_chunks()
+    nat_asia = nat.filter(
+        pc.is_in(nat["n_regionkey"], value_set=asia_reg)
+    )
+    asia_keys = nat_asia["n_nationkey"].combine_chunks()
+    name_by_key = dict(
+        zip(nat_asia["n_nationkey"].to_pylist(), nat_asia["n_name"].to_pylist())
+    )
+
+    def _dense_map(t: pa.Table, key: str, val: str) -> np.ndarray:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[val].to_numpy(zero_copy_only=False)
+        lut = np.full(int(keys.max()) + 2 if len(keys) else 2, -1, dtype=np.int32)
+        lut[keys] = vals
+        return lut
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=asia_keys))
+    sup_lut_ref = ray.put(_dense_map(sup, "s_suppkey", "s_nationkey"))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=asia_keys))
+    cust_lut_ref = ray.put(_dense_map(cust, "c_custkey", "c_nationkey"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        lut = ray.get(cust_lut_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cnat = np.where(ck < len(lut), lut[np.minimum(ck, len(lut) - 1)], -1)
+        keep = cnat >= 0
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "c_nat": pa.array(cnat[keep], type=pa.int32()),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(_Q5_LO))
+        & (pads.field("o_orderdate") < pa.scalar(_Q5_HI)),
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    _LI_EMPTY = pa.table(
+        {
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "s_nat": pa.array([], type=pa.int32()),
+            "revenue": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LI_EMPTY
+        lut = ray.get(sup_lut_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
+        keep = snat >= 0
+        if not keep.any():
+            return _LI_EMPTY
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pa.array(snat[keep], type=pa.int32()),
+                "revenue": rev,
+            }
+        )
+        agg = small.group_by(["l_orderkey", "s_nat"], use_threads=False).aggregate(
+            [("revenue", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "s_nat", "revenue"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "s_nat": pa.array([], type=pa.int32()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        keep = pc.equal(t["s_nat"], t["c_nat"])
+        t = t.filter(pc.fill_null(keep, False))
+        agg = (
+            t.select(["s_nat", "revenue"])
+            .group_by("s_nat", use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["s_nat", "revenue"])
+
+    out = (
+        joined.map_batches(same_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_nat")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    schema = pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+    if len(t) == 0:
+        return _empty(schema)
+    names = [name_by_key[int(k)] for k in t["s_nat"].to_pylist()]
+    return pa.table(
+        {
+            "n_name": pa.array(names, type=pa.string()),
+            "revenue": pa.array(
+                [round(v, 2) for v in t["revenue"].to_pylist()], type=pa.float64()
+            ),
+        }
+    ).sort_by([("revenue", "descending")])
+
+
+
+def q_semi_join(sf_dir: str):
+    """Orders of BUILDING-segment customers — left-semi membership via
+    the shared B5 switch (broadcast pc.is_in under max_broadcast_keys,
+    native left_semi join above it)."""
+    from ..runtime import broadcast_or_semijoin
+
+    out = broadcast_or_semijoin(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey",
+        _mkt_keys_ds(sf_dir, "BUILDING"),
+        keys_on="c_custkey",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no orders — anti membership via the shared B5
+    switch; the order-customer key set is distinct-ified DISTRIBUTED
+    (per-block local group_by), never raw-read on the driver."""
+    from ..runtime import broadcast_or_semijoin
+
+    out = broadcast_or_semijoin(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        "c_custkey",
+        _read(sf_dir, "orders", ["o_custkey"]),
+        keys_on="o_custkey",
+        anti=True,
+    )
+    return _ensure_schema(out, pa.schema([("c_custkey", pa.int64())]))
+
+
+
+# ---------------------------------------------------------------------------
+# B12 grouped top-k / arg-max — partial top-k combiner before the shuffle
+# (vald/ops/rank.py); ROW_NUMBER() window oracles
+# ---------------------------------------------------------------------------
+
+
+def q_top_cust_per_nation(sf_dir: str):
+    """Top-3 customers by account balance per nation, nation name via a
+    driver-side 25-row lookup (fixed-size dim — never shuffled)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.rank import grouped_topk
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_by_key = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    top = grouped_topk(
+        cust, key="c_nationkey", order_col="c_acctbal", tiebreak="c_custkey", k=3
+    )
+
+    def add_name(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [name_by_key.get(k) for k in t["c_nationkey"].to_pylist()],
+            type=pa.string(),
+        )
+        out = pa.table(
+            {
+                "n_name": names,
+                "c_custkey": t["c_custkey"],
+                "c_acctbal": t["c_acctbal"],
+                "rn": t["rn"],
+            }
+        )
+        # drop customers whose nationkey has no nation row — mirrors
+        # the oracle's INNER JOIN (self-audit: only fires on corrupt
+        # grading data; testdata FK integrity holds)
+        return out.filter(pc.is_valid(out["n_name"]))
+
+    out = top.map_batches(add_name, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("n_name", pa.string()),
+                ("c_custkey", pa.int64()),
+                ("c_acctbal", pa.float64()),
+                ("rn", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+def q_max_by(sf_dir: str):
+    """Arg-max per group: the event (smallest event_id on value ties)
+    achieving the maximum value per event_type — grouped_topk with k=1.
+    Null values are dropped (oracle guards with IS NOT NULL)."""
+    from ..ops.rank import grouped_topk
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    top = grouped_topk(
+        ev, key="event_type", order_col="value", tiebreak="event_id", k=1
+    ).select_columns(["event_type", "event_id", "value"])
+    return _ensure_schema(
+        top,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("event_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14 big-big join with conditional aggregation (TPC-H Q12 shape adapted
+# to this schema: order priority x return flag). The fact side is
+# pre-aggregated per (l_orderkey, l_returnflag) before the native hash
+# join, so the join moves one row per (order, flag), never a raw line.
+# ---------------------------------------------------------------------------
+
+_Q12_CUT = np.datetime64("1997-01-01T00:00:00", "us")
+
+
+
+def q_priority_lines(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    _HI = ("1-URGENT", "2-HIGH")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "l_returnflag": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        agg = (
+            pa.table({"l_orderkey": t["l_orderkey"], "l_returnflag": t["l_returnflag"]})
+            .group_by(["l_orderkey", "l_returnflag"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["l_orderkey", "l_returnflag", "n"])
+
+    li = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_shipdate"],
+            filter=pads.field("l_shipdate") >= pa.scalar(_Q12_CUT),
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_returnflag"],
+        [("n", "sum")],
+    )
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t["o_orderpriority"], value_set=pa.array(_HI, type=pa.string())
+        )
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "is_high": pc.fill_null(hi, False)}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # join_barrier: li's upstream is an all-to-all groupby (Ray 2.49
+    # groupby->join livelock, BENCH/BASELINE.md note 12)
+    joined = join_barrier(li).join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], type=pa.string()),
+                    "high_lines": pa.array([], type=pa.int64()),
+                    "low_lines": pa.array([], type=pa.int64()),
+                }
+            )
+        n = t["n"].to_numpy(zero_copy_only=False)
+        hi = t["is_high"].to_numpy(zero_copy_only=False)
+        small = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high_lines": pa.array(np.where(hi, n, 0), type=pa.int64()),
+                "low_lines": pa.array(np.where(hi, 0, n), type=pa.int64()),
+            }
+        )
+        agg = small.group_by("l_returnflag", use_threads=False).aggregate(
+            [("high_lines", "sum"), ("low_lines", "sum")]
+        )
+        return agg.rename_columns(["l_returnflag", "high_lines", "low_lines"])
+
+    out = (
+        joined.map_batches(split_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_lines", alias_name="high_lines"),
+            Sum("low_lines", alias_name="low_lines"),
+        )
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("high_lines", pa.int64()),
+                ("low_lines", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B6 grouped exact quantile, binned histogram, and distributed
+# correlation (Chan et al. parallel moment merge) — three more
+# aggregate shapes with SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def q_price_median_by_priority(sf_dir: str):
+    """Exact per-group median via Ray's sort-based Quantile aggregate.
+    Exact mode is the oracle twin; the t-digest sketch (vald/sketches.py)
+    is the 100-TB path — same policy as q_quantiles_exact vs
+    q_profile_sketch."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = ds.groupby("o_orderpriority").aggregate(
+        Quantile("o_totalprice", q=0.5, alias_name="median_price")
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("median_price"),
+            "median_price",
+            pc.round(t["median_price"], ndigits=6),
+        )
+
+    out = out.map_batches(_round, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema([("o_orderpriority", pa.string()), ("median_price", pa.float64())]),
+    )
+
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width binned histogram: per-batch vectorized floor-divide +
+    local count partial, then one tiny groupby over the bin ids."""
+    ev = _read(sf_dir, "events", ["value"])
+    _W = 5.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].drop_null().to_numpy(zero_copy_only=False)
+        # NaN is not NULL: floor(NaN)->int64 is undefined in numpy and
+        # errors in DuckDB's ::BIGINT — excluded on BOTH sides
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "bin": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        bins = np.floor(v / _W).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(out, pa.schema([("bin", pa.int64()), ("n", pa.int64())]))
+
+
+
+def q_corr(sf_dir: str):
+    """Distributed Pearson correlation: per-batch centered moment
+    partials (n, mean_x, mean_y, M2x, M2y, Cxy) merged pairwise with
+    Chan et al.'s update formulas (TR STAN-CS-79-773, public) — one
+    partial row per batch, numerically stable at any scale, no shuffle
+    (the merge list is O(n_batches))."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.is_valid(t["l_quantity"]), pc.is_valid(t["l_extendedprice"]))
+        t = t.filter(both)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # NaN is not NULL: it would poison every moment — excluded on
+        # BOTH sides (oracle guards with isnan)
+        fin = np.isfinite(x) & np.isfinite(y)
+        x, y = x[fin], y[fin]
+        n = len(x)
+        if n == 0:
+            return pa.table({c: pa.array([], type=pa.float64()) for c in
+                             ["n", "mx", "my", "m2x", "m2y", "cxy"]})
+        mx, my = x.mean(), y.mean()
+        return pa.table(
+            {
+                "n": pa.array([float(n)], type=pa.float64()),
+                "mx": pa.array([mx], type=pa.float64()),
+                "my": pa.array([my], type=pa.float64()),
+                "m2x": pa.array([float(((x - mx) ** 2).sum())], type=pa.float64()),
+                "m2y": pa.array([float(((y - my) ** 2).sum())], type=pa.float64()),
+                "cxy": pa.array([float(((x - mx) * (y - my)).sum())], type=pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = mx = my = m2x = m2y = cxy = 0.0
+    for r in parts.itertuples(index=False):
+        if r.n == 0:
+            continue
+        nn = n + r.n
+        dx, dy = r.mx - mx, r.my - my
+        m2x += r.m2x + dx * dx * n * r.n / nn
+        m2y += r.m2y + dy * dy * n * r.n / nn
+        cxy += r.cxy + dx * dy * n * r.n / nn
+        mx += dx * r.n / nn
+        my += dy * r.n / nn
+        n = nn
+    corr = cxy / np.sqrt(m2x * m2y) if n > 1 and m2x > 0 and m2y > 0 else None
+    return pa.table(
+        {"corr_qty_price": pa.array([round(corr, 6) if corr is not None else None],
+                                    type=pa.float64())}
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14 LEFT OUTER join: dimension rows with no fact match survive with a
+# zero count — customer × orders via the native hash join (clamped,
+# barriered), fact side pre-aggregated per key before the join
+# ---------------------------------------------------------------------------
+
+
+def q_cust_order_counts(sf_dir: str):
+    from ..runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"o_custkey": t["o_custkey"]})
+            .drop_null()
+            .group_by("o_custkey", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["o_custkey", "n_orders"])
+
+    counts = bucketed_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "o_custkey",
+        [("n_orders", "sum")],
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = cust.join(
+        join_barrier(counts),
+        join_type="left_outer",
+        num_partitions=join_partitions(None),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pc.fill_null(t["n_orders"], 0),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    return _ensure_schema(
+        out, pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())])
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B6/B15 ROLLUP: multi-level aggregate in ONE distributed pass over the
+# fact table (base (flag, status) cells), subtotal + grand-total levels
+# derived from the tiny cell table on the driver (bounded: |flags| x
+# |statuses| cells, same driver-materialization contract as profiles)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["l_quantity"],
+            }
+        )
+        agg = small.group_by(
+            ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate([("sum_qty", "sum")])
+        return agg.rename_columns(["l_returnflag", "l_linestatus", "sum_qty"])
+
+    cells = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])  # tiny key space: native path
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    )
+    cdf = cells.to_pandas()  # bounded: one row per (flag, status) cell
+    if len(cdf) == 0:
+        base = pd.DataFrame(
+            {"l_returnflag": [], "l_linestatus": [], "sum_qty": []}
+        )
+    else:
+        base = cdf
+    sub = (
+        base.groupby("l_returnflag", as_index=False)["sum_qty"]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [base["sum_qty"].sum() if len(base) else 0.0],
+        }
+    )
+    out = pd.concat([base, sub, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty"]
+    ]
+    out["sum_qty"] = out["sum_qty"].astype(float).round(6)
+    return out
+
+
+
+# ---------------------------------------------------------------------------
+# B14 EXISTS semi-join with a cross-table predicate (TPC-H Q4 shape):
+# fact side pre-aggregated to max(l_shipdate) per orderkey (bucketed
+# combine — one row per distinct key crosses the exchange), native hash
+# join (barriered per BENCH note 12), tiny final groupby stays native
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority(sf_dir: str):
+    from ..runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"l_orderkey": t["l_orderkey"], "max_ship": t["l_shipdate"]})
+            .drop_null()
+            .group_by("l_orderkey", use_threads=False)
+            .aggregate([("max_ship", "max")])
+        )
+        return agg.rename_columns(["l_orderkey", "max_ship"])
+
+    mx = bucketed_group_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "l_orderkey",
+        [("max_ship", "max")],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = orders.join(
+        join_barrier(mx),
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def exists_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(pc.greater(t["max_ship"], t["o_orderdate"]), False))
+        agg = (
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            )
+            .group_by("o_orderpriority", use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        return agg.rename_columns(["o_orderpriority", "n"])
+
+    out = (
+        joined.map_batches(exists_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")  # ≤ 5 priorities: native path
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _ensure_schema(
+        out, pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64())])
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14/B6 composition — TPC-H Q17 shape: correlated per-group average.
+# Broadcast the (selective) part-key set, pre-aggregate per-part
+# avg(l_quantity) with a bucketed combine, broadcast the resulting
+# thresholds (bounded by the dimension selectivity, same assumption as
+# the B5 broadcast-refint path), then one more streaming pass filters
+# and partial-sums. Two scans of the fact table, zero shuffles of it.
+# ---------------------------------------------------------------------------
+
+
+def q_small_qty_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import bucketed_group_agg, guarded_broadcast
+
+    part = _read(
+        sf_dir,
+        "part",
+        ["p_partkey"],
+        filter=(pads.field("p_brand") == "Brand#13") & (pads.field("p_size") < 15),
+    )
+    # selective dimension keys, distinct-ified distributed + size-guarded
+    keys_ref = guarded_broadcast(
+        part, keys_on="p_partkey", what="Q17 selective part keys"
+    )
+    if len(ray.get(keys_ref)) == 0:
+        return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
+
+    def narrow(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(keys_ref)), False
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": t["l_quantity"],
+                "price": t["l_extendedprice"],
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    sub = line.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("l_partkey", use_threads=False).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+        return agg.rename_columns(["l_partkey", "s", "c"])
+
+    thr_tbl = pa.Table.from_pandas(
+        bucketed_group_agg(
+            sub.map_batches(
+                qty_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "l_partkey",
+            [("s", "sum"), ("c", "sum")],
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    if len(thr_tbl) == 0:
+        return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
+    tk = thr_tbl["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    thr = 0.2 * (
+        thr_tbl["s"].to_numpy(zero_copy_only=False)
+        / thr_tbl["c"].to_numpy(zero_copy_only=False)
+    )
+    order = np.argsort(tk)
+    tk, thr = tk[order], thr[order]
+    thr_ref = ray.put((tk, thr))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        tks, thrs = ray.get(thr_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(tks, pk)
+        pos = np.clip(pos, 0, len(tks) - 1)
+        sel = (tks[pos] == pk) & (
+            t["qty"].to_numpy(zero_copy_only=False) < thrs[pos]
+        )
+        return pa.table(
+            {
+                "rev": pa.array(
+                    [float(t["price"].to_numpy(zero_copy_only=False)[sel].sum())],
+                    type=pa.float64(),
+                ),
+                "n": pa.array([int(sel.sum())], type=pa.int64()),
+            }
+        )
+
+    total = sub.map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+    if not total["n"]:
+        return pa.table({"avg_yearly": pa.array([None], type=pa.float64())})
+    return pa.table(
+        {
+            "avg_yearly": pa.array(
+                [round((total["rev"] or 0.0) / 7.0, 2)], type=pa.float64()
+            )
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B12 — exact distributed global ranking + NTILE (ops.rank.global_rank):
+# sample-partition-rank with a num_buckets-row count exchange; only the
+# (order, tiebreak) projection ever shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q_global_rank(sf_dir: str):
+    from ..ops.rank import global_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = global_rank(
+        ds, "o_totalprice", "o_orderkey", ntile=7, num_buckets=16
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("o_totalprice", pa.float64()),
+                ("o_orderkey", pa.int64()),
+                ("rnk", pa.int64()),
+                ("tile", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14/B4 composition — TPC-H Q18 shape (large-volume orders): grouped
+# HAVING filter on the fact table, then enrich the (rare) survivors from
+# two dimension tables. The per-orderkey sums pre-aggregate per batch,
+# the bucketed combine sees one row per distinct key per batch, and the
+# HAVING survivors broadcast — orders/customer stream through `pc.is_in`
+# filters, nothing big ever shuffles.
+# ---------------------------------------------------------------------------
+
+_BIG_ORDER_QTY = 210.0
+
+
+
+def q_big_orders(sf_dir: str):
+    from ..runtime import bucketed_group_agg, guarded_broadcast
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_orderkey"]))
+        agg = t.group_by("l_orderkey", use_threads=False).aggregate(
+            [("l_quantity", "sum")]
+        )
+        return agg.rename_columns(["l_orderkey", "qty"])
+
+    sums = bucketed_group_agg(
+        line.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("qty", "sum")],
+    )
+    big = pa.Table.from_pandas(
+        sums.map_batches(
+            lambda t: t.filter(pc.greater(t["qty"], pa.scalar(_BIG_ORDER_QTY))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    if len(big) == 0:
+        return _empty(
+            pa.schema(
+                [
+                    ("c_name", pa.string()),
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                    ("sum_qty", pa.float64()),
+                ]
+            )
+        )
+    # HAVING survivors are rare by construction; the guard still
+    # refuses loudly if a threshold change ever unbounds them
+    okeys_ref = guarded_broadcast(
+        big["l_orderkey"], what="Q18 HAVING-survivor order keys"
+    )
+    orders = pa.Table.from_pandas(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.is_in(t["o_orderkey"], value_set=ray.get(okeys_ref)), False
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas(),
+        preserve_index=False,
+    )
+    ckeys_ref = guarded_broadcast(
+        orders["o_custkey"], what="Q18 survivor customer keys"
+    )
+    cust = pa.Table.from_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.is_in(t["c_custkey"], value_set=ray.get(ckeys_ref)), False
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas(),
+        preserve_index=False,
+    )
+    # driver-side final assembly over the (bounded) survivor set
+    df = (
+        big.to_pandas()
+        .merge(orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    )
+    df["sum_qty"] = df["qty"].round(2)
+    out = df[["c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 flavor: revenue lost to returned items per customer —
+# selective fact filter (l_returnflag='R') + date-windowed orders join
+# + grouped revenue + adaptive rounded top-20 + driver-side dimension
+# enrichment of the 20 survivors only.
+# ---------------------------------------------------------------------------
+
+_Q10_LO = np.datetime64("1997-01-01T00:00:00", "us")
+
+_Q10_HI = np.datetime64("1997-07-01T00:00:00", "us")
+
+
+
+def q_returned_items(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.fill_null(pc.equal(t["l_returnflag"], pa.scalar("R")), False)
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        agg = (
+            pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+            .group_by("l_orderkey", use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["l_orderkey", "revenue"])
+
+    li = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+            filter=pads.field("l_returnflag") == "R",
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("revenue", "sum")],
+    )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(_Q10_LO))
+        & (pads.field("o_orderdate") < pa.scalar(_Q10_HI)),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    joined = join_barrier(li).join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"o_custkey": t["o_custkey"], "revenue": t["revenue"]})
+            .group_by("o_custkey", use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["c_custkey", "revenue"])
+
+    per_cust = bucketed_group_agg(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        "c_custkey",
+        [("revenue", "sum")],
+    )
+
+    # adaptive over-fetch on ROUNDED revenue with custkey tiebreak
+    # (same provably-complete fetch rule as q_shipping_priority)
+    limit = 40
+    while True:
+        df = (
+            per_cust.sort(["revenue", "c_custkey"], descending=[True, False])
+            .limit(limit)
+            .to_pandas()
+        )
+        exhausted = len(df) < limit
+        df["revenue"] = df["revenue"].round(2)
+        out20 = df.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True]
+        ).head(20)
+        if (
+            exhausted
+            or len(out20) < 20
+            or float(df["revenue"].min()) < float(out20["revenue"].iloc[-1])
+        ):
+            df = out20
+            break
+        limit *= 4
+
+    # dimension enrichment on the 20 survivors only — driver-side gather
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    cust = cust.filter(
+        pc.is_in(
+            cust["c_custkey"],
+            value_set=pa.array(df["c_custkey"].tolist(), type=pa.int64()),
+        )
+    ).to_pandas()
+    df = df.merge(cust, on="c_custkey", how="left")
+    return pa.table(
+        {
+            "c_custkey": pa.array(df["c_custkey"].tolist(), type=pa.int64()),
+            "c_name": pa.array(df["c_name"].tolist(), type=pa.string()),
+            "revenue": pa.array(df["revenue"].tolist(), type=pa.float64()),
+            "c_acctbal": pa.array(df["c_acctbal"].tolist(), type=pa.float64()),
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 flavor: promo revenue share over a ship-date window —
+# broadcast promo part-key set (dimension side read once on the
+# driver, ray.put), ONE streaming pass over lineitem with two scalar
+# accumulators; no shuffle at all.
+# ---------------------------------------------------------------------------
+
+_Q14_LO = np.datetime64("1997-03-01T00:00:00", "us")
+
+_Q14_HI = np.datetime64("1997-06-01T00:00:00", "us")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 flavor: forecast revenue change — a pure scan-filter-sum.
+# Every predicate (date window, discount band, quantity cap) is pushed
+# into the parquet fragment scanner via `filter=`, so at scale row-group
+# statistics on l_shipdate/l_discount skip IO entirely; what survives is
+# one multiply + one Sum aggregate. Zero shuffles, zero joins — the
+# canonical predicate-pushdown showcase (SURVEY §2.B B1).
+# ---------------------------------------------------------------------------
+
+_Q6_LO = np.datetime64("1997-01-01T00:00:00", "us")
+
+_Q6_HI = np.datetime64("1998-01-01T00:00:00", "us")
+
+
+
+def q_forecast_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py()
+        return pa.table({"revenue": pa.array([rev or 0.0], type=pa.float64())})
+
+    total = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_extendedprice", "l_discount"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q6_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q6_HI))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0),
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    rev = round(total["revenue"] or 0.0, 2)
+    return pa.table({"revenue": pa.array([rev], type=pa.float64())})
+
+
+
+def q_promo_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import guarded_broadcast
+
+    # promo part keys: pruned+filtered distributed read, distinct-ified
+    # per block, size-guarded broadcast
+    promo_ref = guarded_broadcast(
+        _read(
+            sf_dir,
+            "part",
+            ["p_partkey"],
+            filter=pads.field("p_type") == "PROMO",
+        ),
+        keys_on="p_partkey",
+        what="Q14 promo part keys",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        m = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(promo_ref)), False
+        )
+        return pa.table(
+            {
+                "promo": [pc.sum(pc.if_else(m, rev, pa.scalar(0.0))).as_py() or 0.0],
+                "total": [pc.sum(rev).as_py() or 0.0],
+            }
+        )
+
+    totals = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q14_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q14_HI)),
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("promo", alias_name="promo"), Sum("total", alias_name="total"))
+    )
+    pct = round(100.0 * (totals["promo"] or 0.0) / (totals["total"] or 1.0), 4)
+    return pa.table({"promo_pct": pa.array([pct], type=pa.float64())})
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 flavor: distinct supplier count per part attribute triple,
+# excluding a (broadcast) supplier blocklist — dimension attrs folded
+# to a dense part-key LUT so the fact rows carry ONE int32, exact
+# distinct via local per-batch dedup + bucketed pair exchange, then a
+# shuffle-free grouped count (the q_daily_distinct shape).
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_cnt(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..runtime import bucketed_group_agg, guarded_broadcast
+
+    # supplier blocklist: filtered distributed read + guarded broadcast
+    excl_ref = guarded_broadcast(
+        _read(
+            sf_dir,
+            "supplier",
+            ["s_suppkey"],
+            filter=pads.field("s_acctbal") < 0.0,
+        ),
+        keys_on="s_suppkey",
+        what="Q16 supplier blocklist",
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.not_equal(part["p_brand"], pa.scalar("Brand#4")),
+        pc.not_equal(part["p_type"], pa.scalar("PROMO")),
+    )
+    part = part.filter(keep).combine_chunks()
+    # several partkeys can share one (brand, type, size) triple — the
+    # count is distinct suppliers per TRIPLE, so factorize triples on
+    # the driver and map partkey -> dense triple id
+    pdf = part.to_pandas()
+    triple_id = (
+        pdf.groupby(["p_brand", "p_type", "p_size"], sort=False)
+        .ngroup()
+        .to_numpy()
+    )
+    rep = pdf.drop_duplicates(["p_brand", "p_type", "p_size"]).assign(
+        _tid=lambda d: triple_id[d.index]
+    ).set_index("_tid")
+    pk = pdf["p_partkey"].to_numpy()
+    lut = np.full(int(pk.max()) + 2 if len(pk) else 2, -1, dtype=np.int64)
+    lut[pk] = triple_id.astype(np.int64)
+    lut_ref = ray.put(lut)
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "p_idx": pa.array([], type=pa.int64()),
+            "l_suppkey": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if len(t) == 0:
+            return _EMPTY_PAIRS
+        t = t.filter(
+            pc.invert(
+                pc.fill_null(
+                    pc.is_in(t["l_suppkey"], value_set=ray.get(excl_ref)), False
+                )
+            )
+        )
+        lt = ray.get(lut_ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.where(k < len(lt), lt[np.minimum(k, len(lt) - 1)], -1)
+        m = idx >= 0
+        if not m.any():
+            return _EMPTY_PAIRS
+        return (
+            pa.table(
+                {
+                    "p_idx": pa.array(idx[m], type=pa.int64()),
+                    "l_suppkey": t["l_suppkey"].filter(pa.array(m)),
+                }
+            )
+            .group_by(["p_idx", "l_suppkey"], use_threads=False)
+            .aggregate([])
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"p_idx": t["p_idx"]})
+            .group_by("p_idx", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["p_idx", "supplier_cnt"])
+
+    counts = (
+        bucketed_group_agg(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+                local_pairs, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["p_idx", "l_suppkey"],
+            [],  # exact global distinct on the (part, supplier) pair
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("p_idx")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    idx = counts["p_idx"].to_numpy().astype(np.int64)
+    sel = rep.loc[idx]
+    return pa.table(
+        {
+            "p_brand": pa.array(sel["p_brand"].tolist(), type=pa.string()),
+            "p_type": pa.array(sel["p_type"].tolist(), type=pa.string()),
+            "p_size": pa.array(
+                sel["p_size"].to_numpy().astype(np.int32), type=pa.int32()
+            ),
+            "supplier_cnt": pa.array(
+                counts["supplier_cnt"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 flavor: suppliers who were the LAST shipper on a
+# multi-supplier 'F' order (EXISTS + NOT EXISTS double correlation).
+# Plan: broadcast the F-order key set (route through the native join
+# above the B5 planner threshold), bucket the surviving fact rows by
+# order key, and resolve both correlated subqueries VECTORIZED inside
+# each bucket: per-(order,supplier) ship-date maxima, per-order top-2
+# distinct-supplier maxima, a row waits iff its supplier set has a
+# rival and its ship date >= the best rival max. Only per-supplier
+# partial counts leave the bucket.
+# ---------------------------------------------------------------------------
+
+
+def q_waiting_orders(sf_dir: str):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..runtime import broadcast_or_semijoin
+
+    # F-order membership through the shared B5 switch (VERDICT r3 #1):
+    # F orders are ~half the orders table, so the key set is FACT-scale.
+    # Under max_broadcast_keys the distinct keys broadcast (computed
+    # distributed-first); above it lineitem left_semi-joins the key
+    # Dataset and nothing fact-sized ever lands on the driver.
+    fkeys = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+
+    def waits(g: pd.DataFrame) -> pd.DataFrame:
+        # per-(order,supplier) max ship date
+        pairs = (
+            g.groupby(["l_orderkey", "l_suppkey"], sort=False)["l_shipdate"]
+            .max()
+            .reset_index()
+        )
+        grp = pairs.groupby("l_orderkey", sort=False)["l_shipdate"]
+        top1 = grp.transform("max")
+        n_at_top = (
+            pairs["l_shipdate"]
+            .eq(top1)
+            .groupby(pairs["l_orderkey"], sort=False)
+            .transform("sum")
+        )
+        # second-best pair max per order (for the sole top supplier)
+        below = pairs["l_shipdate"].where(pairs["l_shipdate"] < top1)
+        top2 = below.groupby(pairs["l_orderkey"], sort=False).transform("max")
+        nsupp = grp.transform("size")
+        is_sole_top = pairs["l_shipdate"].eq(top1) & n_at_top.eq(1)
+        pairs["other_max"] = np.where(is_sole_top, top2, top1)
+        pairs = pairs[nsupp > 1].drop(columns=["l_shipdate"])
+        m = g.merge(pairs, on=["l_orderkey", "l_suppkey"], how="inner")
+        m = m[m["l_shipdate"] >= m["other_max"]]
+        out = (
+            m.groupby("l_suppkey", sort=False).size().rename("n").reset_index()
+        )
+        return out
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = broadcast_or_semijoin(li, "l_orderkey", fkeys, keys_on="o_orderkey")
+    # B4 data-scaled bucket rule from parquet metadata (no extra scan)
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    nb = max(8, -(-n_rows // 2_000_000))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(nb)
+        return t.append_column("__b", pa.array(b.astype(np.int32)))
+
+    partials = (
+        li.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: waits(g.drop(columns=["__b"])), batch_format="pandas"
+        )
+    )
+    counts = (
+        partials.groupby("l_suppkey")  # 100s of suppliers: native path
+        .aggregate(Sum("n", alias_name="numwait"))
+        .to_pandas()
+    )
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = counts.merge(
+        names, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    )
+    return pa.table(
+        {
+            "s_name": pa.array(out["s_name"].tolist(), type=pa.string()),
+            "numwait": pa.array(
+                out["numwait"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 flavor: high-balance customers with no 'F'-status orders,
+# grouped by market segment — scalar AVG subquery (one streaming
+# aggregate, broadcast), distributed distinct of the F-customer keys,
+# then a broadcast anti-join (B5 planner shape: pc.is_in under the
+# threshold, left_anti join above it) and a tiny native groupby.
+# ---------------------------------------------------------------------------
+
+
+def q_top_balance(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import broadcast_or_semijoin
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(
+            pc.fill_null(pc.greater(t["c_acctbal"], pa.scalar(0.0)), False)
+        )
+        return pa.table(
+            {
+                "s": [pc.sum(pos["c_acctbal"]).as_py() or 0.0],
+                "n": [len(pos)],
+            }
+        )
+
+    tot = cust.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    avg_bal = (tot["s"] or 0.0) / max(tot["n"] or 0, 1)
+
+    # F-customer anti-membership through the shared B5 switch (VERDICT
+    # r3 #2): distinct F custkeys are computed distributed-first and
+    # broadcast under max_broadcast_keys; above it the high-balance
+    # survivors left_anti-join the key Dataset — no unconditional
+    # driver-side key pull.
+    f_orders = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+
+    def hi_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.fill_null(pc.greater(t["c_acctbal"], pa.scalar(avg_bal)), False)
+        )
+
+    survivors = broadcast_or_semijoin(
+        cust.map_batches(hi_only, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey",
+        f_orders,
+        keys_on="o_custkey",
+        anti=True,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table(
+                {"c_mktsegment": t["c_mktsegment"], "bal": t["c_acctbal"]}
+            )
+            .group_by("c_mktsegment", use_threads=False)
+            .aggregate([([], "count_all"), ("bal", "sum")])
+        )
+        return agg.rename_columns(["c_mktsegment", "numcust", "totacctbal"])
+
+    out = (
+        survivors.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")  # 5 segments: native path
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal", alias_name="totacctbal"),
+        )
+        .to_pandas()
+    )
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(out["c_mktsegment"].tolist(), type=pa.string()),
+            "numcust": pa.array(out["numcust"].to_numpy().astype(np.int64)),
+            "totacctbal": pa.array(
+                out["totacctbal"].to_numpy().astype(np.float64)
+            ),
+        }
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14 full-outer join: per-day 'P'-status vs 'F'-status order counts —
+# days that saw only one status keep a NULL on the other side. Both
+# sides pre-aggregate per batch before ONE native full_outer hash join
+# (Ray coalesces the key across sides).
+# ---------------------------------------------------------------------------
+
+
+def q_status_days(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def side(status: str, out: str):
+        def partial(t: pa.Table) -> pa.Table:
+            agg = (
+                pa.table(
+                    {
+                        "day": t["o_orderdate"],
+                        out: pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                )
+                .drop_null()
+                .group_by("day", use_threads=False)
+                .aggregate([(out, "sum")])
+            )
+            return agg.rename_columns(["day", out])
+
+        return bucketed_group_agg(
+            _read(
+                sf_dir,
+                "orders",
+                ["o_orderdate", "o_orderstatus"],
+                filter=pads.field("o_orderstatus") == status,
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "day",
+            [(out, "sum")],
+        )
+
+    joined = join_barrier(side("P", "n_p")).join(
+        join_barrier(side("F", "n_f")),
+        join_type="full_outer",
+        num_partitions=join_partitions(None),
+        on=("day",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+    return _ensure_schema(
+        joined,
+        pa.schema(
+            [
+                ("day", pa.timestamp("us")),
+                ("n_p", pa.int64()),
+                ("n_f", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — distributed
+# pre-aggregated counts LEFT OUTER joined back to the full customer
+# list (zero-order customers must appear), then a count-of-counts.
+# ---------------------------------------------------------------------------
+
+
+def q_order_counts(sf_dir: str):
+    from ..runtime import (
+        bucketed_group_agg,
+        join_barrier,
+        join_partitions,
+        join_remote_args,
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_custkey"]))
+        small = pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by("c_custkey", use_threads=False).aggregate(
+            [("n_orders", "sum")]
+        )
+        return agg.rename_columns(["c_custkey", "n_orders"])
+
+    counts = bucketed_group_agg(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "c_custkey",
+        [("n_orders", "sum")],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = join_barrier(cust).join(
+        join_barrier(counts),
+        join_type="left_outer",
+        num_partitions=join_partitions(None),
+        on=("c_custkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "c_count": pc.fill_null(pc.cast(t["n_orders"], pa.int64()), 0),
+                "custdist": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by("c_count", use_threads=False).aggregate(
+            [("custdist", "sum")]
+        )
+        return agg.rename_columns(["c_count", "custdist"])
+
+    out = bucketed_group_agg(
+        joined.map_batches(dist_partial, batch_format="pyarrow"),
+        "c_count",
+        [("custdist", "sum")],
+    )
+    return _ensure_schema(
+        out, pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: global-max scalar subquery — per-supplier revenue in a
+# ship-date window (pushdown), distributed max, winners (ties kept, as
+# in the spec) enriched from the supplier dimension.
+# ---------------------------------------------------------------------------
+
+_Q15_LO = np.datetime64("1996-01-01T00:00:00", "us")
+
+_Q15_HI = np.datetime64("1996-04-01T00:00:00", "us")
+
+
+
+def q_top_supplier(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import bucketed_group_agg
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_suppkey"]))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table({"l_suppkey": t["l_suppkey"], "total_revenue": rev})
+        agg = small.group_by("l_suppkey", use_threads=False).aggregate(
+            [("total_revenue", "sum")]
+        )
+        return agg.rename_columns(["l_suppkey", "total_revenue"])
+
+    rev = bucketed_group_agg(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q15_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q15_HI)),
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "l_suppkey",
+        [("total_revenue", "sum")],
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_revenue"),
+            "total_revenue",
+            pc.round(t["total_revenue"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    gmax = rev.max("total_revenue")
+    winners = pa.Table.from_pandas(
+        rev.map_batches(
+            lambda t: t.filter(pc.equal(t["total_revenue"], pa.scalar(gmax))),
+            batch_format="pyarrow",
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    if len(winners) == 0:
+        return _empty(
+            pa.schema(
+                [
+                    ("s_suppkey", pa.int64()),
+                    ("s_name", pa.string()),
+                    ("total_revenue", pa.float64()),
+                ]
+            )
+        )
+    from ..runtime import guarded_broadcast
+
+    wkeys_ref = guarded_broadcast(
+        winners["l_suppkey"], what="Q15 global-max winner suppkeys"
+    )
+    supp = pa.Table.from_pandas(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.is_in(t["s_suppkey"], value_set=ray.get(wkeys_ref)), False
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas(),
+        preserve_index=False,
+    )
+    out = supp.join(
+        winners.rename_columns(["s_suppkey", "total_revenue"]), keys="s_suppkey"
+    )
+    return out.select(["s_suppkey", "s_name", "total_revenue"])
+
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-clause predicate over a broadcast
+# dimension — part pruned AT THE SCAN to the union of clause brands,
+# per-clause (partkey-set, quantity-range) broadcast once; clauses are
+# brand-disjoint so per-clause sums compose the OR exactly.
+# ---------------------------------------------------------------------------
+
+_Q19_CLAUSES = [
+    ("Brand#12", 1, 15, 1.0, 20.0),
+    ("Brand#23", 5, 25, 10.0, 30.0),
+    ("Brand#34", 10, 40, 20.0, 40.0),
+]
+
+
+
+def q_brand_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..runtime import guarded_broadcast
+
+    brands = [c[0] for c in _Q19_CLAUSES]
+    part = pa.Table.from_pandas(
+        _read(
+            sf_dir,
+            "part",
+            ["p_partkey", "p_brand", "p_size"],
+            filter=pads.field("p_brand").isin(brands),
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    clause_keys = []
+    for brand, slo, shi, qlo, qhi in _Q19_CLAUSES:
+        m = pc.and_(
+            pc.equal(part["p_brand"], pa.scalar(brand)),
+            pc.and_(
+                pc.greater_equal(part["p_size"], pa.scalar(slo)),
+                pc.less_equal(part["p_size"], pa.scalar(shi)),
+            ),
+        )
+        keys = part.filter(pc.fill_null(m, False))["p_partkey"]
+        clause_keys.append(
+            (
+                guarded_broadcast(keys, what=f"Q19 {brand} part keys"),
+                qlo,
+                qhi,
+            )
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = 0.0
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        for kref, qlo, qhi in clause_keys:
+            m = pc.fill_null(pc.is_in(t["l_partkey"], value_set=ray.get(kref)), False)
+            m = pc.and_(
+                m,
+                pc.and_(
+                    pc.fill_null(
+                        pc.greater_equal(t["l_quantity"], pa.scalar(qlo)), False
+                    ),
+                    pc.fill_null(
+                        pc.less_equal(t["l_quantity"], pa.scalar(qhi)), False
+                    ),
+                ),
+            )
+            s = pc.sum(pc.if_else(m, rev, pa.scalar(0.0))).as_py()
+            total += s or 0.0
+        return pa.table({"revenue": pa.array([total], type=pa.float64())})
+
+    total = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("revenue")
+    )
+    return pa.table({"revenue": pa.array([round(total or 0.0, 2)], pa.float64())})
+
+
+
+# ---------------------------------------------------------------------------
+# B14 TPC-H Q7 shape: bilateral trade volume between two nations by
+# ship year — two broadcast dimension LUTs, fact side pre-aggregated
+# per (orderkey, supp-nation, year), ONE native hash join
+# ---------------------------------------------------------------------------
+
+_Q7_LO = np.datetime64("1995-01-01T00:00:00", "us")
+
+_Q7_HI = np.datetime64("1997-01-01T00:00:00", "us")
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+
+def q_trade_volume(sf_dir: str):
+    """TPC-H Q7 flavor: revenue shipped between NATION_1 and NATION_2
+    (both directions, kept distinct) by ship year over 1995–1996.
+
+    Plan (scale notes): nation is fixed-size; supplier/customer
+    key→nation maps are filtered to the two nations at the driver and
+    broadcast once as dense int LUTs (`ray.put`, O(1) gathers — same
+    policy as q_revenue_by_nation, with the same documented
+    max_broadcast_keys escape to the join planner). The l_shipdate
+    window is PUSHED into the lineitem scan; lineitem pre-aggregates
+    revenue per (l_orderkey, s_nat, year) per batch, so the single
+    native hash join on orderkey moves one row per
+    (order, supplier-nation, year), never a raw lineitem row. The
+    cross-pair predicate (snat≠cnat within the two-nation set) is
+    applied post-join and the final groupby is 4 cells."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..runtime import join_partitions, join_remote_args
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat2 = nat.filter(pc.is_in(nat["n_name"], value_set=pa.array(_Q7_NATIONS)))
+    keys2 = nat2["n_nationkey"].combine_chunks()
+    name_by_key = dict(
+        zip(nat2["n_nationkey"].to_pylist(), nat2["n_name"].to_pylist())
+    )
+
+    def _dense_map(t: pa.Table, key: str, val: str) -> np.ndarray:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[val].to_numpy(zero_copy_only=False)
+        lut = np.full(int(keys.max()) + 2 if len(keys) else 2, -1, dtype=np.int32)
+        lut[keys] = vals
+        return lut
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=keys2))
+    sup_lut_ref = ray.put(_dense_map(sup, "s_suppkey", "s_nationkey"))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=keys2))
+    cust_lut_ref = ray.put(_dense_map(cust, "c_custkey", "c_nationkey"))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        lut = ray.get(cust_lut_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cnat = np.where(ck < len(lut), lut[np.minimum(ck, len(lut) - 1)], -1)
+        keep = cnat >= 0
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "c_nat": pa.array(cnat[keep], type=pa.int32()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _LI_EMPTY = pa.table(
+        {
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "s_nat": pa.array([], type=pa.int32()),
+            "l_year": pa.array([], type=pa.int64()),
+            "revenue": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LI_EMPTY
+        lut = ray.get(sup_lut_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
+        keep = snat >= 0
+        if not keep.any():
+            return _LI_EMPTY
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nat": pa.array(snat[keep], type=pa.int32()),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "revenue": rev,
+            }
+        )
+        agg = small.group_by(
+            ["l_orderkey", "s_nat", "l_year"], use_threads=False
+        ).aggregate([("revenue", "sum")])
+        return agg.rename_columns(["l_orderkey", "s_nat", "l_year", "revenue"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(_Q7_LO))
+        & (pads.field("l_shipdate") < pa.scalar(_Q7_HI)),
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    schema = pa.schema(
+        [
+            ("supp_nation", pa.string()),
+            ("cust_nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("revenue", pa.float64()),
+        ]
+    )
+    # both join inputs are pre-aggregated projections — barrier them and
+    # short-circuit on empties (schema-less-empty-bundle guard, runtime)
+    from ..runtime import barrier_nonempty
+
+    li, n_li = barrier_nonempty(li)
+    if n_li == 0:
+        return _empty(schema)
+    orders, n_ord = barrier_nonempty(orders)
+    if n_ord == 0:
+        return _empty(schema)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def cross_pair(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "s_nat": pa.array([], type=pa.int32()),
+                    "c_nat": pa.array([], type=pa.int32()),
+                    "l_year": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        keep = pc.invert(pc.equal(t["s_nat"], t["c_nat"]))
+        t = t.filter(pc.fill_null(keep, False))
+        agg = (
+            t.select(["s_nat", "c_nat", "l_year", "revenue"])
+            .group_by(["s_nat", "c_nat", "l_year"], use_threads=False)
+            .aggregate([("revenue", "sum")])
+        )
+        return agg.rename_columns(["s_nat", "c_nat", "l_year", "revenue"])
+
+    out = (
+        joined.map_batches(cross_pair, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if len(t) == 0:
+        return _empty(schema)
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [name_by_key[int(k)] for k in t["s_nat"].to_pylist()],
+                type=pa.string(),
+            ),
+            "cust_nation": pa.array(
+                [name_by_key[int(k)] for k in t["c_nat"].to_pylist()],
+                type=pa.string(),
+            ),
+            "l_year": pc.cast(t["l_year"], pa.int64()),
+            "revenue": pa.array(
+                [round(v, 2) for v in t["revenue"].to_pylist()], type=pa.float64()
+            ),
+        }
+    ).sort_by(
+        [
+            ("supp_nation", "ascending"),
+            ("cust_nation", "ascending"),
+            ("l_year", "ascending"),
+        ]
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B14 TPC-H Q8 shape: one nation's market share of MEDIUM-part revenue
+# sold to ASIA-region customers, by order year — three broadcast
+# dimension structures, fact pre-aggregated per (orderkey, is_target),
+# ONE native hash join, 2-row final groupby
+# ---------------------------------------------------------------------------
+
+_Q8_LO = np.datetime64("1995-01-01T00:00:00", "us")
+
+_Q8_HI = np.datetime64("1997-01-01T00:00:00", "us")
+
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 flavor: NATION_2's share of MEDIUM-part revenue sold
+    to ASIA customers, per order year 1995–1996.
+
+    Plan (scale notes): the p_type cut is PUSHED into the part scan and
+    only the surviving key ARRAY broadcasts (`ray.put` + `pc.is_in` —
+    the B5 broadcast policy; above max_broadcast_keys route through the
+    join planner). The supplier side needs only a per-suppkey target
+    bit, broadcast as a dense int8 LUT. The orders date window is
+    pushed into the scan and the ASIA-customer key set broadcast for
+    the membership cut, leaving (o_orderkey, o_year). lineitem
+    pre-aggregates volume per (l_orderkey, is_target) per batch, so the
+    single native hash join on orderkey moves ≤ 2 rows per order. The
+    share division happens on the 2-row final table."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..runtime import join_partitions, join_remote_args
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_reg = reg.filter(pc.equal(reg["r_name"], pa.scalar("ASIA")))[
+        "r_regionkey"
+    ].combine_chunks()
+    asia_nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia_reg))[
+        "n_nationkey"
+    ].combine_chunks()
+    target_key = nat.filter(pc.equal(nat["n_name"], pa.scalar("NATION_2")))[
+        "n_nationkey"
+    ].combine_chunks()
+
+    from ..runtime import guarded_broadcast
+
+    # p_type cut pushed into a distributed scan; keys distinct-ified
+    # per block and size-guarded before the broadcast
+    part_ref = guarded_broadcast(
+        _read(
+            sf_dir,
+            "part",
+            ["p_partkey"],
+            filter=pads.field("p_type") == "MEDIUM",
+        ),
+        keys_on="p_partkey",
+        what="Q8 MEDIUM part keys",
+    )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    lut = np.zeros(int(sk.max()) + 2 if len(sk) else 2, dtype=np.int8)
+    lut[sk[np.isin(sn, target_key.to_numpy(zero_copy_only=False))]] = 1
+    sup_lut_ref = ray.put(lut)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    asia_cust = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=asia_nat)
+    )["c_custkey"]
+    cust_ref = guarded_broadcast(asia_cust, what="Q8 ASIA customer keys")
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(t["o_custkey"], value_set=ray.get(cust_ref)), False
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(_Q8_LO))
+        & (pads.field("o_orderdate") < pa.scalar(_Q8_HI)),
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    _LI_EMPTY = pa.table(
+        {
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "is_target": pa.array([], type=pa.int8()),
+            "volume": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _LI_EMPTY
+        keep = pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ray.get(part_ref)), False
+        )
+        t = t.filter(keep)
+        if len(t) == 0:
+            return _LI_EMPTY
+        slut = ray.get(sup_lut_ref)
+        skv = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        is_t = np.where(skv < len(slut), slut[np.minimum(skv, len(slut) - 1)], 0)
+        vol = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        small = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "is_target": pa.array(is_t, type=pa.int8()),
+                "volume": vol,
+            }
+        )
+        agg = small.group_by(
+            ["l_orderkey", "is_target"], use_threads=False
+        ).aggregate([("volume", "sum")])
+        return agg.rename_columns(["l_orderkey", "is_target", "volume"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    schema = pa.schema([("o_year", pa.int64()), ("mkt_share", pa.float64())])
+    # empty-side short-circuit (schema-less-empty-bundle guard, runtime)
+    from ..runtime import barrier_nonempty
+
+    li, n_li = barrier_nonempty(li)
+    if n_li == 0:
+        return _empty(schema)
+    orders, n_ord = barrier_nonempty(orders)
+    if n_ord == 0:
+        return _empty(schema)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], type=pa.int64()),
+                    "target_vol": pa.array([], type=pa.float64()),
+                    "total_vol": pa.array([], type=pa.float64()),
+                }
+            )
+        tv = pc.if_else(
+            pc.equal(t["is_target"], pa.scalar(1, type=pa.int8())),
+            t["volume"],
+            pa.scalar(0.0),
+        )
+        small = pa.table(
+            {"o_year": t["o_year"], "target_vol": tv, "total_vol": t["volume"]}
+        )
+        agg = small.group_by("o_year", use_threads=False).aggregate(
+            [("target_vol", "sum"), ("total_vol", "sum")]
+        )
+        return agg.rename_columns(["o_year", "target_vol", "total_vol"])
+
+    out = (
+        joined.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_vol", alias_name="target_vol"),
+            Sum("total_vol", alias_name="total_vol"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if len(t) == 0:
+        return _empty(schema)
+    share = pc.round(pc.divide(t["target_vol"], t["total_vol"]), ndigits=6)
+    return pa.table(
+        {"o_year": pc.cast(t["o_year"], pa.int64()), "mkt_share": share}
+    ).sort_by([("o_year", "ascending")])

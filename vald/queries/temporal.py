@@ -1,0 +1,352 @@
+"""Windowed / event-time catalog queries: tumbling, sliding, sessions, cumulative, rolling, lag, transitions, latest-by, daily distinct.
+
+Split from the single-file catalog (round 4, VERDICT item 6): shared
+read/schema helpers live in ``vald.queries._shared``; the QUERIES /
+ORACLE_SQL registries in ``vald.queries.registry`` are asserted
+identical to the pre-split snapshot by tests/test_registry_split.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum
+
+from ._shared import _empty, _ensure_schema, _mkt_keys_ds, _read
+
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate over the events stream: tumbling 1-hour windows
+# via the B18 library operator (vald.ops.windows.tumbling_window)
+# ---------------------------------------------------------------------------
+
+
+def q_window_hourly(sf_dir: str):
+    from datetime import timedelta
+
+    from ..ops.windows import tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    out = tumbling_window(
+        ds, "ts", timedelta(hours=1), key_cols=("event_type",), out_col="n"
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B18 sliding windows: 2-hour windows advancing hourly via the library
+# operator (vald.ops.windows.sliding_window — vectorized explode,
+# per-batch pre-aggregation before the shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_window_sliding(sf_dir: str):
+    from datetime import timedelta
+
+    from ..ops.windows import sliding_window
+
+    ds = _read(sf_dir, "events", ["ts"])
+    out = sliding_window(
+        ds, "ts", timedelta(hours=2), timedelta(hours=1), out_col="n"
+    )
+    return _ensure_schema(
+        out,
+        pa.schema([("window_start", pa.timestamp("us")), ("n", pa.int64())]),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B18 session windows: gap-based sessionization (30-min inactivity)
+# via the library operator (vald.ops.windows.sessionize) — data-scaled
+# bucket count (B4 rule), results bucket-count-invariant
+# ---------------------------------------------------------------------------
+
+
+def q_sessions(sf_dir: str):
+    from datetime import timedelta
+
+    from ..ops.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", timedelta(minutes=30))
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("session_id", pa.int64()),
+                ("session_start", pa.timestamp("us")),
+                ("n_events", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B11 exact distinct-count per group: per-batch local distinct, one
+# exchange on the (day, user) pair, shuffle-free per-day count partials
+# ---------------------------------------------------------------------------
+
+
+def q_daily_distinct(sf_dir: str):
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], type=pa.string()),
+                    "user_id": pa.array([], type=pa.int64()),
+                }
+            )
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return (
+            pa.table({"day": day, "user_id": t["user_id"]})
+            .group_by(["day", "user_id"], use_threads=False)
+            .aggregate([])
+        )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"day": t["day"]})
+            .group_by("day", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["day", "n_users"])
+
+    from ..runtime import bucketed_group_agg
+
+    out = (
+        bucketed_group_agg(
+            ev.map_batches(
+                local_distinct, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["day", "user_id"],
+            [],  # empty aggs = exact global distinct on the pair
+        )
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return _ensure_schema(
+        out, pa.schema([("day", pa.string()), ("n_users", pa.int64())])
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B18 running per-key window aggregate (ROWS UNBOUNDED PRECEDING):
+# ops/windows.cumulative — one key-hash shuffle, per-bucket sort +
+# vectorized cumsum, data-scaled buckets
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..ops.windows import cumulative
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        # NaN exclusion for float parity with the oracle's isnan guard
+        # (self-audit convention; sf testdata has no NaNs)
+        lambda t: t.filter(
+            pc.fill_null(pc.invert(pc.is_nan(t["value"])), True)
+        ),
+        batch_format="pyarrow",
+    )
+    out = cumulative(ds, "user_id", ("ts", "event_id"), "value").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "cum_n": t["cum_n"],
+                "cum_sum": pc.round(t["cum_sum"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("cum_n", pa.int64()),
+                ("cum_sum", pa.float64()),
+            ]
+        ),
+    )
+
+
+
+def q_rolling(sf_dir: str):
+    """Per-user moving 5-row sum of purchase values (B18,
+    ops.windows.rolling) — the SQL ROWS-frame
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``; one key-hash shuffle,
+    frame sums via cumsum differences (no per-window loop)."""
+    import pyarrow.dataset as pads
+
+    from ..ops.windows import rolling
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        # NaN exclusion for float parity with the oracle's isnan guard
+        # (self-audit convention; sf testdata has no NaNs)
+        lambda t: t.filter(
+            pc.fill_null(pc.invert(pc.is_nan(t["value"])), True)
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling(
+        ds, "user_id", ("ts", "event_id"), "value", frame_rows=5
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "roll_n": t["roll_n"],
+                "roll_sum": pc.round(t["roll_sum"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("roll_n", pa.int64()),
+                ("roll_sum", pa.float64()),
+            ]
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# B18 LAG window: per-user inter-event gap via ops.windows.lagged
+# (oracle = SQL LAG window function)
+# ---------------------------------------------------------------------------
+
+
+def q_lag(sf_dir: str):
+    """Per-user gap to the previous event in (ts, event_id) order.
+    First event per user (NULL lag) is filtered on BOTH sides so the
+    value hash never rides on NULL encoding; rows with a NULL key or
+    order column are dropped by the operator (oracle mirrors)."""
+    from ..ops.windows import lagged
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    lg = lagged(ev, "user_id", ("ts", "event_id"), "ts", offset=1, out_col="prev_ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev_ts"]))
+        gap = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["prev_ts"], pa.int64())
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "gap_us": gap}
+        )
+
+    out = lg.map_batches(finish, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("gap_us", pa.int64())]
+        ),
+    )
+
+
+
+def q_transitions(sf_dir: str):
+    """User-journey Markov transition counts: how often event type A is
+    followed by event type B within the same user's (ts, event_id)
+    stream — `lagged` (one key-hash shuffle) + per-batch partial counts
+    + a ~k² (k = #event types) native groupby, so the exchange after
+    the window op is one row per (prev, curr) pair per batch. Rows
+    whose prev OR curr type is NULL are dropped on both sides (a NULL
+    lag value is indistinguishable from row-1-of-key, which SQL LAG
+    also returns as NULL)."""
+    from ..ops.windows import lagged
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    lg = lagged(
+        ev, "user_id", ("ts", "event_id"), "event_type", offset=1, out_col="prev"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["prev"]), pc.is_valid(t["event_type"])))
+        agg = (
+            pa.table({"prev": t["prev"], "curr": t["event_type"]})
+            .group_by(["prev", "curr"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["prev", "curr", "n"])
+
+    out = (
+        lg.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prev", "curr"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["prev", "curr", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return _ensure_schema(
+        out,
+        pa.schema([("prev", pa.string()), ("curr", pa.string()), ("n", pa.int64())]),
+    )
+
+
+
+def q_latest_event(sf_dir: str):
+    """Each user's most recent event (ops.rank.latest_by — the
+    CDC/upsert compaction operator): full-row ROW_NUMBER()=1 semantics,
+    per-batch one-row-per-key partial compaction before the shuffle."""
+    from ..ops.rank import latest_by
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = latest_by(ds, "user_id", "ts", "event_id").select_columns(
+        ["user_id", "event_id", "event_type"]
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+    )
