@@ -1,6 +1,8 @@
 """The queries package split (VERDICT r3 item 6) is a pure refactor:
-QUERIES / ORACLE_SQL must match the pre-split snapshot exactly —
-same keys, same oracle SQL bytes, same callable names."""
+every pre-split QUERIES / ORACLE_SQL entry must survive byte-identical
+(keys, oracle SQL bytes, callable names). The catalog may GROW after
+the split — new entries are allowed, drops/edits of snapshot entries
+are not."""
 
 import hashlib
 import json
@@ -11,13 +13,16 @@ from vald.queries import ORACLE_SQL, QUERIES
 SNAP = os.path.join(os.path.dirname(__file__), "data", "queries_registry_snapshot.json")
 
 
-def test_registry_identical_to_presplit_snapshot():
+def test_presplit_registry_preserved():
     snap = json.load(open(SNAP))
-    assert sorted(QUERIES) == snap["queries_keys"]
-    assert sorted(ORACLE_SQL) == snap["oracle_keys"]
-    for k, sql in ORACLE_SQL.items():
-        assert hashlib.sha256(sql.encode()).hexdigest() == snap["oracle_sha"][k], k
-    assert {k: f.__name__ for k, f in QUERIES.items()} == snap["fn_names"]
+    assert set(snap["queries_keys"]) <= set(QUERIES)
+    assert set(snap["oracle_keys"]) <= set(ORACLE_SQL)
+    for k in snap["oracle_keys"]:
+        assert (
+            hashlib.sha256(ORACLE_SQL[k].encode()).hexdigest() == snap["oracle_sha"][k]
+        ), k
+    for k, name in snap["fn_names"].items():
+        assert QUERIES[k].__name__ == name, k
 
 
 def test_every_query_importable_from_package_root():

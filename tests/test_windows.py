@@ -355,3 +355,87 @@ def test_rolling_null_val_and_frame_1(ray_session):
     assert (one["roll_n"] == 1).all()
     with pytest.raises(ValueError):
         rolling(ray.data.from_arrow(t), "k", ("o",), "v", frame_rows=0)
+
+
+# ---------------------------------------------------------------------------
+# rolling_time (r4): SQL RANGE-frame time window incl. peer semantics
+# ---------------------------------------------------------------------------
+
+
+def _rt_brute(df, win_us):
+    rows = []
+    for k, g in df.groupby("k"):
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g["v"].fillna(0.0).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, v = ts[order], v[order]
+        for i in range(len(ts)):
+            m = (ts >= ts[i] - win_us) & (ts <= ts[i])  # peers included
+            rows.append((k, ts[i], int(m.sum()), float(v[m].sum())))
+    out = pd.DataFrame(rows, columns=["k", "ts_us", "roll_n", "roll_sum"])
+    return out.sort_values(["k", "ts_us", "roll_n"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("buckets", [1, 7])
+def test_rolling_time_matches_bruteforce_and_bucket_invariant(ray_session, buckets):
+    from vald.ops.windows import rolling_time
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n),
+            "ts": [T0 + timedelta(minutes=int(m)) for m in rng.integers(0, 300, n)],
+            "v": rng.random(n).round(3),
+        }
+    )
+    # inject ts-peers: duplicate 20 rows exactly (RANGE peer semantics)
+    df = pd.concat([df, df.iloc[:20]], ignore_index=True)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(df["k"].astype("int64")),
+                "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+                "v": pa.array(df["v"], type=pa.float64()),
+            }
+        )
+    ).repartition(4)
+    out = rolling_time(
+        ds, "k", "ts", "v", window=timedelta(hours=1), num_buckets=buckets
+    ).to_pandas()
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype("int64")
+    got = (
+        out[["k", "ts_us", "roll_n", "roll_sum"]]
+        .sort_values(["k", "ts_us", "roll_n"])
+        .reset_index(drop=True)
+    )
+    want = _rt_brute(df, 3_600_000_000)
+    assert len(got) == len(want)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["roll_n"].to_numpy() == want["roll_n"].to_numpy()).all()
+    assert np.allclose(got["roll_sum"].to_numpy(), want["roll_sum"].to_numpy())
+
+
+def test_rolling_time_null_policy_and_window_parse(ray_session):
+    from vald.ops.windows import rolling_time
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, None], type=pa.int64()),
+            "ts": pa.array(
+                [T0, T0 + timedelta(minutes=30), T0 + timedelta(minutes=90), T0],
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array([1.0, None, 4.0, 9.0], type=pa.float64()),
+        }
+    )
+    out = (
+        rolling_time(ray.data.from_arrow(t), "k", "ts", "v", window="1h")
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # NULL key row dropped; NULL value counts as 0 in the sum
+    assert len(out) == 3
+    assert out["roll_n"].tolist() == [1, 2, 2]
+    assert out["roll_sum"].tolist() == [1.0, 1.0, 4.0]

@@ -45,6 +45,7 @@ __all__ = [
     "sessionize",
     "cumulative",
     "rolling",
+    "rolling_time",
     "lagged",
 ]
 
@@ -466,6 +467,104 @@ def rolling(
         roll_sum = cs0[idx + 1] - cs0[lo]
         roll_n = idx - lo + 1
         out = g.select([key_col, *order_cols])
+        return out.append_column(
+            "roll_n", pa.array(roll_n, type=pa.int64())
+        ).append_column("roll_sum", pa.array(roll_sum, type=pa.float64()))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def rolling_time(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    *,
+    window: "_dt.timedelta | str | int",
+    num_buckets: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_BUCKET,
+    min_buckets: int = _MIN_BUCKETS,
+) -> "ray.data.Dataset":
+    """Per-key MOVING aggregate over a TIME window — the SQL frame
+    ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`` ordered by one
+    timestamp column: one output row per input row with ``roll_n`` /
+    ``roll_sum`` over same-key rows whose ts lies in
+    ``[ts_i - window, ts_i]`` — INCLUDING the current row's ts-peers
+    (SQL RANGE peer semantics; the ROWS-frame ``rolling`` excludes
+    following peers). The rate-limit / burst-detection window a
+    training-data event pipeline actually runs.
+
+    ``window``: datetime.timedelta, pandas-parsable string ("1h",
+    "15min"), or int microseconds.
+
+    Partitioning: same single key-hash shuffle as ``rolling``. Inside a
+    bucket the frame bounds are TWO vectorized ``searchsorted`` passes
+    over a per-segment-shifted int64 timeline (each key segment gets a
+    disjoint shifted range, so one global binary search respects
+    segment boundaries); an overflow guard falls back to a per-segment
+    loop when ``segments x (ts span + window)`` would overflow int64.
+    No per-window Python loop either way. NULL key/ts rows are dropped
+    (see ``cumulative``); NULL values count as 0 in the sum."""
+    if isinstance(window, str):
+        win_us = int(pd.Timedelta(window).value // 1000)
+    else:
+        win_us = _us(window)
+    if win_us < 0:
+        raise ValueError("window must be non-negative")
+    if num_buckets is None:
+        num_buckets = max(min_buckets, math.ceil(ds.count() / rows_per_bucket))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(m).select([key_col, ts_col, val_col])
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[key_col], num_buckets))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            base = g.select([key_col, ts_col]).slice(0, 0)
+            return base.append_column(
+                "roll_n", pa.array([], type=pa.int64())
+            ).append_column("roll_sum", pa.array([], type=pa.float64()))
+        order = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        g = g.take(order)
+        keys = g[key_col].combine_chunks()
+        ts = _ts_int64(g[ts_col])
+        vals = (
+            pc.fill_null(pc.cast(g[val_col], pa.float64()), 0.0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        new_key = _adjacent_change(keys, n)
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        rel = ts - ts.min()
+        span = int(rel.max()) + win_us + 1
+        nseg = len(starts)
+        if span * nseg < 2**62:
+            shifted = seg_id.astype(np.int64) * span + rel
+            lo = np.searchsorted(shifted, shifted - win_us, side="left")
+            hi = np.searchsorted(shifted, shifted, side="right")
+        else:  # pragma: no cover - needs a multi-millennium ts span
+            bounds = np.append(starts, n)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg = rel[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - win_us, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        cs0 = np.concatenate([[0.0], np.cumsum(vals)])
+        roll_sum = cs0[hi] - cs0[lo]
+        roll_n = (hi - lo).astype(np.int64)
+        out = g.select([key_col, ts_col])
         return out.append_column(
             "roll_n", pa.array(roll_n, type=pa.int64())
         ).append_column("roll_sum", pa.array(roll_sum, type=pa.float64()))

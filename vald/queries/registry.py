@@ -88,6 +88,7 @@ QUERIES = {
     "q_corpus_violations": q_corpus_violations,
     "q_cumulative": q_cumulative,
     "q_rolling": q_rolling,
+    "q_rolling_time": q_rolling_time,
     "q_trade_volume": q_trade_volume,
     "q_market_share": q_market_share,
     "q_heavy_hitters": q_heavy_hitters,
@@ -504,6 +505,16 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    ),
+    "q_rolling_time": (
+        "SELECT user_id, ts, "
+        "count(*) OVER w AS roll_n, "
+        "round(sum(COALESCE(value, 0)) OVER w, 6) AS roll_sum "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND NOT isnan(COALESCE(value, 0)) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
     ),
     "q_cust_order_counts": (
         "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "

@@ -253,6 +253,54 @@ def q_rolling(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# B18 RANGE-frame time window (r4, ops.windows.rolling_time): per-user
+# trailing-1-hour purchase count/sum — SQL `RANGE BETWEEN INTERVAL 1
+# HOUR PRECEDING AND CURRENT ROW` incl. ts-peer semantics; oracle =
+# the native DuckDB RANGE window.
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_time(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..ops.windows import rolling_time
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["ts", "user_id", "event_type", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        # NaN exclusion for float parity with the oracle's isnan guard
+        lambda t: t.filter(
+            pc.fill_null(pc.invert(pc.is_nan(t["value"])), True)
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling_time(ds, "user_id", "ts", "value", window="1h").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "roll_n": t["roll_n"],
+                "roll_sum": pc.round(t["roll_sum"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("roll_n", pa.int64()),
+                ("roll_sum", pa.float64()),
+            ]
+        ),
+    )
+
 
 # ---------------------------------------------------------------------------
 # B18 LAG window: per-user inter-event gap via ops.windows.lagged
