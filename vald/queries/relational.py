@@ -1766,34 +1766,75 @@ def q_waiting_orders(sf_dir: str):
         filter=pads.field("o_orderstatus") == "F",
     )
 
-    def waits(g: pd.DataFrame) -> pd.DataFrame:
-        # per-(order,supplier) max ship date
-        pairs = (
-            g.groupby(["l_orderkey", "l_suppkey"], sort=False)["l_shipdate"]
-            .max()
-            .reset_index()
+    _EMPTY_WAITS = pa.table(
+        {
+            "l_suppkey": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def waits(g: pa.Table) -> pa.Table:
+        # Arrow/numpy per-bucket resolve (VERDICT r3 minor #4: the old
+        # pandas formulation paid a conversion per group). One Arrow
+        # hash-aggregate for per-(order,supplier) ship-date maxima, then
+        # segment math via lexsort + reduceat — zero per-row Python.
+        g = g.drop_columns(["__b"])
+        if len(g) == 0:
+            return _EMPTY_WAITS
+        pairs = g.group_by(["l_orderkey", "l_suppkey"], use_threads=False).aggregate(
+            [("l_shipdate", "max")]
         )
-        grp = pairs.groupby("l_orderkey", sort=False)["l_shipdate"]
-        top1 = grp.transform("max")
-        n_at_top = (
-            pairs["l_shipdate"]
-            .eq(top1)
-            .groupby(pairs["l_orderkey"], sort=False)
-            .transform("sum")
+        ok = pairs["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = pairs["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            pairs["l_shipdate_max"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
         )
-        # second-best pair max per order (for the sole top supplier)
-        below = pairs["l_shipdate"].where(pairs["l_shipdate"] < top1)
-        top2 = below.groupby(pairs["l_orderkey"], sort=False).transform("max")
-        nsupp = grp.transform("size")
-        is_sole_top = pairs["l_shipdate"].eq(top1) & n_at_top.eq(1)
-        pairs["other_max"] = np.where(is_sole_top, top2, top1)
-        pairs = pairs[nsupp > 1].drop(columns=["l_shipdate"])
-        m = g.merge(pairs, on=["l_orderkey", "l_suppkey"], how="inner")
-        m = m[m["l_shipdate"] >= m["other_max"]]
-        out = (
-            m.groupby("l_suppkey", sort=False).size().rename("n").reset_index()
+        order = np.lexsort((sk, ok))
+        ok, sk, d = ok[order], sk[order], d[order]
+        npair = len(ok)
+        new = np.empty(npair, dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        nsupp = np.diff(np.append(starts, npair))
+        top1 = np.maximum.reduceat(d, starts)
+        top1_rep = top1[seg]
+        at_top = d == top1_rep
+        n_at_top = np.add.reduceat(at_top.astype(np.int64), starts)
+        sent = np.int64(np.iinfo(np.int64).min)
+        top2 = np.maximum.reduceat(np.where(d < top1_rep, d, sent), starts)
+        sole = at_top & (n_at_top[seg] == 1)
+        # the best RIVAL max for each (order, supplier) pair
+        other_max = np.where(sole, top2[seg], top1_rep)
+        keep_pair = nsupp[seg] > 1
+        # map each input row to its pair via one composite searchsorted
+        # (pairs are lexsorted by (order, supplier), suppkey < shift)
+        rok = g["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rsk = g["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rd = (
+            g["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
         )
-        return out
+        shift = np.int64(sk.max()) + 1
+        # loud guard, never silent wrap: at 100 TB scale okey~1.5e10 x
+        # suppkey-shift~1e7 = 1.5e17, well under 2^62
+        assert int(ok[-1]) <= (2**62) // int(shift), "composite key overflow"
+        comp = ok * shift + sk
+        pi = np.searchsorted(comp, rok * shift + rsk)
+        row_keep = keep_pair[pi] & (rd >= other_max[pi])
+        usk, cnt = np.unique(rsk[row_keep], return_counts=True)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(usk, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
 
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
@@ -1813,9 +1854,7 @@ def q_waiting_orders(sf_dir: str):
     partials = (
         li.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
-        .map_groups(
-            lambda g: waits(g.drop(columns=["__b"])), batch_format="pandas"
-        )
+        .map_groups(waits, batch_format="pyarrow")
     )
     counts = (
         partials.groupby("l_suppkey")  # 100s of suppliers: native path
