@@ -177,3 +177,67 @@ class TestGroupDriftCheck:
         ex = viol.filter(pc.equal(viol["constraint_id"], cid))
         assert len(ex) == 1
         assert ex["row_ref"][0].as_py() == "group=de"
+
+
+class TestGroupKsExact:
+    """drift.group_ks_exact — the oracle-checkable §5.3 exact twin."""
+
+    def _brute(self, ta, tb):
+        import pandas as pd
+
+        da, db = ta.to_pandas(), tb.to_pandas()
+        out = {}
+        for lang in sorted(set(da["lang"]) | set(db["lang"])):
+            a = np.sort(da[da["lang"] == lang]["v"].to_numpy())
+            b = np.sort(db[db["lang"] == lang]["v"].to_numpy())
+            grid = np.union1d(a, b)
+            fa = np.searchsorted(a, grid, side="right") / max(len(a), 1)
+            fb = np.searchsorted(b, grid, side="right") / max(len(b), 1)
+            out[lang] = float(np.abs(fa - fb).max())
+        return out
+
+    def _tables(self, seed):
+        rng = np.random.default_rng(seed)
+        def mk(shift):
+            langs = rng.choice(["en", "de", "fr"], 300)
+            v = rng.integers(0, 50, 300).astype(float)
+            v[langs == "de"] += shift
+            return pa.table({"lang": pa.array(langs), "v": pa.array(v)})
+        return mk(0.0), mk(7.0)
+
+    @pytest.mark.parametrize("buckets", [1, 16])
+    def test_matches_bruteforce_and_bucket_invariant(self, ray_session, buckets):
+        from vald.drift import group_ks_exact
+
+        ta, tb = self._tables(3)
+        out = group_ks_exact(
+            ray.data.from_arrow(ta).repartition(3),
+            ray.data.from_arrow(tb).repartition(2),
+            "lang",
+            "v",
+            num_buckets=buckets,
+        ).to_pandas()
+        want = self._brute(ta, tb)
+        got = dict(zip(out["group"], out["ks"]))
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, k
+
+    def test_exact_twin_tracks_digest_ks(self, ray_session):
+        """§5.3 duality: the sketched group_drift ks must sit within
+        tolerance of this exact statistic on the same data."""
+        from vald import drift as D
+
+        base_t = _corpus(seed=5)
+        cur_t = _corpus(shift={"de": 3.0}, seed=6)
+        base = D.build_group_baseline(ray.data.from_arrow(base_t), "lang", ["v"])
+        sk = (
+            D.group_drift_stats(ray.data.from_arrow(cur_t), "lang", base, ["v"])
+            .to_pandas()
+            .set_index("group")["ks"]
+        )
+        exact = D.group_ks_exact(
+            ray.data.from_arrow(base_t), ray.data.from_arrow(cur_t), "lang", "v"
+        ).to_pandas().set_index("group")["ks"]
+        for lang in ["en", "de", "fr"]:
+            assert abs(sk[lang] - exact[lang]) < 0.05, lang

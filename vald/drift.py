@@ -48,6 +48,7 @@ __all__ = [
     "build_group_baseline",
     "group_drift_stats",
     "group_drift_check_results",
+    "group_ks_exact",
 ]
 
 BASELINE_SCHEMA = pa.schema(
@@ -565,6 +566,125 @@ def group_drift_stats(
         )
 
     return merged.map_batches(compare, batch_format="pyarrow")
+
+
+def group_ks_exact(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    group_col: str,
+    val_col: str,
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT two-sample Kolmogorov-Smirnov statistic per group — the
+    §5.3 exact twin of the t-digest ``group_drift_stats`` (sketches are
+    never oracle-compared; this is). Returns one row per group present
+    in either side: (group, n_a, n_b, ks).
+
+    ks = max over distinct values v of |#{a <= v}/n_a − #{b <= v}/n_b|,
+    evaluated from INTEGER cumulative counts, so the float result is a
+    deterministic function of the counts and reproduces DuckDB's
+    RANGE-window formulation bit-for-bit.
+
+    Shape: both sides pre-aggregate per batch to (group, value,
+    count_a, count_b) partials — the exchange is one row per distinct
+    (group, value) per batch, never per input row — then one
+    group-hash bucket shuffle; each group's distinct values land in ONE
+    combine task (documented per-group-fits-a-task assumption, same as
+    sessionize). NULL group or value rows are dropped on both sides."""
+    from .ops.windows import _bucket_ids
+
+    def flagged(col_a: int, col_b: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select([group_col, val_col])
+            t = t.filter(
+                pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[val_col]))
+            )
+            g = t.group_by([group_col, val_col], use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            n = g.column(2)
+            zero = pc.multiply(pc.cast(n, pa.int64()), pa.scalar(0, type=pa.int64()))
+            return pa.table(
+                {
+                    "g": pc.cast(g[group_col], pa.string()),
+                    "v": pc.cast(g[val_col], pa.float64()),
+                    "ca": pc.cast(n, pa.int64()) if col_a else zero,
+                    "cb": pc.cast(n, pa.int64()) if col_b else zero,
+                }
+            )
+
+        return fn
+
+    stacked = ds_a.map_batches(
+        flagged(1, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ds_b.map_batches(flagged(0, 1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t["g"], num_buckets))
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "group": pa.array([], type=pa.string()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "ks": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        t = (
+            t.drop_columns(["__bucket"])
+            .group_by(["g", "v"], use_threads=False)
+            .aggregate([("ca", "sum"), ("cb", "sum")])
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("g", "ascending"), ("v", "ascending")]
+        )
+        t = t.take(order)
+        n = len(t)
+        gcol = t["g"].combine_chunks()
+        ca = t["ca_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cb_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        if n > 1:
+            ga = gcol.to_numpy(zero_copy_only=False)
+            new[1:] = ga[1:] != ga[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cum_a = np.cumsum(ca)
+        cum_b = np.cumsum(cb)
+        base_a = cum_a[starts] - ca[starts]
+        base_b = cum_b[starts] - cb[starts]
+        cum_a = cum_a - base_a[seg]
+        cum_b = cum_b - base_b[seg]
+        ends = np.append(starts[1:], n) - 1
+        n_a = cum_a[ends]
+        n_b = cum_b[ends]
+        # rows are distinct (group, value): every row is a CDF step
+        fa = np.where(n_a[seg] > 0, cum_a / np.maximum(n_a[seg], 1), 0.0)
+        fb = np.where(n_b[seg] > 0, cum_b / np.maximum(n_b[seg], 1), 0.0)
+        ks = np.maximum.reduceat(np.abs(fa - fb), starts)
+        return pa.table(
+            {
+                "group": gcol.take(pa.array(starts, type=pa.int64())),
+                "n_a": pa.array(n_a, type=pa.int64()),
+                "n_b": pa.array(n_b, type=pa.int64()),
+                "ks": pa.array(ks, type=pa.float64()),
+            }
+        )
+
+    return (
+        stacked.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def group_drift_check_results(

@@ -752,6 +752,56 @@ def q_drift_corpus(sf_dir: str):
 
 
 
+def q_group_ks(sf_dir: str):
+    """EXACT per-group two-sample KS (drift.group_ks_exact, the §5.3
+    exact twin of the sketched group_drift): per-language n_chars
+    distribution gap between even- and odd-doc_id halves — integer
+    cumulative counts make the float statistic deterministic, so the
+    DuckDB RANGE-window oracle value-hashes exactly."""
+    from .. import drift as D
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def half(rem: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["doc_id"]))
+            return t.filter(
+                pc.equal(
+                    pc.bit_wise_and(t["doc_id"], pa.scalar(1)), pa.scalar(rem)
+                )
+            )
+
+        return fn
+
+    out = D.group_ks_exact(
+        docs.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True),
+        "lang",
+        "n_chars",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["group"],
+                "n_a": t["n_a"],
+                "n_b": t["n_b"],
+                "ks": pc.round(t["ks"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_a", pa.int64()),
+                ("n_b", pa.int64()),
+                ("ks", pa.float64()),
+            ]
+        ),
+    )
+
+
 def q_group_drift(sf_dir: str):
     """Per-group (per-language) drift over documents.n_chars — null
     direction (even/odd doc_id halves share the distribution: no fire)

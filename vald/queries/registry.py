@@ -82,6 +82,7 @@ QUERIES = {
     "q_profile_sketch": q_profile_sketch,
     "q_drift_corpus": q_drift_corpus,
     "q_group_drift": q_group_drift,
+    "q_group_ks": q_group_ks,
     "q_media_decode": q_media_decode,
     "q_knn_ivf": q_knn_ivf,
     "q_corpus_verdicts": q_corpus_verdicts,
@@ -505,6 +506,23 @@ ORACLE_SQL = {
         "AND event_id IS NOT NULL AND NOT isnan(COALESCE(value, 0)) "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    ),
+    "q_group_ks": (
+        "WITH u AS ("
+        "SELECT lang, CAST(n_chars AS DOUBLE) AS v, "
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a, "
+        "CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b "
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL "
+        "AND doc_id IS NOT NULL), "
+        "c AS (SELECT lang, SUM(a) AS na, SUM(b) AS nb FROM u GROUP BY lang), "
+        "k AS (SELECT u.lang, c.na, c.nb, "
+        "ABS(SUM(u.a) OVER w * 1.0 / c.na - SUM(u.b) OVER w * 1.0 / c.nb) AS gap "
+        "FROM u JOIN c USING (lang) "
+        "WINDOW w AS (PARTITION BY u.lang ORDER BY u.v "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT lang, CAST(max(na) AS BIGINT) AS n_a, "
+        "CAST(max(nb) AS BIGINT) AS n_b, "
+        "round(max(gap), 6) AS ks FROM k GROUP BY lang"
     ),
     "q_rolling_time": (
         "SELECT user_id, ts, "
