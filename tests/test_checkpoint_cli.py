@@ -140,3 +140,66 @@ def test_cli_dedup_minhash(tmp_path):
     assert sorted(kept["doc_id"]) == [0, 3]
     groups = pq.read_table(os.path.join(out, "groups")).to_pandas()
     assert set(groups["group_id"]) == {0}
+
+
+def test_speculative_straggler_backup(tmp_path, ray_session):
+    """Partition-level speculative execution (SURVEY §4.3, r4): a
+    straggling partition gets ONE backup attempt; the first finisher
+    wins; outputs are byte-identical to a non-speculative run."""
+    import time as _time
+
+    parents = {"repos": C.repos_table(N, SEED)}
+    marker = tmp_path / "slow_attempts"
+
+    def _parts_with_straggler():
+        parts = _partitions()
+        inner = parts["shard3"]
+
+        def slow_thunk():
+            n = int(marker.read_text()) if marker.exists() else 0
+            marker.write_text(str(n + 1))
+            ds = inner()
+            if n == 0:
+                # first attempt straggles INSIDE execution (not under
+                # the creation lock): 8s sleep in its only map stage
+                return ds.map_batches(
+                    lambda t: (_time.sleep(8), t)[1], batch_format="pyarrow"
+                )
+            return ds
+
+        parts["shard3"] = slow_thunk
+        return parts
+
+    out_spec = str(tmp_path / "spec")
+    t0 = _time.monotonic()
+    s = run_resumable(
+        _parts_with_straggler(),
+        C.CORPUS_SPEC,
+        out_spec,
+        parents=parents,
+        concurrency=2,
+        pipeline_width=3,
+        speculate_factor=1.5,
+        speculate_min_done=1,
+    )
+    wall = _time.monotonic() - t0
+    assert sorted(s.completed) == ["shard0", "shard1", "shard2", "shard3"]
+    # the backup was actually launched (thunk ran twice for shard3)
+    assert int(marker.read_text()) == 2
+    # byte-identical to a plain run
+    out_plain = str(tmp_path / "plain")
+    run_resumable(
+        _partitions(), C.CORPUS_SPEC, out_plain, parents=parents, concurrency=2
+    )
+    for kind in ("violations", "verdicts"):
+        for pid in s.completed:
+            a = open(
+                os.path.join(out_spec, kind, f"partition={pid}", "part-0.parquet"),
+                "rb",
+            ).read()
+            b = open(
+                os.path.join(out_plain, kind, f"partition={pid}", "part-0.parquet"),
+                "rb",
+            ).read()
+            assert a == b, (kind, pid)
+    assert wall < 60
