@@ -68,7 +68,12 @@ def cmd_run(args) -> int:
             for i, f in enumerate(files)
         }
         summary = run_resumable(
-            partitions, spec, args.out, parents=parents, resume=not args.no_resume
+            partitions,
+            spec,
+            args.out,
+            parents=parents,
+            resume=not args.no_resume,
+            speculate_factor=args.speculate,
         )
         print(
             json.dumps(
@@ -225,6 +230,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--parent", action="append", help="name=parquet_path (refint parents)")
     p.add_argument("--checkpoint", action="store_true", help="per-shard checkpointed run")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--speculate",
+        type=float,
+        default=None,
+        help="straggler factor: back up partitions slower than "
+        "FACTOR x median finished wall (first finisher wins)",
+    )
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("dedup", help="deduplicate a corpus")
