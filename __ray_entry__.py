@@ -47,6 +47,34 @@ def entry() -> Any:
         df.insert(0, "table", table)
         verdicts.append(df)
 
+    # per-group drift null-check on documents (kind: group_drift):
+    # the corpus vs its own per-language baseline — no fire expected
+    from vald import drift as D
+
+    docs = ray.data.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    base = D.build_group_baseline(docs, "lang", ["n_chars"])
+    res = P.validate(
+        docs,
+        {
+            "table": "documents_gd",
+            "columns": {},
+            "checks": [
+                {
+                    "kind": "group_drift",
+                    "group_by": "lang",
+                    "columns": ["n_chars"],
+                    "baseline_table": base,
+                }
+            ],
+        },
+        concurrency=2,
+    )
+    df = res.verdicts_table().to_pandas()
+    df.insert(0, "table", "documents_gd")
+    verdicts.append(df)
+
     # north-rule corpus (generated input, violations injected)
     n = 5000
     res = P.validate(

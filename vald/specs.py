@@ -52,6 +52,14 @@ LINEITEM_SPEC: dict = {
             "parent_table": "orders",
             "parent_columns": ["o_orderkey"],
         },
+        # outlier screen at the table's own full range — provably clean
+        # on any data; exercises the quantile_bounds kind in entry()
+        {
+            "kind": "quantile_bounds",
+            "column": "l_extendedprice",
+            "lower_q": 0.0,
+            "upper_q": 1.0,
+        },
     ],
 }
 
@@ -88,6 +96,12 @@ DOCUMENTS_SPEC: dict = {
             "right": {"column": "n_chars"},
         },
         {"kind": "unique", "columns": ["doc_id"]},
+        # text is fully populated in the clean data: a 0-null-rate
+        # completeness threshold is the null-test direction
+        {"kind": "completeness", "column": "text", "max_null_rate": 0.0},
+        # unique doc_id determines anything — trivially-true FD keeps
+        # the fd kind on the entry() smoke path
+        {"kind": "fd", "columns": ["doc_id"], "dependent": "lang"},
     ],
 }
 
@@ -140,6 +154,7 @@ SPEC_COLUMNS = {
         "l_discount",
         "l_tax",
         "l_quantity",
+        "l_extendedprice",
     ],
     "customer": ["c_custkey", "c_name", "c_mktsegment"],
     "documents": ["doc_id", "text", "lang", "n_chars"],
