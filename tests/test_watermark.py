@@ -1,0 +1,134 @@
+"""vald.ops.windows.watermark_late (SURVEY.md §2 B18 event-time
+semantics, VERDICT r3 missing item 4): bounded-out-of-orderness
+watermarks replayed over a batch log — brute-force parity, bucket-count
+invariance, in-order logs never late, delay=0, null handling, empty
+input."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from vald.ops.windows import watermark_late
+
+T0 = datetime(2024, 1, 1)
+
+
+def _log_ds(rows):
+    """rows: list of (arrival_seq, event-minutes-offset) — arrival_seq
+    is the replay order, the offset is EVENT time."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [
+                        None if r[1] is None else T0 + timedelta(minutes=r[1])
+                        for r in rows
+                    ],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+
+
+def _brute(rows, delay_min):
+    """Reference semantics: running max event time over strictly-prior
+    arrivals, late when ts < that max - delay."""
+    rows = sorted((r for r in rows if r[1] is not None), key=lambda r: r[0])
+    out = {}
+    prior = None
+    for seq, off in rows:
+        wm = None if prior is None else prior - delay_min
+        out[seq] = (wm, wm is not None and off < wm)
+        prior = off if prior is None else max(prior, off)
+    return out
+
+
+def _collect(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values("seq").reset_index(drop=True)
+
+
+# an out-of-order log: event minutes scrambled vs arrival order
+ROWS = [(i, float(((i * 53) % 101))) for i in range(101)]
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 17])
+def test_matches_bruteforce_and_bucket_invariant(ray_session, buckets):
+    delay = 10
+    got = _collect(
+        watermark_late(
+            _log_ds(ROWS), "ts", ("seq",),
+            delay=timedelta(minutes=delay), num_buckets=buckets,
+        )
+    )
+    want = _brute(ROWS, delay)
+    assert len(got) == len(ROWS)
+    for _, row in got.iterrows():
+        wm, late = want[row["seq"]]
+        if wm is None:
+            assert pd.isna(row["watermark"]) and not row["is_late"]
+        else:
+            assert row["watermark"] == T0 + timedelta(minutes=wm)
+            assert bool(row["is_late"]) == late
+
+
+def test_in_order_log_never_late(ray_session):
+    rows = [(i, float(i)) for i in range(50)]
+    got = _collect(
+        watermark_late(
+            _log_ds(rows), "ts", ("seq",),
+            delay=timedelta(minutes=0), num_buckets=4,
+        )
+    )
+    assert not got["is_late"].any()
+    # with delay 0 the watermark IS the running max = previous event time
+    assert pd.isna(got.loc[0, "watermark"])
+    assert (
+        got.loc[1:, "watermark"]
+        == [T0 + timedelta(minutes=i) for i in range(49)]
+    ).all()
+
+
+def test_delay_zero_flags_every_backstep(ray_session):
+    rows = [(0, 10.0), (1, 5.0), (2, 11.0), (3, 11.0), (4, 8.0)]
+    got = _collect(
+        watermark_late(
+            _log_ds(rows), "ts", ("seq",),
+            delay=timedelta(0), num_buckets=2,
+        )
+    )
+    # ties with the watermark (seq 3: ts == wm) are NOT late (< strict)
+    assert list(got["is_late"]) == [False, True, False, False, True]
+
+
+def test_null_ts_and_null_order_rows_dropped(ray_session):
+    rows = [(0, 1.0), (1, None), (2, 3.0)]
+    ds = _log_ds(rows)
+    t = pa.table(
+        {"seq": pa.array([None], type=pa.int64()),
+         "ts": pa.array([T0], type=pa.timestamp("us"))}
+    )
+    ds = ds.union(ray.data.from_arrow(t))
+    got = _collect(
+        watermark_late(ds, "ts", ("seq",), delay=timedelta(0), num_buckets=2)
+    )
+    assert list(got["seq"]) == [0, 2]
+
+
+def test_empty_input_keeps_schema(ray_session):
+    got = watermark_late(
+        _log_ds([]), "ts", ("seq",), delay=timedelta(minutes=1)
+    )
+    t = pa.Table.from_pylist(got.take_all())
+    assert len(t) == 0
+
+
+def test_negative_delay_rejected(ray_session):
+    with pytest.raises(ValueError):
+        watermark_late(_log_ds(ROWS), "ts", ("seq",), delay=timedelta(minutes=-1))

@@ -47,6 +47,7 @@ __all__ = [
     "rolling",
     "rolling_time",
     "lagged",
+    "watermark_late",
 ]
 
 # B4's documented scaling rule: one shuffle group ≈ one task's memory
@@ -648,6 +649,178 @@ def lagged(
         take_idx = pa.array(np.where(ok, idx, 0), type=pa.int64(), mask=~ok)
         shifted = g[val_col].combine_chunks().take(take_idx)
         return g.select(keep).append_column(name, shifted)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _ord_int64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Ordering column → int64 numpy (timestamp[*] → epoch units,
+    integer types pass through). Nulls must be filtered first."""
+    if pa.types.is_timestamp(col.type):
+        return _ts_int64(col)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def watermark_late(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    order_cols: Sequence[str],
+    *,
+    delay: "_dt.timedelta | int",
+    num_buckets: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_BUCKET,
+    min_buckets: int = _MIN_BUCKETS,
+) -> "ray.data.Dataset":
+    """Event-time watermark assignment over an arrival-ordered log —
+    the bounded-out-of-orderness watermark of Flink / Beam / MillWheel
+    (Akidau et al., VLDB'15 "The Dataflow Model"), replayed over a
+    batch Dataset.
+
+    ``order_cols`` is the ARRIVAL order (must be a total order; e.g.
+    ``("arrival_ts", "event_id")``); ``ts_col`` is EVENT time. After
+    the engine has seen rows 1..i-1 in arrival order, the watermark is
+    ``max(event_time over rows 1..i-1) - delay``; row i is LATE when
+    its event time is behind that watermark. Emits every input row
+    plus two columns: ``watermark`` (timestamp[us]; NULL for the
+    globally-first arrival, which has no watermark yet) and
+    ``is_late`` (bool). Equivalent SQL:
+    ``ts < max(ts) OVER (ORDER BY <order_cols> ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING) - delay``.
+
+    Scale design (100 TB): a global running max cannot hash-partition,
+    so the op RANGE-partitions on the first order column — pass 0
+    scans only that column for (min, max, count) partials (one row per
+    block to the driver); pass 1 scans (order, ts) and emits one
+    (range-bucket, max event-time) partial per batch; the driver folds
+    those into an EXCLUSIVE prefix max per bucket (num_buckets int64s,
+    broadcast once via ray.put); pass 2 moves the full rows exactly
+    once into their range bucket, restores arrival order with one
+    Arrow sort, and the running max is a vectorized
+    ``np.maximum.accumulate`` seeded by the bucket's prefix. Driver
+    state and the broadcast are O(num_buckets), never O(rows).
+    Buckets follow the B4 data-scaled rule so no task holds more than
+    ~``rows_per_bucket`` rows. Rows with a NULL event time or NULL
+    order column are dropped (they have no place on either axis;
+    matches the other B18 ops)."""
+    import ray
+
+    d_us = _us(delay)
+    if d_us < 0:
+        raise ValueError("delay must be non-negative")
+    order_cols = list(order_cols)
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    oc0 = order_cols[0]
+
+    # pass 0: bounds of the range key + row count (order column only)
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[oc0]))
+        if len(t) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ov = _ord_int64(t[oc0])
+        return pa.table({"lo": pa.array([int(ov.min())]),
+                         "hi": pa.array([int(ov.max())]),
+                         "n": pa.array([len(t)])})
+
+    bt = pa.Table.from_pylist(
+        ds.select_columns([oc0])
+        .map_batches(bounds_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    if len(bt) == 0:  # empty input: emit the schema, no rows
+        def empty_mark(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "watermark", pa.nulls(len(t), pa.timestamp("us"))
+            ).append_column("is_late", pa.nulls(len(t), pa.bool_()))
+        return ds.map_batches(empty_mark, batch_format="pyarrow")
+    lo = pc.min(bt["lo"]).as_py()
+    hi = pc.max(bt["hi"]).as_py()
+    total = pc.sum(bt["n"]).as_py()
+    if num_buckets is None:
+        num_buckets = max(min_buckets, math.ceil(total / rows_per_bucket))
+    span = max(hi - lo + 1, 1)
+
+    def bucket_of(ov: np.ndarray) -> np.ndarray:
+        # monotone in the range key: earlier bucket => strictly smaller
+        # first-order value, so the exclusive prefix max is exact
+        b = (ov - lo) * num_buckets // span
+        return np.clip(b, 0, num_buckets - 1).astype(np.int64)
+
+    def valid_rows(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t[ts_col])
+        for oc in order_cols:
+            m = pc.and_(m, pc.is_valid(t[oc]))
+        return t.filter(m)
+
+    # pass 1: per-(batch, bucket) max event-time partials
+    def max_partial(t: pa.Table) -> pa.Table:
+        t = valid_rows(t)
+        if len(t) == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        b = bucket_of(_ord_int64(t[oc0]))
+        iv = _ts_int64(t[ts_col])
+        ub, inv = np.unique(b, return_inverse=True)
+        m = np.full(len(ub), _I64_MIN, dtype=np.int64)
+        np.maximum.at(m, inv, iv)
+        return pa.table({"b": pa.array(ub), "m": pa.array(m)})
+
+    mt = pa.Table.from_pylist(
+        ds.select_columns(list(dict.fromkeys([*order_cols, ts_col])))
+        .map_batches(max_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    bucket_max = np.full(num_buckets, _I64_MIN, dtype=np.int64)
+    if len(mt):
+        np.maximum.at(
+            bucket_max,
+            mt["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            mt["m"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    acc = np.maximum.accumulate(bucket_max)
+    prefix = np.concatenate(([_I64_MIN], acc[:-1]))  # EXCLUSIVE prefix max
+    prefix_ref = ray.put(prefix)
+
+    # pass 2: one range shuffle, per-bucket arrival sort + running max
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = valid_rows(t)
+        return t.append_column(
+            "__bucket", pa.array(bucket_of(_ord_int64(t[oc0])))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            g = g.drop_columns(["__bucket"])
+            return g.append_column(
+                "watermark", pa.nulls(0, pa.timestamp("us"))
+            ).append_column("is_late", pa.array([], pa.bool_()))
+        pre = ray.get(prefix_ref)[g["__bucket"][0].as_py()]
+        order = pc.sort_indices(
+            g, sort_keys=[(oc, "ascending") for oc in order_cols]
+        )
+        g = g.take(order)
+        iv = _ts_int64(g[ts_col])
+        run = np.maximum.accumulate(iv)
+        prior = np.concatenate(([np.int64(pre)], run[:-1]))
+        prior = np.maximum(prior, np.int64(pre))
+        seen = prior != _I64_MIN
+        wm = np.where(seen, prior - d_us, 0)
+        late = seen & (iv < wm)
+        g = g.drop_columns(["__bucket"])
+        return g.append_column(
+            "watermark",
+            pa.array(wm.astype("datetime64[us]"), mask=~seen),
+        ).append_column("is_late", pa.array(late))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)

@@ -138,6 +138,8 @@ QUERIES = {
     "q_brand_revenue": q_brand_revenue,
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,
+    "q_late_events": q_late_events,
+    "q_watermark_agg": q_watermark_agg,
 }
 
 
@@ -894,6 +896,32 @@ ORACLE_SQL = {
         "per_doc.logprob "
         "FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d "
         "LEFT JOIN per_doc USING (doc_id)"
+    ),
+    # B18 event-time watermarks: arrival order = ts + ((event_id*37)%97)
+    # minutes of simulated network jitter; watermark = running max event
+    # time over PRIOR arrivals minus the delay (Dataflow-model bounded
+    # out-of-orderness). Constants mirror temporal._WM_DELAY_MIN /
+    # _WM_ALLOWED_MIN (30 / 15) and the 1-hour window (60+15=75).
+    "q_late_events": (
+        "WITH j AS (SELECT event_type, ts, event_id, "
+        "ts + INTERVAL 1 MINUTE * CAST((event_id * 37) % 97 AS INT) AS arr "
+        "FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL), "
+        "w AS (SELECT event_type, ts, max(ts) OVER (ORDER BY arr, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM j) "
+        "SELECT event_type, count(*) FILTER (WHERE pm IS NOT NULL "
+        "AND ts < pm - INTERVAL 30 MINUTE) AS late_n, "
+        "count(*) AS total_n FROM w GROUP BY event_type"
+    ),
+    "q_watermark_agg": (
+        "WITH j AS (SELECT ts, value, event_id, "
+        "ts + INTERVAL 1 MINUTE * CAST((event_id * 37) % 97 AS INT) AS arr "
+        "FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL), "
+        "w AS (SELECT ts, value, max(ts) OVER (ORDER BY arr, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM j) "
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "round(sum(value), 2) AS val_sum, count(*) AS n FROM w "
+        "WHERE pm IS NULL OR pm - INTERVAL 30 MINUTE <= "
+        "date_trunc('hour', ts) + INTERVAL 75 MINUTE GROUP BY 1"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch

@@ -398,3 +398,152 @@ def q_latest_event(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# B18 event-time semantics: bounded-out-of-orderness watermarks over a
+# replayed event log (vald.ops.windows.watermark_late). Arrival order
+# is simulated with a deterministic per-event network jitter (both
+# sides compute ts + ((event_id*37) mod 97) minutes), so the log is
+# genuinely out-of-order (~46% late at a 30-min watermark delay).
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_MIN = 30  # watermark lag behind max observed event time
+_WM_ALLOWED_MIN = 15  # allowed lateness before a window stops accepting
+
+
+def _jittered_events(sf_dir: str, extra_cols: list[str]):
+    """events + deterministic arrival timestamp ``arr`` (simulated
+    network delay of ((event_id*37) mod 97) minutes; rows with NULL
+    ts/event_id dropped — they have no place on either time axis)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", *extra_cols])
+
+    def jitter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_id"])))
+        iv = np.asarray(
+            t["ts"].to_numpy(zero_copy_only=False), dtype="datetime64[us]"
+        ).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = iv + ((eid * 37) % 97) * 60_000_000
+        return t.append_column("arr", pa.array(arr.astype("datetime64[us]")))
+
+    return ds.map_batches(jitter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_late_events(sf_dir: str):
+    """Late-arrival audit: per event type, how many events arrive
+    behind a 30-minute bounded-out-of-orderness watermark when the log
+    is replayed in (jittered) arrival order."""
+    from datetime import timedelta
+
+    from ..ops.windows import watermark_late
+
+    wm = watermark_late(
+        _jittered_events(sf_dir, ["event_type"]),
+        "ts",
+        ("arr", "event_id"),
+        delay=timedelta(minutes=_WM_DELAY_MIN),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "event_type": t["event_type"],
+                "late_n": pc.cast(
+                    pc.fill_null(t["is_late"], False), pa.int64()
+                ),
+                "total_n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by(["event_type"], use_threads=False).aggregate(
+            [("late_n", "sum"), ("total_n", "sum")]
+        )
+        return agg.rename_columns(["event_type", "late_n", "total_n"])
+
+    from ..runtime import bucketed_group_agg
+
+    pre = wm.map_batches(partial, batch_format="pyarrow")
+    out = bucketed_group_agg(
+        pre, ["event_type"], [("late_n", "sum"), ("total_n", "sum")]
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("late_n", pa.int64()),
+                ("total_n", pa.int64()),
+            ]
+        ),
+    )
+
+
+def q_watermark_agg(sf_dir: str):
+    """Hourly tumbling sum(value) under allowed-lateness semantics: a
+    row is DROPPED when, at its arrival, the watermark has already
+    passed its window's end by more than the allowed lateness
+    (Dataflow-model window garbage-collection; the window's pane is
+    closed). Kept rows aggregate exactly once."""
+    from datetime import timedelta
+
+    from ..ops.windows import watermark_late
+    from ..runtime import bucketed_group_agg
+
+    wm = watermark_late(
+        _jittered_events(sf_dir, ["value"]),
+        "ts",
+        ("arr", "event_id"),
+        delay=timedelta(minutes=_WM_DELAY_MIN),
+    )
+    hour_us = 3_600_000_000
+    allowed_us = _WM_ALLOWED_MIN * 60_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        iv = np.asarray(
+            t["ts"].to_numpy(zero_copy_only=False), dtype="datetime64[us]"
+        ).astype(np.int64)
+        ws = (iv // hour_us) * hour_us
+        wmc = t["watermark"]
+        wm_us = np.asarray(
+            wmc.to_numpy(zero_copy_only=False), dtype="datetime64[us]"
+        ).astype(np.int64)
+        no_wm = pc.is_null(wmc).to_numpy(zero_copy_only=False)
+        keep = no_wm | (wm_us <= ws + hour_us + allowed_us)
+        vals = pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        small = pa.table(
+            {
+                "window_start": pa.array(ws[keep].astype("datetime64[us]")),
+                "val_sum": pa.array(vals[keep]),
+                "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+        agg = small.group_by(["window_start"], use_threads=False).aggregate(
+            [("val_sum", "sum"), ("n", "sum")]
+        )
+        return agg.rename_columns(["window_start", "val_sum", "n"])
+
+    pre = wm.map_batches(partial, batch_format="pyarrow")
+    out = bucketed_group_agg(
+        pre, ["window_start"], [("val_sum", "sum"), ("n", "sum")]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("val_sum"),
+            "val_sum",
+            pc.round(t["val_sum"], ndigits=2),
+        )
+
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                ("val_sum", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
