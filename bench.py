@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q_forecast_revenue",
     "q_fd_violations",
     "q_infer_spec",
+    "q_late_events",
+    "q_watermark_agg",
 ]
 
 
