@@ -858,17 +858,16 @@ def quantile_bounds_check_results(
     value falls outside the table's own exact [P(lower_q), P(upper_q)]
     quantiles. Two passes:
 
-    1. Ray's EXACT sort-based ``Quantile`` aggregate pins the two scalar
-       thresholds — deterministic and parallelism-invariant (a t-digest
-       merge's centroids depend on partition order; at 100 TB swap in
-       the §5.3 sketch twin and accept threshold jitter, documented
-       trade).
+    1. ``aggregates.exact_quantiles`` pins the two scalar thresholds —
+       EXACT histogram-narrowing selection (no sort, no O(n) reduce
+       materialization), deterministic and parallelism-invariant (a
+       t-digest merge's centroids depend on partition order; the §5.3
+       sketch twin remains the accept-threshold-jitter alternative,
+       documented trade).
     2. One pruned streaming pass flags out-of-bound rows: per-partition
        (n_checked, n_violations) partials + capped exemplars. NULL/NaN
        values are unchecked (the quantile ignores them too).
     """
-    from ray.data.aggregate import Quantile
-
     col = dist.params["column"]
     lo_q = float(dist.params["lower_q"])
     hi_q = float(dist.params["upper_q"])
@@ -885,11 +884,10 @@ def quantile_bounds_check_results(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    res = pruned.aggregate(
-        Quantile(col, q=lo_q, alias_name="lo"),
-        Quantile(col, q=hi_q, alias_name="hi"),
-    )
-    lo, hi = res["lo"], res["hi"]
+    from .aggregates import exact_quantiles
+
+    res = exact_quantiles(ds, col, [lo_q, hi_q])
+    lo, hi = res[lo_q], res[hi_q]
 
     def flag(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -283,18 +283,16 @@ def quantile_filter(
     """Quality filtering by a GLOBAL quantile threshold (the standard
     percentile cut in curation pipelines: keep docs whose score clears
     the corpus p-quantile). Computes the exact interpolated quantile
-    with Ray's sort-based ``Quantile`` aggregate in one pass over just
-    ``col``, then applies the scalar threshold with a vectorized
-    compare — the corpus itself streams, only the score column is
-    sorted. ``keep_upper`` keeps rows >= threshold (quality floor),
-    else rows <= threshold (outlier trim). NULL scores never pass
-    (SQL-comparison semantics); the matching oracle is
-    ``WHERE col >= (SELECT quantile_cont(col, q) FROM t)``."""
-    from ray.data.aggregate import Quantile
+    with ``aggregates.exact_quantiles`` (histogram-narrowing selection
+    over just ``col`` — no sort, no O(n) reduce materialization), then
+    applies the scalar threshold with a vectorized compare — the
+    corpus itself streams. ``keep_upper`` keeps rows >= threshold
+    (quality floor), else rows <= threshold (outlier trim). NULL
+    scores never pass (SQL-comparison semantics); the matching oracle
+    is ``WHERE col >= (SELECT quantile_cont(col, q) FROM t)``."""
+    from ..aggregates import exact_quantiles
 
-    thr = ds.select_columns([col]).aggregate(Quantile(col, q=q, alias_name="__q"))[
-        "__q"
-    ]
+    thr = exact_quantiles(ds, col, [q])[q]
     if thr is None:  # empty input / all-null column: nothing can pass
         return ds.filter(lambda row: False)
     op = pc.greater_equal if keep_upper else pc.less_equal

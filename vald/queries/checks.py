@@ -424,15 +424,18 @@ def q_profile_exact(sf_dir: str):
 
 
 def q_quantiles_exact(sf_dir: str):
+    """Exact quantile_cont via histogram-narrowing selection
+    (aggregates.exact_quantiles) — no sort, no O(n) reduce
+    materialization (Ray's Quantile aggregate holds every value
+    through the merge)."""
+    from ..aggregates import exact_quantiles
+
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    res = ds.aggregate(
-        Quantile("l_extendedprice", q=0.5, alias_name="median_price"),
-        Quantile("l_extendedprice", q=0.9, alias_name="p90_price"),
-    )
+    res = exact_quantiles(ds, "l_extendedprice", [0.5, 0.9])
     return pa.table(
         {
-            "median_price": pa.array([round(res["median_price"], 6)], type=pa.float64()),
-            "p90_price": pa.array([round(res["p90_price"], 6)], type=pa.float64()),
+            "median_price": pa.array([round(res[0.5], 6)], type=pa.float64()),
+            "p90_price": pa.array([round(res[0.9], 6)], type=pa.float64()),
         }
     )
 
