@@ -64,3 +64,57 @@ def test_all_null_returns_none(ray_session):
 def test_bad_q_rejected(ray_session):
     with pytest.raises(ValueError):
         exact_quantiles(_ds([1.0]), "x", [1.5])
+
+
+class TestGrouped:
+    def _gds(self, keys, vals, blocks=4):
+        t = pa.table({"g": keys, "x": pa.array(vals, type=pa.float64())})
+        return ray.data.from_arrow(t).repartition(blocks)
+
+    def test_matches_numpy_per_group(self, ray_session):
+        from vald.aggregates import exact_quantiles_grouped
+
+        rng = np.random.default_rng(3)
+        keys = rng.choice(["a", "b", "c"], size=5000).tolist()
+        vals = rng.normal(0, 100, size=5000).tolist()
+        got = exact_quantiles_grouped(
+            self._gds(keys, vals), "x", "g", [0.1, 0.5, 0.9]
+        )
+        for g in ("a", "b", "c"):
+            xs = np.asarray([v for k, v in zip(keys, vals) if k == g])
+            for q in (0.1, 0.5, 0.9):
+                assert got[g][q] == pytest.approx(float(np.quantile(xs, q)), abs=1e-9)
+
+    def test_forced_narrowing_and_int_keys(self, ray_session):
+        from vald.aggregates import exact_quantiles_grouped
+
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 4, size=4000).tolist()
+        vals = rng.lognormal(5, 1, size=4000).tolist()
+        got = exact_quantiles_grouped(
+            self._gds(keys, vals), "x", "g", [0.5], collect_cap=50, buckets=8
+        )
+        for g in range(4):
+            xs = np.asarray([v for k, v in zip(keys, vals) if k == g])
+            assert got[g][0.5] == pytest.approx(float(np.quantile(xs, 0.5)), abs=1e-9)
+
+    def test_null_group_key_forms_own_group(self, ray_session):
+        from vald.aggregates import exact_quantiles_grouped
+
+        keys = ["a", None, "a", None, None]
+        vals = [1.0, 10.0, 3.0, 20.0, 30.0]
+        got = exact_quantiles_grouped(self._gds(keys, vals), "x", "g", [0.5])
+        assert got["a"][0.5] == pytest.approx(2.0)
+        nulls = [k for k in got if not isinstance(k, str)]
+        assert len(nulls) == 1
+        assert got[nulls[0]][0.5] == pytest.approx(20.0)
+
+    def test_max_groups_guard(self, ray_session):
+        from vald.aggregates import exact_quantiles_grouped
+
+        keys = [str(i) for i in range(30)]
+        vals = [float(i) for i in range(30)]
+        with pytest.raises(ValueError):
+            exact_quantiles_grouped(
+                self._gds(keys, vals), "x", "g", [0.5], max_groups=10
+            )

@@ -34,7 +34,7 @@ from ray.data.block import Block, BlockAccessor
 
 from .sketches import HLL, TDigest, hash64_values
 
-__all__ = ["HllDistinct", "TDigestQuantile", "profile", "PROFILE_SCHEMA", "exact_quantiles"]
+__all__ = ["HllDistinct", "TDigestQuantile", "profile", "PROFILE_SCHEMA", "exact_quantiles", "exact_quantiles_grouped"]
 
 
 def _arrow_col(block: Block, name: str) -> pa.ChunkedArray:
@@ -484,4 +484,223 @@ def exact_quantiles(
     for q, k_lo, k_hi, frac in plan:
         v_lo, v_hi = value[k_lo], value[k_hi]
         out[q] = v_lo + (v_hi - v_lo) * frac
+    return out
+
+
+def exact_quantiles_grouped(
+    ds: "ray.data.Dataset",
+    col: str,
+    by: str,
+    qs,
+    *,
+    buckets: int = 4096,
+    collect_cap: int = 1_000_000,
+    max_passes: int = 64,
+    max_groups: int = 100_000,
+) -> dict:
+    """Grouped ``exact_quantiles``: exact quantile_cont per ``by``
+    group, same histogram-narrowing selection with one (group, order
+    statistic) target per unresolved rank — all groups refine in the
+    SAME column-pruned pass, so the pass count stays
+    ~log_buckets(max_group_n / collect_cap) regardless of group count.
+
+    Returns ``{group_value: {q: value}}``. Driver state is
+    O(groups × ranks × buckets) partial rows per pass and ≤
+    ``collect_cap`` collected survivors per unresolved rank — never
+    O(rows). Group cardinality is capped at ``max_groups`` (the
+    per-batch refinement loops over ACTIVE targets; past ~10^5 groups
+    use the t-digest sketch twin ``ops.stats.group_quantile_sketch``).
+    NULL group keys form their own group (SQL GROUP BY); NULL/NaN
+    values are skipped within each group."""
+    qs = list(qs)
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    pruned = ds.select_columns([by, col])
+
+    def g_bounds(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.float64())
+        keep = pc.invert(pc.is_nan(pc.fill_null(v, float("nan"))))
+        small = pa.table({by: t[by], "__v": v}).filter(keep)
+        agg = small.group_by([by], use_threads=False).aggregate(
+            [("__v", "count"), ("__v", "min"), ("__v", "max")]
+        )
+        return agg.rename_columns([by, "n", "lo", "hi"])
+
+    bt = pa.Table.from_pylist(
+        pruned.map_batches(g_bounds, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    if len(bt) == 0:
+        return {}
+    gb = (
+        bt.to_pandas()
+        .groupby(by, dropna=False, sort=True)
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        .reset_index()
+    )
+    if len(gb) > max_groups:
+        raise ValueError(
+            f"{len(gb)} groups exceeds max_groups={max_groups}; "
+            "use ops.stats.group_quantile_sketch for extreme cardinality"
+        )
+    groups = list(gb[by])
+
+    # state per (gid, k): closed interval, rank within it, count
+    state: dict = {}
+    plan: dict = {}  # gid -> [(q, k_lo, k_hi, frac)]
+    for gid, row in gb.iterrows():
+        n = int(row["n"])
+        plan[gid] = []
+        for q in qs:
+            pos = (n - 1) * q
+            k_lo, k_hi = int(math.floor(pos)), int(math.ceil(pos))
+            plan[gid].append((q, k_lo, k_hi, pos - k_lo))
+            for k in (k_lo, k_hi):
+                state.setdefault(
+                    (gid, k),
+                    {"lo": float(row["lo"]), "hi": float(row["hi"]),
+                     "r": k, "cnt": n},
+                )
+    value: dict = {}
+
+    def _isnull(g) -> bool:
+        return g is None or (isinstance(g, float) and np.isnan(g))
+
+    non_null_groups = [g for g in groups if not _isnull(g)]
+    nn_gid = np.asarray(
+        [i for i, g in enumerate(groups) if not _isnull(g)] or [0],
+        dtype=np.int64,
+    )
+    null_gid = next((i for i, g in enumerate(groups) if _isnull(g)), -1)
+
+    def _group_codes(t: pa.Table) -> np.ndarray:
+        """Row → gid (index into ``groups``); NULL keys map to the
+        null group's gid (-1 = no null group ⇒ matches no target)."""
+        import pandas as pd
+
+        codes = pd.Categorical(
+            t[by].to_pandas(), categories=non_null_groups
+        ).codes.astype(np.int64)
+        return np.where(codes >= 0, nn_gid[np.clip(codes, 0, None)], null_gid)
+
+    for _ in range(max_passes):
+        for key in list(state):
+            st = state[key]
+            if st["lo"] == st["hi"]:
+                value[key] = st["lo"]
+                del state[key]
+        active = [
+            (gid, k, st["lo"], st["hi"])
+            for (gid, k), st in state.items()
+            if st["cnt"] > collect_cap
+        ]
+        if not active:
+            break
+
+        def hist_part(t: pa.Table, targets=tuple(active)) -> pa.Table:
+            v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+            gc = _group_codes(t)
+            ok = ~np.isnan(v)
+            g_o, k_o, b_o, cnt_o, mn_o, mx_o = [], [], [], [], [], []
+            for gid, k, lo, hi in targets:
+                sel = ok & (gc == gid) & (v >= lo) & (v <= hi)
+                x = v[sel]
+                if x.size == 0:
+                    continue
+                b = ((x - lo) * buckets / (hi - lo)).astype(np.int64)
+                np.clip(b, 0, buckets - 1, out=b)
+                ub, inv = np.unique(b, return_inverse=True)
+                cnt = np.bincount(inv).astype(np.int64)
+                mn = np.full(ub.size, np.inf)
+                np.minimum.at(mn, inv, x)
+                mx = np.full(ub.size, -np.inf)
+                np.maximum.at(mx, inv, x)
+                g_o.append(np.full(ub.size, gid, dtype=np.int64))
+                k_o.append(np.full(ub.size, k, dtype=np.int64))
+                b_o.append(ub); cnt_o.append(cnt); mn_o.append(mn); mx_o.append(mx)
+            if not g_o:
+                return pa.table({"g": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "mn": pa.array([], pa.float64()),
+                                 "mx": pa.array([], pa.float64())})
+            return pa.table({"g": pa.array(np.concatenate(g_o)),
+                             "k": pa.array(np.concatenate(k_o)),
+                             "b": pa.array(np.concatenate(b_o)),
+                             "cnt": pa.array(np.concatenate(cnt_o)),
+                             "mn": pa.array(np.concatenate(mn_o)),
+                             "mx": pa.array(np.concatenate(mx_o))})
+
+        ht = (
+            pa.Table.from_pylist(
+                pruned.map_batches(
+                    hist_part, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            )
+            .to_pandas()
+            .groupby(["g", "k", "b"], sort=True)
+            .agg(cnt=("cnt", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+            .reset_index()
+        )
+        for gid, k, _, _ in active:
+            st = state[(gid, k)]
+            g = ht[(ht["g"] == gid) & (ht["k"] == k)]
+            cum = g["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, st["r"], side="right"))
+            prev = int(cum[j - 1]) if j else 0
+            row = g.iloc[j]
+            st["lo"], st["hi"] = float(row["mn"]), float(row["mx"])
+            st["r"] -= prev
+            st["cnt"] = int(row["cnt"])
+
+    for key in list(state):
+        st = state[key]
+        if st["lo"] == st["hi"]:
+            value[key] = st["lo"]
+            del state[key]
+    if state:
+        remaining = [(g, k, st["lo"], st["hi"]) for (g, k), st in state.items()]
+
+        def collect(t: pa.Table, targets=tuple(remaining)) -> pa.Table:
+            v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+            gc = _group_codes(t)
+            ok = ~np.isnan(v)
+            g_o, k_o, v_o = [], [], []
+            for gid, k, lo, hi in targets:
+                sel = ok & (gc == gid) & (v >= lo) & (v <= hi)
+                x = v[sel]
+                if x.size:
+                    g_o.append(np.full(x.size, gid, dtype=np.int64))
+                    k_o.append(np.full(x.size, k, dtype=np.int64))
+                    v_o.append(x)
+            if not g_o:
+                return pa.table({"g": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.float64())})
+            return pa.table({"g": pa.array(np.concatenate(g_o)),
+                             "k": pa.array(np.concatenate(k_o)),
+                             "v": pa.array(np.concatenate(v_o))})
+
+        ct = pa.Table.from_pylist(
+            pruned.map_batches(
+                collect, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )
+        gg = ct["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = ct["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = ct["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        for (gid, k), st in state.items():
+            xs = vv[(gg == gid) & (kk == k)]
+            r = st["r"]
+            value[(gid, k)] = float(np.partition(xs, r)[r])
+
+    out = {}
+    for gid, items in plan.items():
+        gkey = groups[gid]
+        out[gkey] = {}
+        for q, k_lo, k_hi, frac in items:
+            v_lo, v_hi = value[(gid, k_lo)], value[(gid, k_hi)]
+            out[gkey][q] = v_lo + (v_hi - v_lo) * frac
     return out

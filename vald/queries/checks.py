@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ._shared import _empty, _ensure_schema, _mkt_keys_ds, _read
 

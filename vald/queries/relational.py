@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ._shared import _empty, _ensure_schema, _mkt_keys_ds, _read
 
@@ -858,27 +858,24 @@ def q_priority_lines(sf_dir: str):
 
 
 def q_price_median_by_priority(sf_dir: str):
-    """Exact per-group median via Ray's sort-based Quantile aggregate.
-    Exact mode is the oracle twin; the t-digest sketch (vald/sketches.py)
-    is the 100-TB path — same policy as q_quantiles_exact vs
-    q_profile_sketch."""
+    """Exact per-group median via aggregates.exact_quantiles_grouped
+    (histogram-narrowing selection — no sort, no per-group value lists
+    through the reduce). The t-digest sketch (vald/sketches.py) remains
+    the approximate alternative — same exact-vs-sketch policy as
+    q_quantiles_exact vs q_profile_sketch."""
+    from ..aggregates import exact_quantiles_grouped
+
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    out = ds.groupby("o_orderpriority").aggregate(
-        Quantile("o_totalprice", q=0.5, alias_name="median_price")
+    res = exact_quantiles_grouped(ds, "o_totalprice", "o_orderpriority", [0.5])
+    out = pa.table(
+        {
+            "o_orderpriority": pa.array(sorted(res), type=pa.string()),
+            "median_price": pa.array(
+                [round(res[g][0.5], 6) for g in sorted(res)], type=pa.float64()
+            ),
+        }
     )
-
-    def _round(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("median_price"),
-            "median_price",
-            pc.round(t["median_price"], ndigits=6),
-        )
-
-    out = out.map_batches(_round, batch_format="pyarrow")
-    return _ensure_schema(
-        out,
-        pa.schema([("o_orderpriority", pa.string()), ("median_price", pa.float64())]),
-    )
+    return out
 
 
 
