@@ -288,6 +288,7 @@ def profile(
     )
 
 
+
 # ---------------------------------------------------------------------------
 # Exact distributed quantiles WITHOUT a sort (B6 exact mode at scale)
 # ---------------------------------------------------------------------------
@@ -299,6 +300,57 @@ def _valid_f64(c: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     aggregate inputs)."""
     v = pc.cast(c, pa.float64()).to_numpy(zero_copy_only=False)
     return v[~np.isnan(v)]
+
+
+def _run_small(ds: "ray.data.Dataset") -> pa.Table:
+    """Execute a pipeline whose output is small and concat the Arrow
+    batches directly — never per-row dicts (``take_all`` materializes
+    Python objects; at collect_cap scale that dominated the op)."""
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _rank_plan(n: int, qs) -> "tuple[list, list]":
+    """quantile_cont interpolation plan: per q the two order statistics
+    (0-based global ranks) and the fraction between them."""
+    plan, needed = [], set()
+    for q in qs:
+        pos = (n - 1) * q
+        k_lo, k_hi = int(math.floor(pos)), int(math.ceil(pos))
+        plan.append((q, k_lo, k_hi, pos - k_lo))
+        needed.add(k_lo)
+        needed.add(k_hi)
+    return plan, sorted(needed)
+
+
+def _hist_one(x: np.ndarray, lo: float, hi: float, buckets: int):
+    """Histogram of x over closed [lo, hi]: (bucket ids, counts, per-
+    bucket min, per-bucket max). The bucket map is monotone in x, so a
+    bucket's observed [min, max] contains exactly its members."""
+    b = ((x - lo) * buckets / (hi - lo)).astype(np.int64)
+    np.clip(b, 0, buckets - 1, out=b)
+    ub, inv = np.unique(b, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.int64)
+    mn = np.full(ub.size, np.inf)
+    np.minimum.at(mn, inv, x)
+    mx = np.full(ub.size, -np.inf)
+    np.maximum.at(mx, inv, x)
+    return ub, cnt, mn, mx
+
+
+def _advance(st: dict, g: "pd.DataFrame") -> None:
+    """Walk a merged (bucket, cnt, mn, mx) histogram to the bucket
+    holding rank ``st['r']``; shrink the state interval to it."""
+    cum = g["cnt"].cumsum().to_numpy()
+    j = int(np.searchsorted(cum, st["r"], side="right"))
+    prev = int(cum[j - 1]) if j else 0
+    row = g.iloc[j]
+    st["lo"], st["hi"] = float(row["mn"]), float(row["mx"])
+    st["r"] -= prev
+    st["cnt"] = int(row["cnt"])
 
 
 def exact_quantiles(
@@ -318,25 +370,27 @@ def exact_quantiles(
     the reduce (one Python list per block, concatenated at merge), so
     "exact quantile" was the one profile stat whose cost scaled with
     the DATA, not the sketch. This replaces it with the classic
-    iterative-refinement selection (the textbook distributed k-th
-    order statistic; cf. Blum et al. selection + MPP histogram
-    refinement): each pass histograms every unresolved order statistic
-    over its current closed interval (per-batch partials of
-    (target, bucket, count, min, max) — at most ``targets × buckets``
-    tiny rows per batch), the driver walks the merged histogram to the
-    bucket containing the target rank, and the interval shrinks to
-    that bucket's OBSERVED [min, max] (exact: the bucket map is
-    monotone, so the closed interval contains exactly that bucket's
-    members). When an interval holds ≤ ``collect_cap`` values (or a
-    single distinct value) the survivors — never more than
-    ``collect_cap`` per target, a few MB — are pulled once and the
-    rank is answered exactly with ``np.partition``. Convergence:
-    intervals shrink ~``buckets``× per pass, so passes ≈
+    iterative-refinement selection (distributed k-th order statistic
+    via MPP histogram refinement): each pass histograms every DISTINCT
+    unresolved interval once (order statistics sharing an interval —
+    e.g. the two ranks bracketing one quantile — share the histogram),
+    emitting per-batch (interval, bucket, count, min, max) partials;
+    the driver walks the merged histogram to each target rank's bucket
+    and the interval shrinks to that bucket's OBSERVED [min, max]
+    (exact: the bucket map is monotone, so the closed interval holds
+    exactly that bucket's members). When an interval holds ≤
+    ``collect_cap`` values (or one distinct value) its survivors are
+    pulled once as Arrow batches — never more than ``collect_cap``
+    float64s per interval, a few MB — and all ranks inside it are
+    answered exactly with one ``np.partition``. Convergence: intervals
+    shrink ~``buckets``× per pass, so passes ≈
     ``log_buckets(n / collect_cap)`` + 2 (3–4 at 10^12 rows); each
     pass scans ONLY ``col`` (column-pruned).
 
     Returns ``{q: value}`` with ``None`` for an empty/all-null column.
     NaN is excluded like NULL."""
+    import pandas as pd
+
     qs = list(qs)
     for q in qs:
         if not (0.0 <= q <= 1.0):
@@ -353,132 +407,108 @@ def exact_quantiles(
                          "lo": pa.array([float(v.min())]),
                          "hi": pa.array([float(v.max())])})
 
-    bt = pa.Table.from_pylist(
+    bt = _run_small(
         pruned.map_batches(bounds, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
-    if len(bt) == 0:
+    if bt.num_columns == 0 or len(bt) == 0:
         return {q: None for q in qs}
     n = int(pc.sum(bt["n"]).as_py())
     glo = float(pc.min(bt["lo"]).as_py())
     ghi = float(pc.max(bt["hi"]).as_py())
 
-    # order statistics needed for continuous interpolation
-    needed: dict[int, float] = {}
-    plan = []  # (q, k_lo, k_hi, frac)
-    for q in qs:
-        pos = (n - 1) * q
-        k_lo, k_hi = int(math.floor(pos)), int(math.ceil(pos))
-        plan.append((q, k_lo, k_hi, pos - k_lo))
-        needed[k_lo] = needed[k_hi] = None
-    ks = sorted(needed)
-
-    # state per order statistic: closed interval, rank within it, count
+    plan, ks = _rank_plan(n, qs)
     state = {k: {"lo": glo, "hi": ghi, "r": k, "cnt": n} for k in ks}
-    value: dict[int, float] = {}
+    value: dict = {}
 
     for _ in range(max_passes):
         for k in list(state):
-            st = state[k]
-            if st["lo"] == st["hi"]:
-                value[k] = st["lo"]
-                del state[k]
-        active = [
-            (k, st["lo"], st["hi"])
-            for k, st in state.items()
-            if st["cnt"] > collect_cap
-        ]
-        if not active:
+            if state[k]["lo"] == state[k]["hi"]:
+                value[k] = state.pop(k)["lo"]
+        big = [k for k, st in state.items() if st["cnt"] > collect_cap]
+        if not big:
             break
+        # one histogram per DISTINCT interval, shared by its ranks
+        ivals: dict = {}
+        for k in big:
+            ivals.setdefault((state[k]["lo"], state[k]["hi"]), []).append(k)
+        targets = tuple(
+            (iid, lo, hi) for iid, (lo, hi) in enumerate(ivals)
+        )
 
-        def hist_part(t: pa.Table, targets=tuple(active)) -> pa.Table:
+        def hist_part(t: pa.Table, targets=targets) -> pa.Table:
             v = _valid_f64(t[col])
-            tid_o, b_o, cnt_o, mn_o, mx_o = [], [], [], [], []
-            for k, lo, hi in targets:
+            i_o, b_o, cnt_o, mn_o, mx_o = [], [], [], [], []
+            for iid, lo, hi in targets:
                 x = v[(v >= lo) & (v <= hi)]
                 if x.size == 0:
                     continue
-                b = ((x - lo) * buckets / (hi - lo)).astype(np.int64)
-                np.clip(b, 0, buckets - 1, out=b)
-                ub, inv = np.unique(b, return_inverse=True)
-                cnt = np.bincount(inv).astype(np.int64)
-                mn = np.full(ub.size, np.inf)
-                np.minimum.at(mn, inv, x)
-                mx = np.full(ub.size, -np.inf)
-                np.maximum.at(mx, inv, x)
-                tid_o.append(np.full(ub.size, k, dtype=np.int64))
-                b_o.append(ub)
-                cnt_o.append(cnt)
-                mn_o.append(mn)
-                mx_o.append(mx)
-            if not tid_o:
-                return pa.table({"k": pa.array([], pa.int64()),
+                ub, cnt, mn, mx = _hist_one(x, lo, hi, buckets)
+                i_o.append(np.full(ub.size, iid, dtype=np.int64))
+                b_o.append(ub); cnt_o.append(cnt); mn_o.append(mn); mx_o.append(mx)
+            if not i_o:
+                return pa.table({"i": pa.array([], pa.int64()),
                                  "b": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64()),
                                  "mn": pa.array([], pa.float64()),
                                  "mx": pa.array([], pa.float64())})
-            return pa.table({"k": pa.array(np.concatenate(tid_o)),
+            return pa.table({"i": pa.array(np.concatenate(i_o)),
                              "b": pa.array(np.concatenate(b_o)),
                              "cnt": pa.array(np.concatenate(cnt_o)),
                              "mn": pa.array(np.concatenate(mn_o)),
                              "mx": pa.array(np.concatenate(mx_o))})
 
         ht = (
-            pa.Table.from_pylist(
+            _run_small(
                 pruned.map_batches(
                     hist_part, batch_format="pyarrow", zero_copy_batch=True
-                ).take_all()
+                )
             )
             .to_pandas()
-            .groupby(["k", "b"], sort=True)
+            .groupby(["i", "b"], sort=True)
             .agg(cnt=("cnt", "sum"), mn=("mn", "min"), mx=("mx", "max"))
             .reset_index()
         )
-        for k, _, _ in active:
-            st = state[k]
-            g = ht[ht["k"] == k]
-            cum = g["cnt"].cumsum().to_numpy()
-            j = int(np.searchsorted(cum, st["r"], side="right"))
-            prev = int(cum[j - 1]) if j else 0
-            row = g.iloc[j]
-            st["lo"], st["hi"] = float(row["mn"]), float(row["mx"])
-            st["r"] -= prev
-            st["cnt"] = int(row["cnt"])
+        for iid, ks_here in enumerate(ivals.values()):
+            g = ht[ht["i"] == iid]
+            for k in ks_here:
+                _advance(state[k], g)
 
-    # final exact collection of the (≤ collect_cap per target) survivors
     for k in list(state):
-        st = state[k]
-        if st["lo"] == st["hi"]:
-            value[k] = st["lo"]
-            del state[k]
+        if state[k]["lo"] == state[k]["hi"]:
+            value[k] = state.pop(k)["lo"]
     if state:
-        remaining = [(k, st["lo"], st["hi"]) for k, st in state.items()]
+        # collect each DISTINCT interval once; one np.partition answers
+        # every rank inside it
+        ivals = {}
+        for k in state:
+            ivals.setdefault((state[k]["lo"], state[k]["hi"]), []).append(k)
+        targets = tuple((iid, lo, hi) for iid, (lo, hi) in enumerate(ivals))
 
-        def collect(t: pa.Table, targets=tuple(remaining)) -> pa.Table:
+        def collect(t: pa.Table, targets=targets) -> pa.Table:
             v = _valid_f64(t[col])
-            tid_o, v_o = [], []
-            for k, lo, hi in targets:
+            i_o, v_o = [], []
+            for iid, lo, hi in targets:
                 x = v[(v >= lo) & (v <= hi)]
                 if x.size:
-                    tid_o.append(np.full(x.size, k, dtype=np.int64))
+                    i_o.append(np.full(x.size, iid, dtype=np.int64))
                     v_o.append(x)
-            if not tid_o:
-                return pa.table({"k": pa.array([], pa.int64()),
+            if not i_o:
+                return pa.table({"i": pa.array([], pa.int64()),
                                  "v": pa.array([], pa.float64())})
-            return pa.table({"k": pa.array(np.concatenate(tid_o)),
+            return pa.table({"i": pa.array(np.concatenate(i_o)),
                              "v": pa.array(np.concatenate(v_o))})
 
-        ct = pa.Table.from_pylist(
-            pruned.map_batches(
-                collect, batch_format="pyarrow", zero_copy_batch=True
-            ).take_all()
+        ct = _run_small(
+            pruned.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True)
         )
-        kk = ct["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii = ct["i"].to_numpy(zero_copy_only=False).astype(np.int64)
         vv = ct["v"].to_numpy(zero_copy_only=False).astype(np.float64)
-        for k, st in state.items():
-            xs = vv[kk == k]
-            r = st["r"]
-            value[k] = float(np.partition(xs, r)[r])
+        for iid, ks_here in enumerate(ivals.values()):
+            xs = vv[ii == iid]
+            rs = sorted({state[k]["r"] for k in ks_here})
+            part = np.partition(xs, rs)
+            for k in ks_here:
+                value[k] = float(part[state[k]["r"]])
 
     out = {}
     for q, k_lo, k_hi, frac in plan:
@@ -499,19 +529,21 @@ def exact_quantiles_grouped(
     max_groups: int = 100_000,
 ) -> dict:
     """Grouped ``exact_quantiles``: exact quantile_cont per ``by``
-    group, same histogram-narrowing selection with one (group, order
-    statistic) target per unresolved rank — all groups refine in the
-    SAME column-pruned pass, so the pass count stays
-    ~log_buckets(max_group_n / collect_cap) regardless of group count.
+    group, same histogram-narrowing selection with one target per
+    DISTINCT (group, interval) — all groups refine in the SAME
+    column-pruned pass, so the pass count tracks the largest group,
+    not the group count.
 
     Returns ``{group_value: {q: value}}``. Driver state is
-    O(groups × ranks × buckets) partial rows per pass and ≤
-    ``collect_cap`` collected survivors per unresolved rank — never
+    O(groups × intervals × buckets) partial rows per pass and ≤
+    ``collect_cap`` collected survivors per (group, interval) — never
     O(rows). Group cardinality is capped at ``max_groups`` (the
-    per-batch refinement loops over ACTIVE targets; past ~10^5 groups
-    use the t-digest sketch twin ``ops.stats.group_quantile_sketch``).
-    NULL group keys form their own group (SQL GROUP BY); NULL/NaN
-    values are skipped within each group."""
+    per-batch refinement loops over active (group, interval) targets;
+    past ~10^5 groups use the t-digest sketch twin
+    ``ops.stats.group_quantile_sketch``). NULL group keys form their
+    own group (SQL GROUP BY); NULL/NaN values are skipped per group."""
+    import pandas as pd
+
     qs = list(qs)
     for q in qs:
         if not (0.0 <= q <= 1.0):
@@ -527,11 +559,10 @@ def exact_quantiles_grouped(
         )
         return agg.rename_columns([by, "n", "lo", "hi"])
 
-    bt = pa.Table.from_pylist(
+    bt = _run_small(
         pruned.map_batches(g_bounds, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
-    if len(bt) == 0:
+    if bt.num_columns == 0 or len(bt) == 0:
         return {}
     gb = (
         bt.to_pandas()
@@ -546,24 +577,6 @@ def exact_quantiles_grouped(
         )
     groups = list(gb[by])
 
-    # state per (gid, k): closed interval, rank within it, count
-    state: dict = {}
-    plan: dict = {}  # gid -> [(q, k_lo, k_hi, frac)]
-    for gid, row in gb.iterrows():
-        n = int(row["n"])
-        plan[gid] = []
-        for q in qs:
-            pos = (n - 1) * q
-            k_lo, k_hi = int(math.floor(pos)), int(math.ceil(pos))
-            plan[gid].append((q, k_lo, k_hi, pos - k_lo))
-            for k in (k_lo, k_hi):
-                state.setdefault(
-                    (gid, k),
-                    {"lo": float(row["lo"]), "hi": float(row["hi"]),
-                     "r": k, "cnt": n},
-                )
-    value: dict = {}
-
     def _isnull(g) -> bool:
         return g is None or (isinstance(g, float) and np.isnan(g))
 
@@ -577,126 +590,119 @@ def exact_quantiles_grouped(
     def _group_codes(t: pa.Table) -> np.ndarray:
         """Row → gid (index into ``groups``); NULL keys map to the
         null group's gid (-1 = no null group ⇒ matches no target)."""
-        import pandas as pd
-
         codes = pd.Categorical(
             t[by].to_pandas(), categories=non_null_groups
         ).codes.astype(np.int64)
         return np.where(codes >= 0, nn_gid[np.clip(codes, 0, None)], null_gid)
 
+    # state per (gid, k); plan per gid
+    state: dict = {}
+    plan: dict = {}
+    for gid, row in gb.iterrows():
+        g_plan, g_ks = _rank_plan(int(row["n"]), qs)
+        plan[gid] = g_plan
+        for k in g_ks:
+            state[(gid, k)] = {
+                "lo": float(row["lo"]), "hi": float(row["hi"]),
+                "r": k, "cnt": int(row["n"]),
+            }
+    value: dict = {}
+
+    def _dedup_targets(keys) -> "tuple[dict, tuple]":
+        ivals: dict = {}
+        for key in keys:
+            st = state[key]
+            gid = key[0]
+            ivals.setdefault((gid, st["lo"], st["hi"]), []).append(key)
+        targets = tuple(
+            (iid, gid, lo, hi) for iid, (gid, lo, hi) in enumerate(ivals)
+        )
+        return ivals, targets
+
     for _ in range(max_passes):
         for key in list(state):
-            st = state[key]
-            if st["lo"] == st["hi"]:
-                value[key] = st["lo"]
-                del state[key]
-        active = [
-            (gid, k, st["lo"], st["hi"])
-            for (gid, k), st in state.items()
-            if st["cnt"] > collect_cap
-        ]
-        if not active:
+            if state[key]["lo"] == state[key]["hi"]:
+                value[key] = state.pop(key)["lo"]
+        big = [key for key, st in state.items() if st["cnt"] > collect_cap]
+        if not big:
             break
+        ivals, targets = _dedup_targets(big)
 
-        def hist_part(t: pa.Table, targets=tuple(active)) -> pa.Table:
+        def hist_part(t: pa.Table, targets=targets) -> pa.Table:
             v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
             gc = _group_codes(t)
             ok = ~np.isnan(v)
-            g_o, k_o, b_o, cnt_o, mn_o, mx_o = [], [], [], [], [], []
-            for gid, k, lo, hi in targets:
-                sel = ok & (gc == gid) & (v >= lo) & (v <= hi)
-                x = v[sel]
+            i_o, b_o, cnt_o, mn_o, mx_o = [], [], [], [], []
+            for iid, gid, lo, hi in targets:
+                x = v[ok & (gc == gid) & (v >= lo) & (v <= hi)]
                 if x.size == 0:
                     continue
-                b = ((x - lo) * buckets / (hi - lo)).astype(np.int64)
-                np.clip(b, 0, buckets - 1, out=b)
-                ub, inv = np.unique(b, return_inverse=True)
-                cnt = np.bincount(inv).astype(np.int64)
-                mn = np.full(ub.size, np.inf)
-                np.minimum.at(mn, inv, x)
-                mx = np.full(ub.size, -np.inf)
-                np.maximum.at(mx, inv, x)
-                g_o.append(np.full(ub.size, gid, dtype=np.int64))
-                k_o.append(np.full(ub.size, k, dtype=np.int64))
+                ub, cnt, mn, mx = _hist_one(x, lo, hi, buckets)
+                i_o.append(np.full(ub.size, iid, dtype=np.int64))
                 b_o.append(ub); cnt_o.append(cnt); mn_o.append(mn); mx_o.append(mx)
-            if not g_o:
-                return pa.table({"g": pa.array([], pa.int64()),
-                                 "k": pa.array([], pa.int64()),
+            if not i_o:
+                return pa.table({"i": pa.array([], pa.int64()),
                                  "b": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64()),
                                  "mn": pa.array([], pa.float64()),
                                  "mx": pa.array([], pa.float64())})
-            return pa.table({"g": pa.array(np.concatenate(g_o)),
-                             "k": pa.array(np.concatenate(k_o)),
+            return pa.table({"i": pa.array(np.concatenate(i_o)),
                              "b": pa.array(np.concatenate(b_o)),
                              "cnt": pa.array(np.concatenate(cnt_o)),
                              "mn": pa.array(np.concatenate(mn_o)),
                              "mx": pa.array(np.concatenate(mx_o))})
 
         ht = (
-            pa.Table.from_pylist(
+            _run_small(
                 pruned.map_batches(
                     hist_part, batch_format="pyarrow", zero_copy_batch=True
-                ).take_all()
+                )
             )
             .to_pandas()
-            .groupby(["g", "k", "b"], sort=True)
+            .groupby(["i", "b"], sort=True)
             .agg(cnt=("cnt", "sum"), mn=("mn", "min"), mx=("mx", "max"))
             .reset_index()
         )
-        for gid, k, _, _ in active:
-            st = state[(gid, k)]
-            g = ht[(ht["g"] == gid) & (ht["k"] == k)]
-            cum = g["cnt"].cumsum().to_numpy()
-            j = int(np.searchsorted(cum, st["r"], side="right"))
-            prev = int(cum[j - 1]) if j else 0
-            row = g.iloc[j]
-            st["lo"], st["hi"] = float(row["mn"]), float(row["mx"])
-            st["r"] -= prev
-            st["cnt"] = int(row["cnt"])
+        for iid, keys_here in enumerate(ivals.values()):
+            g = ht[ht["i"] == iid]
+            for key in keys_here:
+                _advance(state[key], g)
 
     for key in list(state):
-        st = state[key]
-        if st["lo"] == st["hi"]:
-            value[key] = st["lo"]
-            del state[key]
+        if state[key]["lo"] == state[key]["hi"]:
+            value[key] = state.pop(key)["lo"]
     if state:
-        remaining = [(g, k, st["lo"], st["hi"]) for (g, k), st in state.items()]
+        ivals, targets = _dedup_targets(state)
 
-        def collect(t: pa.Table, targets=tuple(remaining)) -> pa.Table:
+        def collect(t: pa.Table, targets=targets) -> pa.Table:
             v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
             gc = _group_codes(t)
             ok = ~np.isnan(v)
-            g_o, k_o, v_o = [], [], []
-            for gid, k, lo, hi in targets:
-                sel = ok & (gc == gid) & (v >= lo) & (v <= hi)
-                x = v[sel]
+            i_o, v_o = [], []
+            for iid, gid, lo, hi in targets:
+                x = v[ok & (gc == gid) & (v >= lo) & (v <= hi)]
                 if x.size:
-                    g_o.append(np.full(x.size, gid, dtype=np.int64))
-                    k_o.append(np.full(x.size, k, dtype=np.int64))
+                    i_o.append(np.full(x.size, iid, dtype=np.int64))
                     v_o.append(x)
-            if not g_o:
-                return pa.table({"g": pa.array([], pa.int64()),
-                                 "k": pa.array([], pa.int64()),
+            if not i_o:
+                return pa.table({"i": pa.array([], pa.int64()),
                                  "v": pa.array([], pa.float64())})
-            return pa.table({"g": pa.array(np.concatenate(g_o)),
-                             "k": pa.array(np.concatenate(k_o)),
+            return pa.table({"i": pa.array(np.concatenate(i_o)),
                              "v": pa.array(np.concatenate(v_o))})
 
-        ct = pa.Table.from_pylist(
-            pruned.map_batches(
-                collect, batch_format="pyarrow", zero_copy_batch=True
-            ).take_all()
+        ct = _run_small(
+            pruned.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True)
         )
-        gg = ct["g"].to_numpy(zero_copy_only=False).astype(np.int64)
-        kk = ct["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii = ct["i"].to_numpy(zero_copy_only=False).astype(np.int64)
         vv = ct["v"].to_numpy(zero_copy_only=False).astype(np.float64)
-        for (gid, k), st in state.items():
-            xs = vv[(gg == gid) & (kk == k)]
-            r = st["r"]
-            value[(gid, k)] = float(np.partition(xs, r)[r])
+        for iid, keys_here in enumerate(ivals.values()):
+            xs = vv[ii == iid]
+            rs = sorted({state[key]["r"] for key in keys_here})
+            part = np.partition(xs, rs)
+            for key in keys_here:
+                value[key] = float(part[state[key]["r"]])
 
-    out = {}
+    out: dict = {}
     for gid, items in plan.items():
         gkey = groups[gid]
         out[gkey] = {}
