@@ -118,3 +118,27 @@ class TestGrouped:
             exact_quantiles_grouped(
                 self._gds(keys, vals), "x", "g", [0.5], max_groups=10
             )
+
+
+def test_infinities_sort_outside_finite_band(ray_session):
+    vals = [float("-inf")] * 3 + list(np.linspace(0, 10, 11)) + [float("inf")] * 2
+    got = exact_quantiles(_ds(vals), "x", [0.0, 0.5, 1.0])
+    clean = np.asarray(vals)
+    assert got[0.0] == float("-inf")
+    assert got[0.5] == pytest.approx(float(np.quantile(clean, 0.5)))
+    assert got[1.0] == float("inf")
+
+
+def test_grouped_all_null_group_and_inf(ray_session):
+    from vald.aggregates import exact_quantiles_grouped
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "x": pa.array([1.0, 2.0, float("inf"), None, None], type=pa.float64()),
+        }
+    )
+    got = exact_quantiles_grouped(ray.data.from_arrow(t).repartition(2), "x", "g", [0.5, 1.0])
+    assert got["a"][0.5] == pytest.approx(2.0)
+    assert got["a"][1.0] == float("inf")
+    assert got["b"] == {0.5: None, 1.0: None}

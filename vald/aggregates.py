@@ -15,8 +15,10 @@ Two surfaces:
   one profile row per (partition, column).
 
 Exact twins (§5.3): ``mode="exact"`` computes n_distinct via a real
-distinct shuffle and quantiles via sort — used by DuckDB-oracle
-queries; sketch mode is for scale. Never oracle-compare a sketch.
+distinct shuffle; exact quantiles come from ``exact_quantiles`` /
+``exact_quantiles_grouped`` (histogram-narrowing selection, below) —
+used by DuckDB-oracle queries; sketch mode is for scale. Never
+oracle-compare a sketch.
 """
 
 from __future__ import annotations
@@ -313,6 +315,21 @@ def _run_small(ds: "ray.data.Dataset") -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+def _lerp(v_lo: float, v_hi: float, frac: float) -> float:
+    """quantile_cont interpolation, exact at the endpoints and stable
+    when a bracket endpoint is ±inf (naive lerp gives inf - inf = NaN;
+    the mathematical limit is the infinite endpoint)."""
+    if frac == 0.0 or v_lo == v_hi:
+        return v_lo
+    if frac == 1.0:
+        return v_hi
+    if not math.isfinite(v_lo):
+        return v_lo
+    if not math.isfinite(v_hi):
+        return v_hi
+    return v_lo + (v_hi - v_lo) * frac
+
+
 def _rank_plan(n: int, qs) -> "tuple[list, list]":
     """quantile_cont interpolation plan: per q the two order statistics
     (0-based global ranks) and the fraction between them."""
@@ -401,24 +418,44 @@ def exact_quantiles(
         v = _valid_f64(t[col])
         if v.size == 0:
             return pa.table({"n": pa.array([], pa.int64()),
+                             "neg": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
                              "lo": pa.array([], pa.float64()),
                              "hi": pa.array([], pa.float64())})
-        return pa.table({"n": pa.array([v.size], pa.int64()),
-                         "lo": pa.array([float(v.min())]),
-                         "hi": pa.array([float(v.max())])})
+        f = v[np.isfinite(v)]
+        return pa.table({
+            "n": pa.array([f.size], pa.int64()),
+            "neg": pa.array([int((v == -np.inf).sum())], pa.int64()),
+            "pos": pa.array([int((v == np.inf).sum())], pa.int64()),
+            "lo": pa.array([float(f.min()) if f.size else None], pa.float64()),
+            "hi": pa.array([float(f.max()) if f.size else None], pa.float64()),
+        })
 
     bt = _run_small(
         pruned.map_batches(bounds, batch_format="pyarrow", zero_copy_batch=True)
     )
     if bt.num_columns == 0 or len(bt) == 0:
         return {q: None for q in qs}
-    n = int(pc.sum(bt["n"]).as_py())
-    glo = float(pc.min(bt["lo"]).as_py())
-    ghi = float(pc.max(bt["hi"]).as_py())
+    n_fin = int(pc.sum(bt["n"]).as_py())
+    n_neg = int(pc.sum(bt["neg"]).as_py())
+    n_pos = int(pc.sum(bt["pos"]).as_py())
+    n = n_fin + n_neg + n_pos
+    glo = pc.min(bt["lo"]).as_py()
+    ghi = pc.max(bt["hi"]).as_py()
 
+    # ±inf sort below/above every finite value: ranks outside the
+    # finite band resolve immediately; the narrowing interval (and the
+    # v>=lo & v<=hi pass filters) stay finite
     plan, ks = _rank_plan(n, qs)
-    state = {k: {"lo": glo, "hi": ghi, "r": k, "cnt": n} for k in ks}
-    value: dict = {}
+    state, value = {}, {}
+    for k in ks:
+        if k < n_neg:
+            value[k] = float("-inf")
+        elif k >= n_neg + n_fin:
+            value[k] = float("inf")
+        else:
+            state[k] = {"lo": float(glo), "hi": float(ghi),
+                        "r": k - n_neg, "cnt": n_fin}
 
     for _ in range(max_passes):
         for k in list(state):
@@ -512,8 +549,7 @@ def exact_quantiles(
 
     out = {}
     for q, k_lo, k_hi, frac in plan:
-        v_lo, v_hi = value[k_lo], value[k_hi]
-        out[q] = v_lo + (v_hi - v_lo) * frac
+        out[q] = _lerp(value[k_lo], value[k_hi], frac)
     return out
 
 
@@ -551,13 +587,19 @@ def exact_quantiles_grouped(
     pruned = ds.select_columns([by, col])
 
     def g_bounds(t: pa.Table) -> pa.Table:
-        v = pc.cast(t[col], pa.float64())
-        keep = pc.invert(pc.is_nan(pc.fill_null(v, float("nan"))))
-        small = pa.table({by: t[by], "__v": v}).filter(keep)
+        vn = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        fin = np.isfinite(vn)
+        small = pa.table({
+            by: t[by],
+            "__v": pa.array(vn, mask=~fin),  # finite-only for min/max/count
+            "neg": pa.array((vn == -np.inf).astype(np.int64)),
+            "pos": pa.array((vn == np.inf).astype(np.int64)),
+        })
         agg = small.group_by([by], use_threads=False).aggregate(
-            [("__v", "count"), ("__v", "min"), ("__v", "max")]
+            [("__v", "count"), ("__v", "min"), ("__v", "max"),
+             ("neg", "sum"), ("pos", "sum")]
         )
-        return agg.rename_columns([by, "n", "lo", "hi"])
+        return agg.rename_columns([by, "n", "lo", "hi", "neg", "pos"])
 
     bt = _run_small(
         pruned.map_batches(g_bounds, batch_format="pyarrow", zero_copy_batch=True)
@@ -567,7 +609,8 @@ def exact_quantiles_grouped(
     gb = (
         bt.to_pandas()
         .groupby(by, dropna=False, sort=True)
-        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"),
+             neg=("neg", "sum"), pos=("pos", "sum"))
         .reset_index()
     )
     if len(gb) > max_groups:
@@ -595,18 +638,29 @@ def exact_quantiles_grouped(
         ).codes.astype(np.int64)
         return np.where(codes >= 0, nn_gid[np.clip(codes, 0, None)], null_gid)
 
-    # state per (gid, k); plan per gid
+    # state per (gid, k); plan per gid; ±inf ranks resolve at init
+    # (they sort outside the finite band, same rule as ungrouped)
     state: dict = {}
     plan: dict = {}
+    value: dict = {}
     for gid, row in gb.iterrows():
-        g_plan, g_ks = _rank_plan(int(row["n"]), qs)
+        n_fin, n_neg, n_pos = int(row["n"]), int(row["neg"]), int(row["pos"])
+        n_tot = n_fin + n_neg + n_pos
+        if n_tot == 0:  # group exists but every value is NULL/NaN
+            plan[gid] = None
+            continue
+        g_plan, g_ks = _rank_plan(n_tot, qs)
         plan[gid] = g_plan
         for k in g_ks:
-            state[(gid, k)] = {
-                "lo": float(row["lo"]), "hi": float(row["hi"]),
-                "r": k, "cnt": int(row["n"]),
-            }
-    value: dict = {}
+            if k < n_neg:
+                value[(gid, k)] = float("-inf")
+            elif k >= n_neg + n_fin:
+                value[(gid, k)] = float("inf")
+            else:
+                state[(gid, k)] = {
+                    "lo": float(row["lo"]), "hi": float(row["hi"]),
+                    "r": k - n_neg, "cnt": n_fin,
+                }
 
     def _dedup_targets(keys) -> "tuple[dict, tuple]":
         ivals: dict = {}
@@ -705,8 +759,10 @@ def exact_quantiles_grouped(
     out: dict = {}
     for gid, items in plan.items():
         gkey = groups[gid]
+        if items is None:  # all-NULL group: SQL quantile_cont is NULL
+            out[gkey] = {q: None for q in qs}
+            continue
         out[gkey] = {}
         for q, k_lo, k_hi, frac in items:
-            v_lo, v_hi = value[(gid, k_lo)], value[(gid, k_hi)]
-            out[gkey][q] = v_lo + (v_hi - v_lo) * frac
+            out[gkey][q] = _lerp(value[(gid, k_lo)], value[(gid, k_hi)], frac)
     return out
