@@ -166,23 +166,42 @@ _BPEISH_RE = re.compile(
 
 
 class TokenCount:
-    """Actor: whitespace token count + BPE-ish pretoken count per row."""
+    """Actor: whitespace token count (+ optionally a BPE-ish pretoken
+    count) per row.
 
-    def __init__(self, text_col: str = "text"):
+    ``n_tokens_ws`` is one vectorized RE2 pass
+    (``pc.count_substring_regex(r"\\S+")``) — the same regex semantics
+    as the DuckDB oracle's ``string_split_regex('\\s+')``, and equal to
+    Python ``str.split()`` everywhere on ASCII whitespace (the corpus
+    contract; RE2's ``\\s`` is ASCII-only, so the two diverge only on
+    Unicode whitespace like NBSP — where the ORACLE sides with RE2).
+
+    ``n_tokens_bpeish`` needs the lookahead-bearing GPT-2 pretokenizer
+    pattern RE2 can't run, so it stays a compiled-``re`` pass — request
+    it only when needed via ``modes``: q_budget_select selects on the
+    ws count alone and skips the expensive column entirely."""
+
+    def __init__(self, text_col: str = "text", modes=("ws", "bpeish")):
         self.text_col = text_col
+        self.modes = tuple(modes)
         self.bpeish = _BPEISH_RE
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ws, bp = [], []
-        for v in t[self.text_col].to_pylist():
-            if not v:
-                ws.append(0)
-                bp.append(0)
-                continue
-            ws.append(len(v.split()))
-            bp.append(len(self.bpeish.findall(v)))
-        t = t.append_column("n_tokens_ws", pa.array(ws, type=pa.int64()))
-        return t.append_column("n_tokens_bpeish", pa.array(bp, type=pa.int64()))
+        col = t[self.text_col]
+        if "ws" in self.modes:
+            ws = pc.fill_null(
+                pc.count_substring_regex(col, pattern=r"\S+"), 0
+            )
+            t = t.append_column("n_tokens_ws", pc.cast(ws, pa.int64()))
+        if "bpeish" in self.modes:
+            bp = [
+                0 if not v else sum(1 for _ in self.bpeish.finditer(v))
+                for v in col.to_pylist()
+            ]
+            t = t.append_column(
+                "n_tokens_bpeish", pa.array(bp, type=pa.int64())
+            )
+        return t
 
 
 def token_counts(

@@ -49,7 +49,8 @@ def q_token_counts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TokenCount, fn_constructor_kwargs={"text_col": "text"},
+        TokenCount,
+        fn_constructor_kwargs={"text_col": "text", "modes": ("ws",)},
         batch_format="pyarrow", concurrency=(1, 2),
     ).select_columns(["doc_id", "n_tokens_ws"])
     return _ensure_schema(
@@ -754,7 +755,7 @@ def q_budget_select(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     toks = ds.map_batches(
         TokenCount,
-        fn_constructor_kwargs={"text_col": "text"},
+        fn_constructor_kwargs={"text_col": "text", "modes": ("ws",)},
         batch_format="pyarrow",
         concurrency=(1, 2),
     ).select_columns(["doc_id", "lang", "n_chars", "n_tokens_ws"])
