@@ -305,14 +305,9 @@ def _valid_f64(c: "pa.ChunkedArray | pa.Array") -> np.ndarray:
 
 
 def _run_small(ds: "ray.data.Dataset") -> pa.Table:
-    """Execute a pipeline whose output is small and concat the Arrow
-    batches directly — never per-row dicts (``take_all`` materializes
-    Python objects; at collect_cap scale that dominated the op)."""
-    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
-    tables = [t for t in tables if len(t)]
-    if not tables:
-        return pa.table({})
-    return pa.concat_tables(tables, promote_options="default")
+    from .runtime import collect_arrow
+
+    return collect_arrow(ds)
 
 
 def _lerp(v_lo: float, v_hi: float, frac: float) -> float:

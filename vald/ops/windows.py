@@ -731,10 +731,11 @@ def watermark_late(
                          "hi": pa.array([int(ov.max())]),
                          "n": pa.array([len(t)])})
 
-    bt = pa.Table.from_pylist(
+    from ..runtime import collect_arrow
+
+    bt = collect_arrow(
         ds.select_columns([oc0])
         .map_batches(bounds_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
     if len(bt) == 0:  # empty input: emit the schema, no rows
         def empty_mark(t: pa.Table) -> pa.Table:
@@ -774,10 +775,9 @@ def watermark_late(
         np.maximum.at(m, inv, iv)
         return pa.table({"b": pa.array(ub), "m": pa.array(m)})
 
-    mt = pa.Table.from_pylist(
+    mt = collect_arrow(
         ds.select_columns(list(dict.fromkeys([*order_cols, ts_col])))
         .map_batches(max_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
     bucket_max = np.full(num_buckets, _I64_MIN, dtype=np.int64)
     if len(mt):

@@ -5,6 +5,7 @@ from __future__ import annotations
 import ray
 
 __all__ = [
+    "collect_arrow",
     "join_partitions",
     "join_remote_args",
     "join_barrier",
@@ -20,6 +21,21 @@ __all__ = [
 # catalog query). 2M int64 keys ~= 16 MB broadcast object — cheap to
 # ship once per node, safely below worker-heap concerns.
 DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+
+
+def collect_arrow(ds) -> "pa.Table":
+    """Execute a pipeline whose OUTPUT is small (partials, maxima,
+    capped survivors) and concat the Arrow batches directly — never
+    ``take_all()``, which materializes one Python dict per row and
+    dominates wall time past ~10^5 rows. The smallness contract is the
+    caller's: outputs here are bounded by design (per-block partial
+    rows, per-bucket maxima, collect_cap'd values), not by data size."""
+    import pyarrow as pa
+
+    tables = [t for t in ds.iter_batches(batch_format="pyarrow", batch_size=None) if len(t)]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def join_barrier(ds):
