@@ -33,6 +33,7 @@ __all__ = [
     "drift_check_results",
     "group_drift_check_results",
     "fd_check_results",
+    "monotonic_check_results",
     "completeness_check_results",
     "quantile_bounds_check_results",
     "salted_group_counts",
@@ -1120,3 +1121,130 @@ def salted_group_counts(
     phase1 = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
     phase1 = phase1.groupby([key, "salt"]).aggregate(Sum("cnt", alias_name="cnt"))
     return phase1.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def monotonic_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """Ordering-invariant check (``kind: monotonic``): within each key,
+    in (order…) ascending order, ``column`` must never step the wrong
+    way vs its predecessor (non-strict ``increasing``: violation =
+    value < previous; ``strict`` also flags ties; ``decreasing``
+    mirrors) — "balance never decreases per account", "version only
+    moves forward per repo".
+
+    Shape: one key-hash exchange of the PARTICIPATING columns only
+    (key, order, value, partition id, row_ref — a sequence property
+    needs the rows; no partial aggregation exists), then per bucket one
+    Arrow sort + one vectorized slice-compare
+    (``ops.stats.monotonic_flags``, shared with the standalone op).
+    Per-partition attribution is exact: the partition id rides each
+    row, n_checked/n_violations come from one ``np.bincount`` each.
+    Capped exemplars carry the violating row's row_ref and observed
+    (prev -> value) transition. NULL key/order/value rows are excluded
+    from both counts (SQL LAG-filter semantics). ``num_buckets``
+    follows the B4 data-scaled rule."""
+    from .ops.stats import monotonic_flags
+
+    key_cols = list(dist.params["key"])
+    order_cols = list(dist.params["order"])
+    col = dist.params["column"]
+    strict = bool(dist.params.get("strict", False))
+    direction = dist.params.get("direction", "increasing")
+    increasing = direction == "increasing"
+    cid = dist.constraint_id
+    num_buckets = int(dist.params.get("num_buckets", 256))
+    max_rows = int(
+        dist.params.get("max_violation_rows") or P.DEFAULT_MAX_VIOLATIONS_PER_BATCH
+    )
+
+    data_cols = list(dict.fromkeys([*key_cols, *order_cols, col]))
+
+    def pre(t: pa.Table) -> pa.Table:
+        pids = P.build_partition_ids(t, cs)
+        ref = P.build_row_ref(t, cs)
+        small = t.select(data_cols).append_column(
+            "__pid", pa.array(np.asarray(pids, dtype=np.int32))
+        )
+        small = small.append_column(
+            "__ref",
+            pc.fill_null(ref, "<null>")
+            if ref is not None
+            else pa.nulls(len(t), pa.string()),
+        )
+        m = None
+        for c in data_cols:
+            v = pc.is_valid(small[c])
+            m = v if m is None else pc.and_(m, v)
+        small = small.filter(m)
+        h = np.zeros(len(small), dtype=np.uint64)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        import pandas as pd
+
+        for kc in key_cols:
+            arr = small[kc].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                h = h * mix + pd.util.hash_array(arr, categorize=False)
+        return small.append_column(
+            "__gb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gb"])
+        if len(g) == 0:
+            return P._empty_result()
+        g, viol = monotonic_flags(
+            g, key_cols, order_cols, col, strict=strict, increasing=increasing
+        )
+        pids = np.asarray(
+            g["__pid"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        Pmax = int(pids.max()) + 1
+        n_checked = np.bincount(pids, minlength=Pmax)
+        n_viol = np.bincount(pids[viol], minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([col] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend(n_viol[present].astype(np.int64).tolist())
+        idx = np.flatnonzero(viol)[:max_rows]
+        if len(idx):
+            take = pa.array(idx, type=pa.int64())
+            prev_take = pa.array(idx - 1, type=pa.int64())
+            refs = g["__ref"].take(take).to_pylist()
+            vals = pc.cast(g[col], pa.string()).take(take).to_pylist()
+            prevs = pc.cast(g[col], pa.string()).take(prev_take).to_pylist()
+            for j, i in enumerate(idx):
+                out["partition_id"].append(int(pids[i]))
+                out["constraint_id"].append(cid)
+                out["row_ref"].append(refs[j] if refs[j] is not None else "")
+                out["column"].append(col)
+                out["observed"].append(f"{prevs[j]} -> {vals[j]}")
+                out["detail"].append(
+                    f"monotonic[{direction}{',strict' if strict else ''}]"
+                )
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    cols_needed = list(
+        dict.fromkeys(data_cols + _pid_cols(cs) + list(cs.row_ref_cols or []))
+    )
+    pruned = ds.map_batches(
+        lambda t, c=cols_needed: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        pruned.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

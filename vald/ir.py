@@ -447,6 +447,33 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "monotonic":
+            # ordering invariant: within each key, in (order...) order,
+            # `column` never steps the wrong way vs its predecessor
+            keyc = chk["key"]
+            keyc = [keyc] if isinstance(keyc, str) else list(keyc)
+            orderc = chk["order"]
+            orderc = [orderc] if isinstance(orderc, str) else list(orderc)
+            col = chk["column"]
+            cid = chk.get(
+                "constraint_id", f"{table}.{col}.monotonic"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "monotonic",
+                    {
+                        "key": keyc,
+                        "order": orderc,
+                        "column": col,
+                        "strict": bool(chk.get("strict", False)),
+                        "direction": chk.get("direction", "increasing"),
+                        "num_buckets": chk.get("num_buckets", 256),
+                        "max_violation_rows": chk.get("max_violation_rows"),
+                    },
+                    chk.get("severity", "error"),
+                )
+            )
         elif kind == "fd":
             # functional dependency: columns (determinant) -> dependent.
             # A bare-string determinant is normalized to a 1-list

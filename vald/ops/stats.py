@@ -704,3 +704,119 @@ def fd_groups_ds(
         .groupby("__gb")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Monotonicity (ordering invariant) — the Deequ-style "value never
+# decreases per key in event order" data-quality check
+# ---------------------------------------------------------------------------
+
+
+def monotonic_flags(
+    g: pa.Table,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    val_col: str,
+    *,
+    strict: bool = False,
+    increasing: bool = True,
+) -> "tuple[pa.Table, np.ndarray]":
+    """Per-bucket core shared by the ops twin and the ``kind:
+    monotonic`` check: sort ``g`` by (key…, order…), compare each value
+    to its predecessor WITHIN the key segment with one Arrow
+    slice-compare (works for any ordered Arrow type — numeric,
+    timestamp, string), and return (sorted table, violation mask).
+    Row 0 of each key segment never violates (SQL: LAG IS NULL).
+    Caller must have dropped NULL key/order/value rows: ties in
+    ``order_cols`` make the predecessor ambiguous, same caveat as the
+    SQL window formulation."""
+    n = len(g)
+    if n == 0:
+        return g, np.zeros(0, dtype=bool)
+    idx = pc.sort_indices(
+        g, sort_keys=[(c, "ascending") for c in [*key_cols, *order_cols]]
+    )
+    g = g.take(idx).combine_chunks()
+    if n == 1:
+        return g, np.zeros(1, dtype=bool)
+    prev, cur = g.slice(0, n - 1), g.slice(1)
+    same = np.ones(n - 1, dtype=bool)
+    for kc in key_cols:
+        same &= pc.equal(cur[kc], prev[kc]).to_numpy(zero_copy_only=False)
+    if increasing:
+        cmpf = pc.less_equal if strict else pc.less
+    else:
+        cmpf = pc.greater_equal if strict else pc.greater
+    steps = pc.fill_null(
+        cmpf(cur[val_col], prev[val_col]), False
+    ).to_numpy(zero_copy_only=False)
+    return g, np.concatenate(([False], same & steps))
+
+
+def monotonic_violations_ds(
+    ds: "ray.data.Dataset",
+    key: "str | list[str]",
+    order: "str | list[str]",
+    col: str,
+    *,
+    strict: bool = False,
+    direction: str = "increasing",
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key ordering-violation counts: in (key, order…) ascending
+    order, count rows whose ``col`` steps the wrong way vs their
+    predecessor (non-strict ``increasing``: a violation is
+    ``value < previous``; ``strict`` also flags ties; ``decreasing``
+    mirrors). The classic event-log invariants — "balance never
+    decreases per account", "version only moves forward per repo".
+
+    Shape (100 TB): ONE key-hash exchange moves each participating row
+    once into its key's bucket (ordering needs the actual rows — no
+    partial aggregation exists for a sequence property); the per-bucket
+    pass is one Arrow sort + one vectorized slice-compare
+    (``monotonic_flags``), then a per-key Arrow hash-aggregate. Bucket
+    count follows the B4 data-scaled rule. NULL key/order/value rows
+    are excluded (the SQL oracle filters the same way).
+
+    Returns a Dataset of ``key…, n_rows:int64, n_violations:int64`` —
+    one row per key (keys with zero violations included: the check's
+    null direction is data too)."""
+    if direction not in ("increasing", "decreasing"):
+        raise ValueError("direction must be 'increasing' or 'decreasing'")
+    key_cols = [key] if isinstance(key, str) else list(key)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    cols = list(dict.fromkeys([*key_cols, *order_cols, col]))
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.select(cols).drop_null()
+        h = np.zeros(len(t), dtype=np.uint64)
+        for kc in key_cols:
+            arr = t[kc].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                h = h * mix + pd.util.hash_array(arr, categorize=False)
+        return t.append_column(
+            "__gb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gb"])
+        g, viol = monotonic_flags(
+            g, key_cols, order_cols, col,
+            strict=strict, increasing=(direction == "increasing"),
+        )
+        small = g.select(key_cols).append_column(
+            "n_violations", pa.array(viol.astype(np.int64))
+        )
+        agg = (
+            small.group_by(key_cols, use_threads=False)
+            .aggregate([([], "count_all"), ("n_violations", "sum")])
+            .rename_columns([*key_cols, "n_rows", "n_violations"])
+        )
+        return agg.select([*key_cols, "n_rows", "n_violations"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

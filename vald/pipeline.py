@@ -1062,6 +1062,10 @@ def validate(
             # per-group sketch pass: exchange is one digest per
             # (group, batch); see drift.group_drift_check_results
             combined = combined.union(cd.group_drift_check_results(ds, cs, dist))
+        elif dist.kind == "monotonic":
+            # one key-hash exchange + per-bucket sort/compare, see
+            # monotonic_check_results
+            combined = combined.union(cd.monotonic_check_results(ds, cs, dist))
         elif dist.kind == "fd":
             # FD re-reads the input column-pruned to det+dep (narrow);
             # one exchange of locally-distinct pairs, see fd_check_results

@@ -885,3 +885,28 @@ def q_corpus_violations(sf_dir: str):
         ds, C.CORPUS_SPEC, parents={"repos": C.repos_table(_CORPUS_N, 42)}, concurrency=4
     )
     return res.violations_table()
+
+
+# ---------------------------------------------------------------------------
+# kind: monotonic — ordering invariant per key (ops/stats.py twin of
+# constraints_dist.monotonic_check_results). Events carry a random
+# `value`, so per-user backsteps are plentiful (the fire direction);
+# the null direction is covered by tests/test_monotonic.py.
+# ---------------------------------------------------------------------------
+
+
+def q_monotonic(sf_dir: str):
+    from ..ops.stats import monotonic_violations_ds
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = monotonic_violations_ds(ev, "user_id", ["ts", "event_id"], "value")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_rows", pa.int64()),
+                ("n_violations", pa.int64()),
+            ]
+        ),
+    )

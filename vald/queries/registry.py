@@ -140,6 +140,7 @@ QUERIES = {
     "q_semdedup": q_semdedup,
     "q_late_events": q_late_events,
     "q_watermark_agg": q_watermark_agg,
+    "q_monotonic": q_monotonic,
 }
 
 
@@ -922,6 +923,17 @@ ORACLE_SQL = {
         "round(sum(value), 2) AS val_sum, count(*) AS n FROM w "
         "WHERE pm IS NULL OR pm - INTERVAL 30 MINUTE <= "
         "date_trunc('hour', ts) + INTERVAL 75 MINUTE GROUP BY 1"
+    ),
+    # kind: monotonic — per-user ordering violations of `value` in
+    # (ts, event_id) order (non-strict increasing; LAG semantics)
+    "q_monotonic": (
+        "WITH w AS (SELECT user_id, value, lag(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_id IS NOT NULL AND value IS NOT NULL) "
+        "SELECT user_id, count(*)::BIGINT AS n_rows, "
+        "count(*) FILTER (WHERE prev IS NOT NULL AND value < prev)::BIGINT "
+        "AS n_violations FROM w GROUP BY user_id"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
