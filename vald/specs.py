@@ -120,7 +120,14 @@ EVENTS_SPEC: dict = {
             }
         },
     },
-    "checks": [{"kind": "unique", "columns": ["event_id"]}],
+    "checks": [
+        {"kind": "unique", "columns": ["event_id"]},
+        # event time never moves backward within a user's stream in
+        # ingestion (event_id) order — holds on the generated log, so
+        # this is the monotonic kind's null direction on the entry()
+        # smoke path (tests/test_monotonic.py covers the fire side)
+        {"kind": "monotonic", "key": "user_id", "order": "event_id", "column": "ts"},
+    ],
 }
 
 EMBEDDINGS_SPEC: dict = {
@@ -158,6 +165,6 @@ SPEC_COLUMNS = {
     ],
     "customer": ["c_custkey", "c_name", "c_mktsegment"],
     "documents": ["doc_id", "text", "lang", "n_chars"],
-    "events": ["event_id", "user_id", "event_type", "props"],
+    "events": ["event_id", "user_id", "event_type", "props", "ts"],
     "embeddings": ["vec_id", "embedding"],
 }
