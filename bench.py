@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_infer_spec",
     "q_late_events",
     "q_watermark_agg",
+    "q_monotonic",
 ]
 
 
