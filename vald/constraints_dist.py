@@ -34,6 +34,7 @@ __all__ = [
     "group_drift_check_results",
     "fd_check_results",
     "monotonic_check_results",
+    "reconcile_check_results",
     "completeness_check_results",
     "quantile_bounds_check_results",
     "salted_group_counts",
@@ -1248,3 +1249,171 @@ def monotonic_check_results(
         .groupby("__gb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def reconcile_check_results(
+    ds: "ray.data.Dataset",
+    other: "ray.data.Dataset",
+    cs: ConstraintSet,
+    dist: DistCheck,
+) -> "ray.data.Dataset":
+    """Cross-table reconciliation check (``kind: reconcile``): each
+    validated row's ``column`` must equal ``sum(other_sum)`` over the
+    ``other_table`` rows sharing its key, within ``tolerance`` — the
+    accounting consistency neither refint (existence) nor FD
+    (functional shape) expresses. ``other`` resolves from the same
+    ``parents=`` mapping refint uses.
+
+    Shape: the other table never ships rows — per-batch per-key partial
+    sums only; the validated side ships (key, value, partition id,
+    row_ref). ONE hash exchange co-locates a key's partials with its
+    rows; per bucket one Arrow hash-aggregate + hash-join, then
+    vectorized compare + ``np.bincount`` per-partition attribution.
+    NULL key/value rows are excluded (unchecked); a key with NO other
+    rows fails reconciliation (``missing_other: "ignore"`` downgrades
+    it to unchecked). Capped exemplars carry row_ref and the
+    ``value != sum`` pair."""
+    import pandas as pd
+
+    key = dist.params["key"]
+    col = dist.params["column"]
+    okey = dist.params["other_key"]
+    osum = dist.params["other_sum"]
+    tol = float(dist.params.get("tolerance", 0.01))
+    missing_viol = dist.params.get("missing_other", "violation") == "violation"
+    cid = dist.constraint_id
+    num_buckets = int(dist.params.get("num_buckets", 256))
+    max_rows = int(
+        dist.params.get("max_violation_rows") or P.DEFAULT_MAX_VIOLATIONS_PER_BATCH
+    )
+    mix_mod = np.uint64(num_buckets)
+
+    def _bucket(k: "pa.ChunkedArray") -> np.ndarray:
+        arr = k.to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = pd.util.hash_array(arr, categorize=False)
+        return (h % mix_mod).astype(np.int32)
+
+    def other_partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "key": pc.cast(t[okey], pa.string()),
+                "val": pc.cast(t[osum], pa.float64()),
+            }
+        ).drop_null()
+        agg = (
+            small.group_by(["key"], use_threads=False)
+            .aggregate([("val", "sum")])
+            .rename_columns(["key", "val"])
+        )
+        n = len(agg)
+        return pa.table(
+            {
+                "__b": pa.array(_bucket(agg["key"])),
+                "key": agg["key"],
+                "val": agg["val"],
+                "__pid": pa.array(np.full(n, -1, dtype=np.int32)),
+                "__ref": pa.nulls(n, pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        pids = P.build_partition_ids(t, cs)
+        ref = P.build_row_ref(t, cs)
+        small = pa.table(
+            {
+                "key": pc.cast(t[key], pa.string()),
+                "val": pc.cast(t[col], pa.float64()),
+                "__pid": pa.array(np.asarray(pids, dtype=np.int32)),
+                "__ref": pc.fill_null(ref, "<null>")
+                if ref is not None
+                else pa.nulls(len(t), pa.string()),
+            }
+        )
+        m = pc.and_(pc.is_valid(small["key"]), pc.is_valid(small["val"]))
+        small = small.filter(m)
+        n = len(small)
+        return pa.table(
+            {
+                "__b": pa.array(_bucket(small["key"])),
+                "key": small["key"],
+                "val": small["val"],
+                "__pid": small["__pid"],
+                "__ref": small["__ref"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ch = g.filter(pa.array(side == 1)).select(["key", "val"])
+        pt = g.filter(pa.array(side == 0)).select(
+            ["key", "val", "__pid", "__ref"]
+        )
+        if len(pt) == 0:
+            return P._empty_result()
+        sums = (
+            ch.group_by(["key"], use_threads=False)
+            .aggregate([("val", "sum")])
+            .rename_columns(["key", "child_sum"])
+        )
+        joined = pt.rename_columns(["key", "parent_val", "__pid", "__ref"]).join(
+            sums, keys="key", join_type="left outer"
+        )
+        pv = joined["parent_val"].to_numpy(zero_copy_only=False)
+        csc = joined["child_sum"]
+        missing = pc.is_null(csc).to_numpy(zero_copy_only=False)
+        cv = pc.fill_null(csc, 0.0).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            bad_diff = ~missing & (np.abs(pv - cv) > tol)
+        viol = bad_diff | (missing & missing_viol)
+        checked = ~missing | missing_viol  # ignored-missing rows: unchecked
+        pids = np.asarray(
+            joined["__pid"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        Pmax = int(pids.max()) + 1
+        n_checked = np.bincount(pids[checked], minlength=Pmax)
+        n_viol = np.bincount(pids[viol], minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([col] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend(n_viol[present].astype(np.int64).tolist())
+        idx = np.flatnonzero(viol)[:max_rows]
+        if len(idx):
+            take = pa.array(idx, type=pa.int64())
+            refs = joined["__ref"].take(take).to_pylist()
+            for j, i in enumerate(idx):
+                out["partition_id"].append(int(pids[i]))
+                out["constraint_id"].append(cid)
+                out["row_ref"].append(refs[j] if refs[j] is not None else "")
+                out["column"].append(col)
+                out["observed"].append(
+                    f"{pv[i]!r} != sum {'<missing>' if missing[i] else repr(float(cv[i]))}"
+                )
+                out["detail"].append("reconcile")
+                out["is_violation"].append(True)
+                out["n_checked"].append(0)
+                out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    pruned_cols = list(dict.fromkeys([key, col] + _pid_cols(cs) + list(cs.row_ref_cols or [])))
+    pruned = ds.map_batches(
+        lambda t, c=pruned_cols: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = other.map_batches(
+        other_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        pruned.map_batches(parent_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return both.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")

@@ -447,6 +447,31 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "reconcile":
+            # cross-table aggregate consistency: column ==
+            # sum(other_sum) over other_table rows sharing the key
+            col = chk["column"]
+            cid = chk.get(
+                "constraint_id", f"{table}.{col}.reconcile"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "reconcile",
+                    {
+                        "key": chk["key"],
+                        "column": col,
+                        "other_table": chk["other_table"],
+                        "other_key": chk["other_key"],
+                        "other_sum": chk["other_sum"],
+                        "tolerance": chk.get("tolerance", 0.01),
+                        "missing_other": chk.get("missing_other", "violation"),
+                        "num_buckets": chk.get("num_buckets", 256),
+                        "max_violation_rows": chk.get("max_violation_rows"),
+                    },
+                    chk.get("severity", "error"),
+                )
+            )
         elif kind == "monotonic":
             # ordering invariant: within each key, in (order...) order,
             # `column` never steps the wrong way vs its predecessor

@@ -820,3 +820,125 @@ def monotonic_violations_ds(
         .groupby("__gb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation — parent column vs child aggregate
+# ---------------------------------------------------------------------------
+
+
+def reconcile_ds(
+    parent: "ray.data.Dataset",
+    child: "ray.data.Dataset",
+    key: str,
+    col: str,
+    other_key: str,
+    other_sum: str,
+    *,
+    tolerance: float = 0.01,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Cross-table aggregate reconciliation: for each parent row,
+    compare ``col`` against ``sum(other_sum)`` over the child rows with
+    the matching key — the accounting-style consistency check
+    ("orders.o_totalprice equals the sum of its line items", "account
+    balance equals the sum of its ledger entries") that neither refint
+    nor FD expresses.
+
+    Shape (100 TB): the child NEVER ships rows — each batch collapses
+    to per-key partial sums first; parents ship (key, value) plus the
+    join bucket. One hash exchange co-locates a key's partials and its
+    parent row; the per-bucket combine is one Arrow hash-aggregate +
+    one Arrow hash-join. Parent rows with a NULL key or NULL value are
+    excluded (unchecked); a parent key with NO child rows surfaces as
+    ``child_sum`` NULL and ``ok`` false (a missing ledger is a failed
+    reconciliation — filter upstream when absence is legitimate).
+
+    Returns a Dataset of ``key:string, parent_val:float64,
+    child_sum:float64?, ok:bool`` — one row per checked parent row."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket(k: "pa.ChunkedArray") -> np.ndarray:
+        arr = k.to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = pd.util.hash_array(arr, categorize=False)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "key": pc.cast(t[other_key], pa.string()),
+                "val": pc.cast(t[other_sum], pa.float64()),
+            }
+        ).drop_null()
+        agg = (
+            small.group_by(["key"], use_threads=False)
+            .aggregate([("val", "sum")])
+            .rename_columns(["key", "val"])
+        )
+        return pa.table(
+            {
+                "__b": pa.array(_bucket(agg["key"])),
+                "key": agg["key"],
+                "val": agg["val"],
+                "side": pa.array(np.ones(len(agg), dtype=np.int8)),
+            }
+        )
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        small = pa.table(
+            {
+                "key": pc.cast(t[key], pa.string()),
+                "val": pc.cast(t[col], pa.float64()),
+            }
+        ).drop_null()
+        return pa.table(
+            {
+                "__b": pa.array(_bucket(small["key"])),
+                "key": small["key"],
+                "val": small["val"],
+                "side": pa.array(np.zeros(len(small), dtype=np.int8)),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ch = g.filter(pa.array(side == 1)).select(["key", "val"])
+        pt = g.filter(pa.array(side == 0)).select(["key", "val"])
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "parent_val": pa.array([], pa.float64()),
+                "child_sum": pa.array([], pa.float64()),
+                "ok": pa.array([], pa.bool_()),
+            }
+        )
+        if len(pt) == 0:
+            return empty  # child-only keys: reconcile is parent-anchored
+        sums = (
+            ch.group_by(["key"], use_threads=False)
+            .aggregate([("val", "sum")])
+            .rename_columns(["key", "child_sum"])
+        )
+        joined = pt.rename_columns(["key", "parent_val"]).join(
+            sums, keys="key", join_type="left outer"
+        )
+        diff = pc.abs(pc.subtract(joined["parent_val"], joined["child_sum"]))
+        ok = pc.fill_null(pc.less_equal(diff, pa.scalar(tolerance)), False)
+        return pa.table(
+            {
+                "key": joined["key"],
+                "parent_val": joined["parent_val"],
+                "child_sum": joined["child_sum"],
+                "ok": ok,
+            }
+        )
+
+    both = child.map_batches(
+        child_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        parent.map_batches(
+            parent_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return both.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")

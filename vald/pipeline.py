@@ -1062,6 +1062,24 @@ def validate(
             # per-group sketch pass: exchange is one digest per
             # (group, batch); see drift.group_drift_check_results
             combined = combined.union(cd.group_drift_check_results(ds, cs, dist))
+        elif dist.kind == "reconcile":
+            # other table resolves from the same parents= mapping refint
+            # uses; pa.Table / list sources are wrapped into a Dataset
+            src = (parents or {}).get(dist.params["other_table"])
+            if src is None:
+                raise ValueError(
+                    f"reconcile check {dist.constraint_id!r} needs "
+                    f"parents[{dist.params['other_table']!r}]"
+                )
+            if isinstance(src, pa.Table):
+                src = ray.data.from_arrow(src)
+            elif not hasattr(src, "map_batches"):
+                raise ValueError(
+                    "reconcile other_table must be a Dataset or pyarrow Table"
+                )
+            combined = combined.union(
+                cd.reconcile_check_results(ds, src, cs, dist)
+            )
         elif dist.kind == "monotonic":
             # one key-hash exchange + per-bucket sort/compare, see
             # monotonic_check_results

@@ -910,3 +910,57 @@ def q_monotonic(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# kind: reconcile — cross-table aggregate consistency (ops/stats.py
+# twin of constraints_dist.reconcile_check_results). The synthetic
+# orders.o_totalprice is NOT derived from lineitem (verified), so every
+# joined order mismatches — the fire direction; the consistent-ledger
+# null direction is covered by tests/test_reconcile.py.
+# ---------------------------------------------------------------------------
+
+
+def q_reconcile(sf_dir: str):
+    from ..ops.stats import reconcile_ds
+
+    out = reconcile_ds(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]),
+        "o_orderkey",
+        "o_totalprice",
+        "l_orderkey",
+        "l_extendedprice",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        miss = pc.is_null(t["child_sum"]).to_numpy(zero_copy_only=False)
+        bad = ~pc.fill_null(t["ok"], False).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_checked": pa.array([len(t)], pa.int64()),
+                "n_mismatch": pa.array([int(bad.sum())], pa.int64()),
+                "n_missing_child": pa.array([int(miss.sum())], pa.int64()),
+            }
+        )
+
+    from ..runtime import collect_arrow
+
+    parts = collect_arrow(out.map_batches(partial, batch_format="pyarrow"))
+    if parts.num_columns == 0 or len(parts) == 0:
+        return pa.table(
+            {
+                "n_checked": pa.array([0], pa.int64()),
+                "n_mismatch": pa.array([0], pa.int64()),
+                "n_missing_child": pa.array([0], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "n_checked": pa.array([pc.sum(parts["n_checked"]).as_py() or 0], pa.int64()),
+            "n_mismatch": pa.array([pc.sum(parts["n_mismatch"]).as_py() or 0], pa.int64()),
+            "n_missing_child": pa.array(
+                [pc.sum(parts["n_missing_child"]).as_py() or 0], pa.int64()
+            ),
+        }
+    )

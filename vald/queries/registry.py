@@ -141,6 +141,7 @@ QUERIES = {
     "q_late_events": q_late_events,
     "q_watermark_agg": q_watermark_agg,
     "q_monotonic": q_monotonic,
+    "q_reconcile": q_reconcile,
 }
 
 
@@ -934,6 +935,19 @@ ORACLE_SQL = {
         "SELECT user_id, count(*)::BIGINT AS n_rows, "
         "count(*) FILTER (WHERE prev IS NOT NULL AND value < prev)::BIGINT "
         "AS n_violations FROM w GROUP BY user_id"
+    ),
+    # kind: reconcile — parent value vs child aggregate (LEFT JOIN: an
+    # order with no lineitems is a failed reconciliation)
+    "q_reconcile": (
+        "WITH s AS (SELECT l_orderkey AS k, sum(l_extendedprice) AS cs "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL "
+        "AND l_extendedprice IS NOT NULL GROUP BY 1) "
+        "SELECT count(*)::BIGINT AS n_checked, "
+        "count(*) FILTER (WHERE cs IS NULL OR abs(o_totalprice - cs) > 0.01)"
+        "::BIGINT AS n_mismatch, "
+        "count(*) FILTER (WHERE cs IS NULL)::BIGINT AS n_missing_child "
+        "FROM orders LEFT JOIN s ON o_orderkey = s.k "
+        "WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
