@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_late_events",
     "q_watermark_agg",
     "q_monotonic",
+    "q_reconcile",
 ]
 
 
