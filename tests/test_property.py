@@ -63,6 +63,8 @@ def test_exact_quantile_matches_duckdb(ray_session, vals, q):
     want = con.execute(f"SELECT quantile_cont(x, {q!r}) FROM t").fetchone()[0]
     if np.isfinite(want):
         assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
+    elif np.isnan(want):  # a -inf..+inf bracket is indeterminate
+        assert np.isnan(got)
     else:
         assert got == want  # ±inf endpoints compare exactly
 

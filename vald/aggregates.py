@@ -318,6 +318,8 @@ def _lerp(v_lo: float, v_hi: float, frac: float) -> float:
         return v_lo
     if frac == 1.0:
         return v_hi
+    if not math.isfinite(v_lo) and not math.isfinite(v_hi):
+        return float("nan")  # strictly between -inf and +inf: indeterminate
     if not math.isfinite(v_lo):
         return v_lo
     if not math.isfinite(v_hi):
