@@ -75,6 +75,43 @@ def entry() -> Any:
     df.insert(0, "table", "documents_gd")
     verdicts.append(df)
 
+    # cross-table reconcile fire-check (kind: reconcile): the synthetic
+    # o_totalprice is NOT derived from lineitem, so every joined order
+    # mismatches — exercises the kind's fire direction live (the
+    # consistent-ledger null direction is tests/test_reconcile.py)
+    orders = ray.data.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    res = P.validate(
+        orders,
+        {
+            "table": "orders_rec",
+            "row_ref": ["o_orderkey"],
+            "partition_by": "o_orderkey",
+            "columns": {},
+            "checks": [
+                {
+                    "kind": "reconcile",
+                    "key": "o_orderkey",
+                    "column": "o_totalprice",
+                    "other_table": "lineitem",
+                    "other_key": "l_orderkey",
+                    "other_sum": "l_extendedprice",
+                }
+            ],
+        },
+        parents={
+            "lineitem": ray.data.read_parquet(
+                f"{SF_SMOKE}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice"],
+            )
+        },
+        concurrency=2,
+    )
+    df = res.verdicts_table().to_pandas()
+    df.insert(0, "table", "orders_rec")
+    verdicts.append(df)
+
     # north-rule corpus (generated input, violations injected)
     n = 5000
     res = P.validate(
