@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_watermark_agg",
     "q_monotonic",
     "q_reconcile",
+    "q_freshness",
 ]
 
 

@@ -1,0 +1,140 @@
+"""Freshness check (kind: freshness): op parity vs pandas, grouped +
+whole-table modes, spec-level integration (group-level verdict unit,
+latest-writer partition attribution, exemplars), and determinism (the
+explicit as_of — never wall clock)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from vald import pipeline as P
+from vald.ir import compile_table_spec
+from vald.ops.stats import freshness_ds
+
+T0 = datetime(2024, 1, 1)
+AS_OF = "2024-01-11T00:00:00"
+
+
+def _events() -> pa.Table:
+    # as_of is Jan 11. src a: latest day 9 = Jan 10 (fresh within 2
+    # days); src b: latest day 3 = Jan 4 (stale); src c: latest day 8.5
+    # (fresh)
+    rows = [
+        ("a", 1.0), ("a", 9.0),
+        ("b", 2.0), ("b", 3.0),
+        ("c", 8.5), ("c", 0.5),
+    ]
+    return pa.table(
+        {
+            "src": pa.array([r[0] for r in rows]),
+            "ts": pa.array(
+                [T0 + timedelta(days=r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "part": pa.array([0, 1, 0, 1, 0, 1], type=pa.int64()),
+        }
+    )
+
+
+class TestFreshnessOp:
+    def test_grouped(self, ray_session):
+        import ray.data
+
+        out = (
+            freshness_ds(
+                ray.data.from_arrow(_events()).repartition(3),
+                "ts", "src", AS_OF, 2 * 86400,
+            )
+            .to_pandas()
+            .sort_values("src")
+            .reset_index(drop=True)
+        )
+        assert out["src"].tolist() == ["a", "b", "c"]
+        assert out["stale"].tolist() == [False, True, False]
+        assert out.loc[1, "last_ts"] == T0 + timedelta(days=3)
+
+    def test_whole_table(self, ray_session):
+        import ray.data
+
+        # table-wide latest is Jan 10, exactly 1 day before as_of:
+        # stale under a strictly smaller window, fresh at exactly 1 day
+        out = freshness_ds(
+            ray.data.from_arrow(_events()).repartition(2),
+            "ts", None, AS_OF, 86400 - 1,
+        ).to_pandas()
+        assert len(out) == 1
+        assert bool(out.loc[0, "stale"])
+        out2 = freshness_ds(
+            ray.data.from_arrow(_events()), "ts", None, AS_OF, 86400
+        ).to_pandas()
+        assert not bool(out2.loc[0, "stale"])
+
+
+class TestFreshnessSpec:
+    def test_validate_integration(self, ray_session):
+        import ray.data
+
+        spec = compile_table_spec(
+            {
+                "table": "ev",
+                "partition_by": "part",
+                "num_partitions": 2,
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "freshness",
+                        "column": "ts",
+                        "group_by": "src",
+                        "as_of": AS_OF,
+                        "max_age_s": 2 * 86400,
+                    }
+                ],
+            }
+        )
+        res = P.validate(
+            ray.data.from_arrow(_events()).repartition(3), spec, concurrency=2
+        )
+        v = res.verdicts_table()
+        rows = v.filter(pc.equal(v["constraint_id"], "ev.ts.freshness"))
+        assert int(pc.sum(rows["n_checked"]).as_py()) == 3  # unit = groups
+        assert int(pc.sum(rows["n_violations"]).as_py()) == 1
+        viol = res.violations_table()
+        viol = viol.filter(pc.equal(viol["constraint_id"], "ev.ts.freshness"))
+        assert len(viol) == 1
+        assert viol["row_ref"].to_pylist() == ["b"]
+        # attributed to the partition holding b's latest event (the
+        # hash-partition of part=1 — compute it the way the engine does)
+        from vald import pipeline as PP
+
+        spec_cs = spec
+        t1 = pa.table({"part": pa.array([1], type=pa.int64())})
+        want_pid = int(PP.build_partition_ids(t1, spec_cs)[0])
+        assert viol["partition_id"].to_pylist() == [want_pid]
+
+    def test_all_fresh_passes(self, ray_session):
+        import ray.data
+
+        spec = compile_table_spec(
+            {
+                "table": "ev",
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "freshness",
+                        "column": "ts",
+                        "group_by": "src",
+                        "as_of": AS_OF,
+                        "max_age_s": 10 * 86400,
+                    }
+                ],
+            }
+        )
+        res = P.validate(ray.data.from_arrow(_events()), spec, concurrency=2)
+        v = res.verdicts_table()
+        rows = v.filter(pc.equal(v["constraint_id"], "ev.ts.freshness"))
+        assert int(pc.sum(rows["n_violations"]).as_py()) == 0

@@ -35,6 +35,7 @@ __all__ = [
     "fd_check_results",
     "monotonic_check_results",
     "reconcile_check_results",
+    "freshness_check_results",
     "completeness_check_results",
     "quantile_bounds_check_results",
     "salted_group_counts",
@@ -1417,3 +1418,115 @@ def reconcile_check_results(
         pruned.map_batches(parent_partial, batch_format="pyarrow", zero_copy_batch=True)
     )
     return both.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def freshness_check_results(
+    ds: "ray.data.Dataset", cs: ConstraintSet, dist: DistCheck
+) -> "ray.data.Dataset":
+    """Freshness check (``kind: freshness``): every group's latest
+    ``column`` timestamp must be within ``max_age_s`` seconds of
+    ``as_of`` — the per-source staleness gate a pipeline runs before
+    trusting an ingest. The check unit is the GROUP (``group_by``;
+    whole table as one group when omitted): n_checked counts groups,
+    a stale group is one violation, attributed to the partition that
+    holds the group's LATEST event (the most recent writer).
+
+    Shape: one (partition, group, max-ts) partial row per batch —
+    O(partitions × groups × batches), never event rows — merged in a
+    single fold task (the completeness convention). NULL timestamps /
+    group keys are excluded. ``as_of`` is explicit (ISO string or epoch
+    µs), never wall-clock: verdicts must be deterministic and
+    re-runnable."""
+    col = dist.params["column"]
+    as_of = dist.params["as_of"]
+    if isinstance(as_of, str):
+        as_of_us = int(np.datetime64(as_of, "us").astype(np.int64))
+    else:
+        as_of_us = int(as_of)
+    max_age_s = float(dist.params["max_age_s"])
+    threshold = as_of_us - int(round(max_age_s * 1_000_000))
+    gb = dist.params.get("group_by") or []
+    keys = [gb] if isinstance(gb, str) else list(gb)
+    cid = dist.constraint_id
+    max_rows = int(
+        dist.params.get("max_violation_rows") or P.DEFAULT_MAX_VIOLATIONS_PER_BATCH
+    )
+
+    part_schema = pa.schema(
+        [("partition_id", pa.int32()), ("g", pa.string()), ("last_us", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        from .hashing import KEY_SEP
+
+        pids = P.build_partition_ids(t, cs)
+        cols = {"partition_id": pa.array(np.asarray(pids, dtype=np.int32))}
+        if keys:
+            parts = [pc.cast(t[k], pa.string()) for k in keys]
+            cols["g"] = (
+                parts[0]
+                if len(parts) == 1
+                else pc.binary_join_element_wise(*parts, KEY_SEP)
+            )
+        else:
+            cols["g"] = pa.array([""] * len(t), type=pa.string())
+        cols["last_us"] = pc.cast(t[col], pa.int64())
+        small = pa.table(cols).drop_null()
+        agg = (
+            small.group_by(["partition_id", "g"], use_threads=False)
+            .aggregate([("last_us", "max")])
+            .rename_columns(["partition_id", "g", "last_us"])
+        )
+        return agg.select(part_schema.names)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return P._empty_result()
+        df = t.to_pandas()
+        # per group: overall latest ts + the partition holding it
+        top = df.sort_values("last_us").groupby("g", sort=True).tail(1)
+        last = top["last_us"].to_numpy()
+        pids = top["partition_id"].to_numpy().astype(np.int64)
+        stale = last < threshold
+        Pmax = int(pids.max()) + 1
+        n_checked = np.bincount(pids, minlength=Pmax)
+        n_viol = np.bincount(pids[stale], minlength=Pmax)
+        present = np.flatnonzero(n_checked > 0)
+        out: dict[str, list] = {k.name: [] for k in P.RESULT_SCHEMA}
+        kp = len(present)
+        out["partition_id"].extend(present.tolist())
+        out["constraint_id"].extend([cid] * kp)
+        out["row_ref"].extend([""] * kp)
+        out["column"].extend([col] * kp)
+        out["observed"].extend([""] * kp)
+        out["detail"].extend([""] * kp)
+        out["is_violation"].extend([False] * kp)
+        out["n_checked"].extend(n_checked[present].astype(np.int64).tolist())
+        out["n_violations"].extend(n_viol[present].astype(np.int64).tolist())
+        idx = np.flatnonzero(stale)[:max_rows]
+        grefs = top["g"].tolist()
+        for i in idx:
+            out["partition_id"].append(int(pids[i]))
+            out["constraint_id"].append(cid)
+            out["row_ref"].append(grefs[i])
+            out["column"].append(col)
+            out["observed"].append(
+                str(np.int64(last[i]).astype("datetime64[us]"))
+            )
+            out["detail"].append(f"freshness[max_age_s={max_age_s:g}]")
+            out["is_violation"].append(True)
+            out["n_checked"].append(0)
+            out["n_violations"].append(0)
+        return P.result_rows(out)
+
+    cols_needed = list(dict.fromkeys([col, *keys] + _pid_cols(cs)))
+    partials = ds.map_batches(
+        lambda t, c=cols_needed: t.select([x for x in c if x in t.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )

@@ -447,6 +447,27 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "freshness":
+            # per-group staleness: latest `column` within max_age_s of
+            # the explicit as_of (never wall clock — determinism)
+            col = chk["column"]
+            cid = chk.get(
+                "constraint_id", f"{table}.{col}.freshness"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "freshness",
+                    {
+                        "column": col,
+                        "as_of": chk["as_of"],
+                        "max_age_s": chk["max_age_s"],
+                        "group_by": chk.get("group_by"),
+                        "max_violation_rows": chk.get("max_violation_rows"),
+                    },
+                    chk.get("severity", "error"),
+                )
+            )
         elif kind == "reconcile":
             # cross-table aggregate consistency: column ==
             # sum(other_sum) over other_table rows sharing the key

@@ -942,3 +942,73 @@ def reconcile_ds(
         )
     )
     return both.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Freshness / staleness — per-source data-recency check
+# ---------------------------------------------------------------------------
+
+
+def freshness_ds(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    group_by: "str | list[str] | None",
+    as_of: "str | int",
+    max_age_s: float,
+) -> "ray.data.Dataset":
+    """Per-group data freshness: each group's latest ``ts_col`` must be
+    within ``max_age_s`` seconds of ``as_of`` (ISO string or epoch µs)
+    — "every source fed data recently", the staleness check a training
+    pipeline runs before trusting an ingest. ``group_by=None`` checks
+    the whole table as one group.
+
+    Shape: per-batch (group, max ts) partials — one tiny row per
+    (group, batch) — through the bucketed combine; nothing else moves.
+    Rows with a NULL timestamp or NULL group key are excluded.
+
+    Returns ``group…, last_ts:timestamp[us], stale:bool``."""
+    import datetime as _dt
+
+    if isinstance(as_of, str):
+        as_of_us = np.datetime64(as_of, "us").astype(np.int64)
+    else:
+        as_of_us = int(as_of)
+    threshold = as_of_us - int(round(max_age_s * 1_000_000))
+    keys = (
+        [] if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        small = t.select([*keys, ts_col]).drop_null()
+        if not keys:
+            small = small.append_column(
+                "__g", pa.array(np.zeros(len(small), dtype=np.int8))
+            )
+        gcols = keys or ["__g"]
+        agg = (
+            small.group_by(gcols, use_threads=False)
+            .aggregate([(ts_col, "max")])
+            .rename_columns([*gcols, "last_us"])
+        )
+        return agg.set_column(
+            agg.schema.get_field_index("last_us"),
+            "last_us",
+            pc.cast(agg["last_us"], pa.int64()),
+        )
+
+    gcols = keys or ["__g"]
+    combined = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        gcols,
+        [("last_us", "max")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        last = t["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = t.drop_columns(["last_us"] + ([] if keys else ["__g"]))
+        return out.append_column(
+            "last_ts", pa.array(last.astype("datetime64[us]"))
+        ).append_column("stale", pa.array(last < threshold))
+
+    return combined.map_batches(finish, batch_format="pyarrow")

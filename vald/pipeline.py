@@ -1062,6 +1062,11 @@ def validate(
             # per-group sketch pass: exchange is one digest per
             # (group, batch); see drift.group_drift_check_results
             combined = combined.union(cd.group_drift_check_results(ds, cs, dist))
+        elif dist.kind == "freshness":
+            # O(partitions x groups x batches) partials, one fold task
+            combined = combined.union(
+                cd.freshness_check_results(ds, cs, dist)
+            )
         elif dist.kind == "reconcile":
             # other table resolves from the same parents= mapping refint
             # uses; pa.Table / list sources are wrapped into a Dataset

@@ -964,3 +964,31 @@ def q_reconcile(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# kind: freshness — per-source staleness (ops/stats.py twin of
+# constraints_dist.freshness_check_results). as_of pinned so the result
+# is deterministic; at sf0.01 the 12.5-hour window splits the five
+# event types 2 fresh / 3 stale (both directions exercised).
+# ---------------------------------------------------------------------------
+
+_FRESH_AS_OF = "2024-01-31T12:00:00"
+_FRESH_MAX_AGE_S = 45_000
+
+
+def q_freshness(sf_dir: str):
+    from ..ops.stats import freshness_ds
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    out = freshness_ds(ev, "ts", "event_type", _FRESH_AS_OF, _FRESH_MAX_AGE_S)
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("last_ts", pa.timestamp("us")),
+                ("stale", pa.bool_()),
+            ]
+        ),
+    )

@@ -142,6 +142,7 @@ QUERIES = {
     "q_watermark_agg": q_watermark_agg,
     "q_monotonic": q_monotonic,
     "q_reconcile": q_reconcile,
+    "q_freshness": q_freshness,
 }
 
 
@@ -948,6 +949,14 @@ ORACLE_SQL = {
         "count(*) FILTER (WHERE cs IS NULL)::BIGINT AS n_missing_child "
         "FROM orders LEFT JOIN s ON o_orderkey = s.k "
         "WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL"
+    ),
+    # kind: freshness — per-type last event vs a pinned as_of; the
+    # constants mirror checks._FRESH_AS_OF / _FRESH_MAX_AGE_S
+    "q_freshness": (
+        "SELECT event_type, max(ts) AS last_ts, "
+        "(max(ts) < TIMESTAMP '2024-01-31 12:00:00' "
+        "- INTERVAL 45000 SECOND) AS stale FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY event_type"
     ),
     # rows-only (no SQL equivalent): q_minhash_pairs q_simhash_pairs
     # q_near_dup_groups q_langid q_quality_scores q_profile_sketch
