@@ -85,7 +85,9 @@ def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
     assert {"table", "constraint_id", "pass", "n_checked", "n_violations"} <= set(df.columns)
-    # clean testdata tables must pass everything; corpus must have failures
-    clean = df[df.table != "corpus"]
+    # clean testdata tables must pass everything; corpus and the
+    # orders_rec reconcile fire-check must have failures by design
+    clean = df[~df.table.isin(["corpus", "orders_rec"])]
     assert clean["pass"].all(), clean[~clean["pass"]].head()
     assert (~df[df.table == "corpus"]["pass"]).any()
+    assert (~df[df.table == "orders_rec"]["pass"]).any()
