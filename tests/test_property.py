@@ -110,3 +110,50 @@ def test_watermark_matches_replay(ray_session, offs, delay):
             assert row["watermark"] == _T0 + timedelta(minutes=wm)
             assert bool(row["is_late"]) == (off < wm)
         prior = off if prior is None else max(prior, off)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=120),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    strict=st.booleans(),
+)
+@_SET
+def test_monotonic_matches_pandas_replay(ray_session, keys, seed, strict):
+    from vald.ops.stats import monotonic_violations_ds
+
+    rng = np.random.default_rng(seed)
+    n = len(keys)
+    order = rng.permutation(n)
+    vals = rng.integers(-5, 5, n).astype(float)
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "o": pa.array(order, type=pa.int64()),
+            "v": pa.array(vals),
+        }
+    )
+    got = (
+        monotonic_violations_ds(
+            ray.data.from_arrow(t).repartition(3), "k", "o", "v",
+            strict=strict, num_buckets=4,
+        )
+        .to_pandas()
+        .astype("int64")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["k", "o"])
+    prev = df.groupby("k")["v"].shift(1)
+    viol = ((df["v"] <= prev) if strict else (df["v"] < prev)).fillna(False)
+    exp = (
+        df.assign(viol=viol)
+        .groupby("k")
+        .agg(n_rows=("v", "size"), n_violations=("viol", "sum"))
+        .reset_index()
+        .astype("int64")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "n_rows", "n_violations"]], exp)
