@@ -50,6 +50,31 @@ def test_tiny_and_single(ray_session):
     _check([1.0, 2.0], qs=[0.25, 0.5, 0.75])
 
 
+def test_full_float64_span(ray_session):
+    # ADVICE r4: hi-lo overflows to inf for data straddling ~the whole
+    # float64 range; the old affine map sent everything to bucket 0 and
+    # the fallback collected the entire column past collect_cap. The
+    # bisect guard must narrow normally — same small collect_cap.
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-1e6, 1e6, size=5_000).tolist()
+    vals += [-1.7e308, -1.6e308, 1.6e308, 1.7e308]
+    _check(vals, qs=[0.0, 0.5, 1.0], collect_cap=100, buckets=16)
+
+
+def test_full_float64_span_grouped(ray_session):
+    from vald.aggregates import exact_quantiles_grouped
+
+    vals = [-1.7e308, -1.0, 0.0, 1.0, 1.7e308] * 40
+    t = pa.table(
+        {"g": ["a"] * 100 + ["b"] * 100, "x": pa.array(vals, type=pa.float64())}
+    )
+    got = exact_quantiles_grouped(
+        ray.data.from_arrow(t).repartition(3), "x", "g", [0.5], collect_cap=10
+    )
+    for g in ("a", "b"):
+        assert got[g][0.5] == pytest.approx(0.0)
+
+
 def test_nulls_and_nans_skipped(ray_session):
     vals = [1.0, None, 2.0, float("nan"), 3.0, None]
     got = exact_quantiles(_ds(vals), "x", [0.5])

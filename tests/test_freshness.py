@@ -58,6 +58,56 @@ class TestFreshnessOp:
         assert out["stale"].tolist() == [False, True, False]
         assert out.loc[1, "last_ts"] == T0 + timedelta(days=3)
 
+    @pytest.mark.parametrize("unit", ["s", "ms", "us", "ns"])
+    def test_timestamp_unit_invariance(self, ray_session, unit):
+        # ADVICE r4 (high): raw int64 cast compared ns values to a µs
+        # threshold, so ns-unit (pandas-default) stale data silently
+        # passed. The verdict must not depend on the storage unit.
+        import ray.data
+
+        t = _events()
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            pc.cast(t["ts"], pa.timestamp(unit)),
+        )
+        out = (
+            freshness_ds(ray.data.from_arrow(t), "ts", "src", AS_OF, 2 * 86400)
+            .to_pandas()
+            .sort_values("src")
+            .reset_index(drop=True)
+        )
+        assert out["stale"].tolist() == [False, True, False]
+
+    def test_spec_ns_unit(self, ray_session):
+        import ray.data
+
+        t = _events()
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            pc.cast(t["ts"], pa.timestamp("ns")),
+        )
+        spec = compile_table_spec(
+            {
+                "table": "ev",
+                "columns": {},
+                "checks": [
+                    {
+                        "kind": "freshness",
+                        "column": "ts",
+                        "group_by": "src",
+                        "as_of": AS_OF,
+                        "max_age_s": 2 * 86400,
+                    }
+                ],
+            }
+        )
+        res = P.validate(ray.data.from_arrow(t), spec, concurrency=2)
+        v = res.verdicts_table()
+        rows = v.filter(pc.equal(v["constraint_id"], "ev.ts.freshness"))
+        assert int(pc.sum(rows["n_violations"]).as_py()) == 1
+
     def test_whole_table(self, ray_session):
         import ray.data
 

@@ -121,6 +121,40 @@ def test_null_ts_and_null_order_rows_dropped(ray_session):
     assert list(got["seq"]) == [0, 2]
 
 
+def test_huge_int_order_span(ray_session):
+    # ADVICE r4: int64 bucket math wrapped negative when
+    # span * num_buckets >= 2**63, clipping rows to bucket 0
+    # NON-monotonically and corrupting the exclusive prefix max. The
+    # float64 path must reproduce brute-force on an order column
+    # spanning nearly the whole int64 range (mixed sign).
+    seqs = [
+        -(2**62) - 1000 + i if i % 2 == 0 else 2**62 + i for i in range(40)
+    ]
+    offs = [float(((i * 53) % 101)) for i in range(40)]
+    rows = list(zip(sorted(seqs), offs))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [T0 + timedelta(minutes=r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+    ).repartition(3)
+    got = _collect(watermark_late(ds, "ts", ("seq",), delay=timedelta(minutes=10), num_buckets=8))
+    want = _brute(rows, 10)
+    assert len(got) == len(rows)
+    for _, row in got.iterrows():
+        wm, late = want[row["seq"]]
+        if wm is None:
+            assert pd.isna(row["watermark"]) and not row["is_late"]
+        else:
+            assert row["watermark"] == T0 + timedelta(minutes=wm)
+            assert bool(row["is_late"]) == late
+
+
 def test_empty_input_keeps_schema(ray_session):
     got = watermark_late(
         _log_ds([]), "ts", ("seq",), delay=timedelta(minutes=1)

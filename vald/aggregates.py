@@ -344,8 +344,23 @@ def _hist_one(x: np.ndarray, lo: float, hi: float, buckets: int):
     """Histogram of x over closed [lo, hi]: (bucket ids, counts, per-
     bucket min, per-bucket max). The bucket map is monotone in x, so a
     bucket's observed [min, max] contains exactly its members."""
-    b = ((x - lo) * buckets / (hi - lo)).astype(np.int64)
-    np.clip(b, 0, buckets - 1, out=b)
+    span = hi - lo
+    if not math.isfinite(span):
+        # Degenerate span (data straddles ~the whole float64 range):
+        # hi-lo overflows to inf, the affine map collapses every value
+        # into bucket 0 and the interval never narrows — after
+        # max_passes the fallback would collect the WHOLE column,
+        # violating collect_cap (ADVICE r4). Bisect at the midpoint
+        # instead (lo/2+hi/2 is overflow-safe and the 2-bucket map is
+        # still monotone); each half has a finite span, so the normal
+        # map resumes next pass.
+        mid = lo / 2.0 + hi / 2.0
+        b = (x > mid).astype(np.int64)
+    else:
+        # divide BEFORE multiplying: (x-lo) ≤ span is finite, but
+        # (x-lo)*buckets can overflow for spans near float64 max
+        b = ((x - lo) / span * buckets).astype(np.int64)
+        np.clip(b, 0, buckets - 1, out=b)
     ub, inv = np.unique(b, return_inverse=True)
     cnt = np.bincount(inv).astype(np.int64)
     mn = np.full(ub.size, np.inf)

@@ -1472,7 +1472,9 @@ def freshness_check_results(
             )
         else:
             cols["g"] = pa.array([""] * len(t), type=pa.string())
-        cols["last_us"] = pc.cast(t[col], pa.int64())
+        from .runtime import ts_to_us_int64
+
+        cols["last_us"] = ts_to_us_int64(t[col])
         small = pa.table(cols).drop_null()
         agg = (
             small.group_by(["partition_id", "g"], use_threads=False)

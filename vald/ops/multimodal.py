@@ -138,7 +138,15 @@ def _decode_any(payload: bytes, real=None) -> "tuple[dict, str]":
     if payload[:4] == _MAGIC:
         return _decode_payload(payload), "vmed-fake"
     if real is not None:
-        return real(payload), real.codec_name
+        # Real codecs raise library-specific errors on corrupt payloads
+        # (PIL.UnidentifiedImageError is an OSError subclass; cv2 can
+        # raise cv2.error). Normalize ALL of them to ValueError so the
+        # stages' poison-pill handling works in exactly the environment
+        # the escape hatch targets (ADVICE r4).
+        try:
+            return real(payload), real.codec_name
+        except Exception as e:
+            raise ValueError(f"{real.codec_name} decode failed: {e}") from e
     raise ValueError("bad magic: not a VMED payload and no real codec installed")
 
 
@@ -194,7 +202,7 @@ class DecodeStage:
                 means.append(float(d["body"].mean()) if len(d["body"]) else 0.0)
                 errs.append(None)
                 codecs.append(codec)
-            except (ValueError, struct.error) as e:
+            except (ValueError, OSError, struct.error) as e:
                 hs.append(None)
                 ws.append(None)
                 nfs.append(None)
@@ -241,7 +249,7 @@ class EmbedStage:
                 hist = np.bincount(d["body"], minlength=256).astype(np.float32)
                 hist /= max(1.0, hist.sum())
                 embs[i] = hist @ self.W
-            except (ValueError, struct.error):
+            except (ValueError, OSError, struct.error):
                 pass
         t = t.drop_columns([self.payload_col])
         return t.append_column(
@@ -282,7 +290,7 @@ class FrameSampleStage:
         for mid, p in zip(t["media_id"].to_pylist(), t[self.payload_col].to_pylist()):
             try:
                 d, _ = _decode_any(p, self.real)
-            except (ValueError, struct.error):
+            except (ValueError, OSError, struct.error):
                 continue
             frame_len = d["height"] * d["width"]
             for f in range(0, d["n_frames"], self.stride):
@@ -341,7 +349,7 @@ class ResizeStage:
         ):
             try:
                 d, _ = _decode_any(p, self.real)
-            except (ValueError, struct.error):
+            except (ValueError, OSError, struct.error):
                 continue
             h, w = d["height"], d["width"]
             if h == 0 or w == 0:

@@ -991,10 +991,12 @@ def freshness_ds(
             .aggregate([(ts_col, "max")])
             .rename_columns([*gcols, "last_us"])
         )
+        from ..runtime import ts_to_us_int64
+
         return agg.set_column(
             agg.schema.get_field_index("last_us"),
             "last_us",
-            pc.cast(agg["last_us"], pa.int64()),
+            ts_to_us_int64(agg["last_us"]),
         )
 
     gcols = keys or ["__g"]

@@ -752,8 +752,17 @@ def watermark_late(
 
     def bucket_of(ov: np.ndarray) -> np.ndarray:
         # monotone in the range key: earlier bucket => strictly smaller
-        # first-order value, so the exclusive prefix max is exact
-        b = (ov - lo) * num_buckets // span
+        # first-order value, so the exclusive prefix max is exact.
+        # float64 math throughout: in int64, (ov-lo)*num_buckets wraps
+        # negative for spans >= 2**63/num_buckets (and ov-lo itself can
+        # wrap for mixed-sign extremes), np.clip then sends rows to
+        # bucket 0 NON-monotonically (ADVICE r4). Every float64 step —
+        # cast, subtract, scale, floor, clip — is monotone
+        # non-decreasing in ov, which is all the invariant needs;
+        # precision loss only coarsens boundaries, never reorders them.
+        b = np.floor(
+            (ov.astype(np.float64) - float(lo)) * (float(num_buckets) / float(span))
+        )
         return np.clip(b, 0, num_buckets - 1).astype(np.int64)
 
     def valid_rows(t: pa.Table) -> pa.Table:

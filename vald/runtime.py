@@ -12,6 +12,7 @@ __all__ = [
     "bucketed_group_agg",
     "broadcast_or_semijoin",
     "guarded_broadcast",
+    "ts_to_us_int64",
     "DEFAULT_MAX_BROADCAST_KEYS",
 ]
 
@@ -36,6 +37,27 @@ def collect_arrow(ds) -> "pa.Table":
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")
+
+
+def ts_to_us_int64(arr):
+    """Epoch-µs int64 view of a timestamp/date/int column, unit-safe.
+
+    ``pc.cast(ts_col, int64)`` returns the RAW stored integers — ns for
+    the pandas/Arrow-default ``timestamp[ns]`` — so comparing them to a
+    µs threshold silently passes 1000×-stale data (ADVICE r4, high).
+    Normalize the unit FIRST: any timestamp/date casts to
+    ``timestamp[us]`` (tz preserved; the stored value is already a UTC
+    epoch offset), then to int64. Plain integer columns are taken as
+    epoch µs verbatim, per the freshness-params contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        arr = pc.cast(arr, pa.timestamp("us", tz=t.tz))
+    elif pa.types.is_date(t):
+        arr = pc.cast(arr, pa.timestamp("us"))
+    return pc.cast(arr, pa.int64())
 
 
 def join_barrier(ds):
