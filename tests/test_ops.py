@@ -1254,13 +1254,57 @@ class TestTfidf:
             assert g[:4] == w[:4]
             assert abs(g[4] - w[4]) < 1e-12
 
-    def test_vocab_bound(self, ray_session):
-        t = pa.table({"doc_id": [0], "text": ["a b c d e"]})
-        with pytest.raises(ValueError):
+    def test_term_join_parity(self, ray_session):
+        # VERDICT r4 item 1: above max_broadcast_terms the op must no
+        # longer refuse — it routes scoring through a hash-partitioned
+        # term join whose output byte-agrees with the broadcast path
+        # (the same forced-low-threshold discipline as
+        # test_broadcast_guard). The vocab size check happens on a
+        # DISTRIBUTED count, never a driver pull.
+        import pandas as pd
+
+        corpus = ["a b b c", "b c c d", None, "", "a a a a", "   "]
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        ds = ray.data.from_arrow(t).repartition(3)
+
+        def norm(df):
+            return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+        a = norm(TX.tfidf_ds(ds, "text", "doc_id").to_pandas())
+        b = norm(
             TX.tfidf_ds(
-                ray.data.from_arrow(t), "text", "doc_id",
-                max_broadcast_terms=2,
+                ds, "text", "doc_id", max_broadcast_terms=0
+            ).to_pandas()
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+    def test_whitespace_only_rows_never_token(self, ray_session):
+        # pyarrow 16.1's split kernels read past the data buffer into
+        # its padding, which object-store blocks don't zero: pre-fix,
+        # a whitespace-only row nondeterministically produced a phantom
+        # ' ' term (~20% of runs). compact_strings() re-materializes
+        # the column first; several runs catch a regression w.h.p.
+        import math
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(["cat cat dog runs", "   "]),
+            }
+        )
+        want = math.log(2 / 4) * 0.5 + math.log(1 / 4) * 0.5  # cat,cat,dog,runs
+        for _ in range(5):
+            out = (
+                TX.unigram_logprob_ds(
+                    ray.data.from_arrow(t).repartition(1), "text", "doc_id"
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
             )
+            assert out["n_tokens"].tolist() == [4, 0]
+            assert abs(out.loc[0, "logprob"] - want) < 1e-12
 
 
 class TestPivotCounts:
@@ -1344,6 +1388,28 @@ class TestUnigramLogprob:
             else:
                 want = sum(math.log(lm[x] / total) for x in toks) / len(toks)
                 assert abs(r.logprob - want) < 1e-12
+
+    def test_term_join_parity(self, ray_session):
+        # forced join route (threshold 0) must reproduce the broadcast
+        # result exactly, including the zero-token doc row that rides a
+        # NULL-term anchor through the left-outer join
+        import pandas as pd
+
+        corpus = ["a b b", "b c", None, "", "a", "   "]
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        ds = ray.data.from_arrow(t).repartition(3)
+
+        def norm(df):
+            return df.sort_values("doc_id").reset_index(drop=True)
+
+        a = norm(TX.unigram_logprob_ds(ds, "text", "doc_id").to_pandas())
+        b = norm(
+            TX.unigram_logprob_ds(
+                ds, "text", "doc_id", max_broadcast_terms=0
+            ).to_pandas()
+        )
+        assert len(a) == 5  # NULL text dropped, empty + ws-only kept
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
 
     def test_gibberish_scores_lower(self, ray_session):
         common = "the quick brown fox jumps over the lazy dog"

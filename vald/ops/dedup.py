@@ -1595,7 +1595,9 @@ def line_dedup_ds(
     from ..runtime import bucketed_group_agg
 
     def _explode(t: pa.Table):
-        texts = pc.fill_null(t[text_col], "")
+        from ..runtime import compact_strings
+
+        texts = compact_strings(pc.fill_null(t[text_col], ""))
         lines = pc.split_pattern(texts, pattern=delimiter)
         flat = pc.list_flatten(lines).combine_chunks()
         lens = (
@@ -1812,7 +1814,9 @@ def token_grams(t: pa.Table, text_col: str, width: int):
     Pure Arrow/numpy: tokenize once, build grams as ``width`` shifted
     Arrow slices joined element-wise — no per-row Python. Shared by
     ``dup_span_stats_ds`` and ``vald.ops.decontam``."""
-    texts = pc.fill_null(t[text_col], "")
+    from ..runtime import compact_strings
+
+    texts = compact_strings(pc.fill_null(t[text_col], ""))
     toks = pc.utf8_split_whitespace(texts)
     flat = pc.list_flatten(toks).combine_chunks()
     lens = (

@@ -350,7 +350,9 @@ def repetition_table(
     )
     if len(t) == 0:
         return empty
-    texts = t[text_col]
+    from ..runtime import compact_strings
+
+    texts = compact_strings(t[text_col])
     if delimiter is None:
         toks = pc.utf8_split_whitespace(texts)
     else:
@@ -521,8 +523,10 @@ def split_table(
     semantics), then ONE ``list_slice`` + ``binary_join`` per window
     index — the Python loop is over window indexes (longest doc /
     stride), never over rows."""
+    from ..runtime import compact_strings
+
     ids = t[id_col]
-    texts = pc.fill_null(t[text_col], "")
+    texts = compact_strings(pc.fill_null(t[text_col], ""))
     toks = pc.utf8_split_whitespace(texts)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -635,13 +639,27 @@ def tfidf_ds(
     term per batch moves, never one per occurrence; the batch doc count
     rides the same exchange as a NULL-term row (bucketed_group_agg
     groups NULL keys like values), so N needs no second pass. The
-    (term, df) vocabulary then broadcasts once via ``ray.put``
-    (``max_broadcast_terms`` guards the driver bound; above it, route
-    stage 2 through a join on term — the B5 planner shape). Stage 2 is
-    embarrassingly parallel: per-batch tf via dictionary-encode +
-    np.unique on (row, code) pairs, df looked up with one vectorized
-    ``pc.index_in`` gather."""
-    from ..runtime import bucketed_group_agg
+    vocabulary is MATERIALIZED as a Dataset and sized with a
+    distributed ``count()`` — the driver never holds it before the
+    ``max_broadcast_terms`` decision (VERDICT r4 item 1). Two scoring
+    routes, byte-identical output (tests force both):
+
+    - vocab <= ``max_broadcast_terms``: the (term, df) table broadcasts
+      once via ``ray.put``; scoring is embarrassingly parallel —
+      per-batch tf via dictionary-encode + np.unique on (row, code)
+      pairs, df gathered with one vectorized ``pc.index_in``.
+    - above: the TERM JOIN — per-batch (id, term, tf) rows
+      hash-partition ``Dataset.join`` against the vocab on ``term``
+      (inner; every tf row's term is in the corpus vocab by
+      construction), tfidf computed per joined batch. The vocabulary
+      never leaves the object store; the cost is one exchange of the
+      tf rows, the B5 planner trade."""
+    from ..runtime import (
+        bucketed_group_agg,
+        collect_arrow,
+        join_partitions,
+        join_remote_args,
+    )
 
     from .dedup import token_grams
 
@@ -690,59 +708,114 @@ def tfidf_ds(
             ]
         )
 
-    vocab = bucketed_group_agg(
+    # materialize = reusable barrier: sized by count(), N pulled as one
+    # row, and (join path) the all-to-all barrier Dataset.join needs
+    vocab_ds = bucketed_group_agg(
         ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
         "term",
         [("df", "sum")],
         num_buckets=num_buckets,
-    ).to_pandas()
-    null_row = vocab["term"].isna()
-    n_total = int(vocab.loc[null_row, "df"].sum())
-    vocab = vocab[~null_row]
-    if len(vocab) > max_broadcast_terms:
-        raise ValueError(
-            f"tfidf_ds: vocabulary {len(vocab)} exceeds max_broadcast_terms="
-            f"{max_broadcast_terms}; route stage 2 through a term join"
+    ).materialize()
+    n_rows = vocab_ds.count()
+    null_t = collect_arrow(
+        vocab_ds.map_batches(
+            lambda t: t.filter(pc.is_null(t["term"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-    terms_ref = ray.put(pa.array(vocab["term"].tolist(), type=pa.string()))
-    df_ref = ray.put(vocab["df"].to_numpy().astype(np.int64))
+    )
+    n_total = int(pc.sum(null_t["df"]).as_py() or 0) if len(null_t) else 0
+    n_terms = n_rows - len(null_t)
 
-    id_type = None  # resolved per batch
-
-    def score(t: pa.Table) -> pa.Table:
+    def tf_rows(t: pa.Table) -> pa.Table:
+        """Per-batch (id, term, tf): distinct (doc, term) pairs with
+        occurrence counts via one dictionary-encode + np.unique."""
         t = t.filter(pc.is_valid(t[text_col]))
-        empty = pa.table(
-            {
-                id_col: pa.array([], type=t.schema.field(id_col).type),
-                "term": pa.array([], type=pa.string()),
-                "tf": pa.array([], type=pa.int64()),
-                "df": pa.array([], type=pa.int64()),
-                "tfidf": pa.array([], type=pa.float64()),
-            }
-        )
         toks, doc_idx, _ = token_grams(t, text_col, 1)
         if len(toks) == 0:
-            return empty
+            return pa.table(
+                {
+                    id_col: pa.array([], type=t.schema.field(id_col).type),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
         enc = toks.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ndict = len(enc.dictionary)
         pair, tf = np.unique(doc_idx * ndict + codes, return_counts=True)
         rows = (pair // ndict).astype(np.int64)
         term_codes = (pair % ndict).astype(np.int64)
-        term_arr = enc.dictionary.take(pa.array(term_codes))
-        idx = pc.index_in(term_arr, value_set=ray.get(terms_ref)).to_numpy(
-            zero_copy_only=False
-        )
-        dfs = ray.get(df_ref)[idx.astype(np.int64)]
-        tfidf = tf.astype(np.float64) * np.log(float(n_total) / dfs)
         return pa.table(
             {
                 id_col: t[id_col].take(pa.array(rows)),
-                "term": term_arr,
+                "term": enc.dictionary.take(pa.array(term_codes)),
                 "tf": pa.array(tf.astype(np.int64)),
-                "df": pa.array(dfs),
-                "tfidf": pa.array(tfidf, type=pa.float64()),
             }
+        )
+
+    if n_terms > max_broadcast_terms:
+        # term-join route: the vocabulary never lands on the driver.
+        # nonempty_blocks strips the bucketed combine's schema-less
+        # 0-row blocks, which otherwise poison the join aggregators.
+        from ..runtime import nonempty_blocks
+
+        vocab_clean = nonempty_blocks(
+            vocab_ds.map_batches(
+                lambda t: t.filter(pc.is_valid(t["term"])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+        )
+        joined = ds.map_batches(
+            tf_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            vocab_clean,
+            join_type="inner",
+            num_partitions=join_partitions(None),
+            on=("term",),
+            aggregator_ray_remote_args=join_remote_args(),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+            tfidf = tf * np.log(float(n_total) / dfs)
+            return t.select([id_col, "term", "tf", "df"]).append_column(
+                "tfidf", pa.array(tfidf, type=pa.float64())
+            )
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
+    # broadcast route: bounded pull (<= max_broadcast_terms rows)
+    vt = collect_arrow(
+        vocab_ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["term"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    if len(vt) == 0:
+        vt = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    terms_ref = ray.put(vt["term"].combine_chunks())
+    df_ref = ray.put(vt["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        out = tf_rows(t)
+        if len(out) == 0:
+            return out.append_column(
+                "df", pa.array([], type=pa.int64())
+            ).append_column("tfidf", pa.array([], type=pa.float64()))
+        idx = pc.index_in(out["term"], value_set=ray.get(terms_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        dfs = ray.get(df_ref)[idx.astype(np.int64)]
+        tf = out["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = tf * np.log(float(n_total) / dfs)
+        return out.append_column("df", pa.array(dfs)).append_column(
+            "tfidf", pa.array(tfidf, type=pa.float64())
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -772,11 +845,28 @@ def unigram_logprob_ds(
 
     Shape (100 TB): stage 1 counts term OCCURRENCES with per-batch
     pre-aggregation before a bucketed combine (same exchange discipline
-    as tfidf_ds's df pass: one row per distinct term per batch); the
-    vocabulary broadcasts once (``max_broadcast_terms`` guard). Stage 2
-    is embarrassingly parallel: token log-probs gathered with one
-    ``pc.index_in``, per-doc means via one segment sum."""
-    from ..runtime import bucketed_group_agg
+    as tfidf_ds's df pass: one row per distinct term per batch). The
+    vocabulary is MATERIALIZED and sized with a distributed ``count()``
+    — never pulled to the driver before the ``max_broadcast_terms``
+    decision (VERDICT r4 item 1); the model's total-token normalizer is
+    a distributed ``sum``. Two scoring routes, identical output:
+
+    - vocab <= threshold: (term, logprob) broadcasts once; scoring is
+      embarrassingly parallel — token log-probs gathered with one
+      ``pc.index_in``, per-doc means via one segment sum.
+    - above: the TERM JOIN — per-doc (id, term, tf) rows (plus a
+      NULL-term anchor per zero-token doc, so empty docs survive the
+      join) LEFT-OUTER ``Dataset.join`` the vocab on ``term``, then one
+      bucketed group-by ``id`` folds ``sum(tf·logp)/sum(tf)``. The join
+      route identifies docs by ``id_col`` (must be unique per doc —
+      rows sharing an id would fold together); the broadcast route
+      scores each input row independently."""
+    from ..runtime import (
+        bucketed_group_agg,
+        collect_arrow,
+        join_partitions,
+        join_remote_args,
+    )
 
     from .dedup import token_grams
 
@@ -796,23 +886,143 @@ def unigram_logprob_ds(
         cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
         return pa.table({"term": enc.dictionary, "cnt": pa.array(cnt)})
 
-    vocab = bucketed_group_agg(
+    vocab_ds = bucketed_group_agg(
         ds.map_batches(
             cnt_partial, batch_format="pyarrow", zero_copy_batch=True
         ),
         "term",
         [("cnt", "sum")],
         num_buckets=num_buckets,
-    ).to_pandas()
-    if len(vocab) > max_broadcast_terms:
-        raise ValueError(
-            f"unigram_logprob_ds: vocabulary {len(vocab)} exceeds "
-            f"max_broadcast_terms={max_broadcast_terms}; route scoring "
-            "through a term join"
+    ).materialize()
+    n_terms = vocab_ds.count()
+    total = float(vocab_ds.sum("cnt") or 0.0) if n_terms else 0.0
+
+    if n_terms > max_broadcast_terms:
+        # term-join route: per-doc tf rows meet the (term, logp) table
+        # in a hash-partitioned join; the vocab stays in the object
+        # store end to end.
+        def logp_table(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "term": t["term"],
+                    "logp": pa.array(np.log(cnt / total), type=pa.float64()),
+                }
+            )
+
+        from ..runtime import nonempty_blocks
+
+        vocab_lp = nonempty_blocks(
+            vocab_ds.map_batches(
+                logp_table, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
         )
-    total = float(vocab["cnt"].sum())
-    terms_ref = ray.put(pa.array(vocab["term"].tolist(), type=pa.string()))
-    logp_ref = ray.put(np.log(vocab["cnt"].to_numpy().astype(np.float64) / total))
+
+        def tf_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[text_col]))
+            id_type = t.schema.field(id_col).type
+            toks, doc_idx, nw = token_grams(t, text_col, 1)
+            pieces = []
+            if len(toks):
+                enc = toks.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                ndict = len(enc.dictionary)
+                pair, tf = np.unique(doc_idx * ndict + codes, return_counts=True)
+                rows = (pair // ndict).astype(np.int64)
+                pieces.append(
+                    pa.table(
+                        {
+                            id_col: t[id_col].take(pa.array(rows)),
+                            "term": enc.dictionary.take(
+                                pa.array((pair % ndict).astype(np.int64))
+                            ),
+                            "tf": pa.array(tf.astype(np.int64)),
+                        }
+                    )
+                )
+            # NULL-term anchor per ZERO-token doc: survives the left
+            # join with logp NULL / tf 0, so empty docs keep their row
+            z = np.flatnonzero(nw == 0)
+            if z.size:
+                pieces.append(
+                    pa.table(
+                        {
+                            id_col: t[id_col].take(pa.array(z)),
+                            "term": pa.nulls(z.size, pa.string()),
+                            "tf": pa.array(np.zeros(z.size, dtype=np.int64)),
+                        }
+                    )
+                )
+            if not pieces:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=id_type),
+                        "term": pa.array([], type=pa.string()),
+                        "tf": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.concat_tables(pieces)
+
+        joined = ds.map_batches(
+            tf_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            vocab_lp,
+            join_type="left_outer",
+            num_partitions=join_partitions(None),
+            on=("term",),
+            aggregator_ray_remote_args=join_remote_args(),
+        )
+
+        def fold_partial(t: pa.Table) -> pa.Table:
+            tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lp = np.nan_to_num(
+                t["logp"].to_numpy(zero_copy_only=False).astype(np.float64)
+            )  # NULL logp only rides tf=0 anchor rows
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": t["tf"],
+                    "w": pa.array(tf * lp, type=pa.float64()),
+                }
+            )
+
+        folded = bucketed_group_agg(
+            joined.map_batches(fold_partial, batch_format="pyarrow"),
+            id_col,
+            [("n_tokens", "sum"), ("w", "sum")],
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lp = np.where(n > 0, w / np.maximum(n, 1), np.nan)
+            lp_col = pa.array(lp, type=pa.float64())
+            lp_col = pc.if_else(
+                pc.is_nan(lp_col), pa.scalar(None, pa.float64()), lp_col
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": pa.array(n),
+                    "logprob": lp_col,
+                }
+            )
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
+    # broadcast route: bounded pull (<= max_broadcast_terms rows)
+    vt = collect_arrow(vocab_ds)
+    if len(vt) == 0:
+        vt = pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    terms_ref = ray.put(vt["term"].combine_chunks())
+    logp_ref = ray.put(
+        np.log(vt["cnt"].to_numpy(zero_copy_only=False).astype(np.float64) / total)
+        if len(vt)
+        else np.zeros(0, dtype=np.float64)
+    )
 
     def score(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[text_col]))

@@ -319,7 +319,11 @@ def q_top_tokens(sf_dir: str):
     distinct token per batch, never one row per token occurrence)."""
 
     def tok_partial(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.utf8_split_whitespace(pc.fill_null(t["text"], "")))
+        from ..runtime import compact_strings
+
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(compact_strings(pc.fill_null(t["text"], "")))
+        )
         toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
         tt = pa.table({"token": toks, "n": pa.array(np.ones(len(toks), dtype=np.int64))})
         agg = tt.group_by("token", use_threads=False).aggregate([("n", "sum")])

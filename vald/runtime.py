@@ -13,6 +13,8 @@ __all__ = [
     "broadcast_or_semijoin",
     "guarded_broadcast",
     "ts_to_us_int64",
+    "compact_strings",
+    "nonempty_blocks",
     "DEFAULT_MAX_BROADCAST_KEYS",
 ]
 
@@ -37,6 +39,60 @@ def collect_arrow(ds) -> "pa.Table":
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")
+
+
+def nonempty_blocks(mds, empty_like=None):
+    """Strip a MATERIALIZED dataset's 0-row blocks before a
+    ``Dataset.join``.
+
+    Ray 2.49's sort-based groupby (``bucketed_group_agg``'s combine)
+    emits SCHEMA-LESS 0-row blocks for empty group partitions; feeding
+    them to the hash-shuffle join makes an aggregator finalize against
+    a no-column table and acero dies with ``No match ... for key field
+    reference`` (the per-block sibling of ``barrier_nonempty``'s
+    all-empty case; observed in-sandbox joining a bucketed vocabulary).
+    This is pure object-store REF surgery — block refs are re-listed,
+    never pulled to the driver or copied — so it is free at any scale.
+    If every block is empty, returns a one-block dataset built from
+    ``empty_like`` (a schema-ful empty table) so downstream joins see a
+    schema; callers that can short-circuit the empty case should
+    (the join result is known) rather than pass ``empty_like``."""
+    refs = [
+        ref
+        for b in mds.iter_internal_ref_bundles()
+        for ref, md in b.blocks
+        if md.num_rows
+    ]
+    if not refs:
+        import pyarrow as pa
+
+        if empty_like is None:
+            raise ValueError(
+                "nonempty_blocks: every block is empty and no empty_like "
+                "schema table was provided"
+            )
+        return ray.data.from_arrow(empty_like)
+    return ray.data.from_arrow_refs(refs)
+
+
+def compact_strings(arr):
+    """Deep-copy a string array/chunked-array into freshly built Arrow
+    buffers. REQUIRED before ``pc.utf8_split_whitespace`` /
+    ``pc.split_pattern`` on Ray-Data zero-copy batches: pyarrow 16.1's
+    split kernels read past the logical end of the data buffer into its
+    64-byte padding, which Arrow-pool allocations zero but plasma-backed
+    object-store blocks may not. Observed in-sandbox: splitting a
+    whitespace-only ``'   '`` row NONDETERMINISTICALLY returned a
+    phantom ``' '`` token in ~20% of runs when the batch came through
+    the object store, and never on driver-built arrays with identical
+    logical buffers. An identity ``take`` re-materializes the column
+    through Arrow builders (zero-padded by construction) — one
+    vectorized data copy, negligible next to the split itself."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.take(arr, pa.array(np.arange(len(arr), dtype=np.int64)))
 
 
 def ts_to_us_int64(arr):
