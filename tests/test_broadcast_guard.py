@@ -112,11 +112,101 @@ class TestGuardedBroadcast:
         assert sorted(arr.to_pylist()) == [2, 4, 8, 100]
 
 
-class TestFlaggedQueriesForcedJoinPath:
-    """VERDICT r3 'done' criterion: both flagged queries produce
-    identical output when the broadcast threshold is forced to 0."""
+class TestAugmentByKey:
+    """runtime.augment_by_key — the guarded dense-LUT dimension
+    broadcast (VERDICT r4 item 3): path parity, left/inner semantics,
+    NULL fact keys, fill defaults, sparse (index_in) keys."""
 
-    @pytest.mark.parametrize("qname", ["q_waiting_orders", "q_top_balance"])
+    def _fact(self):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, None, 7, 2, 999_999], type=pa.int64()),
+                    "x": pa.array(list("abcdef")),
+                }
+            )
+        ).repartition(3)
+
+    def _dim(self):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pk": pa.array([1, 2, 7], type=pa.int64()),
+                    "nat": pa.array([10, 20, 70], type=pa.int32()),
+                }
+            )
+        )
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_path_parity(self, ray_session, how):
+        from vald.runtime import augment_by_key
+
+        fill = {"nat": -1} if how == "left" else None
+        a = _rows(
+            augment_by_key(self._fact(), "k", self._dim(), "pk", how=how, fill=fill)
+        )
+        b = _rows(
+            augment_by_key(
+                self._fact(), "k", self._dim(), "pk",
+                how=how, fill=fill, max_broadcast_keys=0,
+            )
+        )
+        assert a == b and len(a) > 0
+        if how == "inner":
+            # NULL key and non-member key dropped
+            assert len(a) == 4
+        else:
+            assert len(a) == 6  # everything kept, fill applied
+
+    def test_sparse_keys_index_in_path(self, ray_session):
+        from vald.runtime import augment_by_key
+
+        dim = ray.data.from_arrow(
+            pa.table(
+                {
+                    "pk": pa.array([1, 2**40], type=pa.int64()),
+                    "v": pa.array([1.5, 2.5]),
+                }
+            )
+        )
+        fact = ray.data.from_arrow(
+            pa.table({"k": pa.array([2**40, 1, 3], type=pa.int64())})
+        )
+        out = augment_by_key(fact, "k", dim, "pk", how="inner").to_pandas()
+        assert sorted(out["v"].tolist()) == [1.5, 2.5]
+
+    def test_empty_dim(self, ray_session):
+        from vald.runtime import augment_by_key
+
+        # schema'd empty (map-produced 0-row blocks keep their columns —
+        # the documented dim contract; a bare row-filter loses them)
+        dim = self._dim().map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        )
+        inner = augment_by_key(self._fact(), "k", dim, "pk", how="inner")
+        assert inner.count() == 0
+        left = augment_by_key(
+            self._fact(), "k", dim, "pk", how="left", fill={"nat": 0}
+        ).to_pandas()
+        assert len(left) == 6 and (left["nat"] == 0).all()
+
+
+class TestFlaggedQueriesForcedJoinPath:
+    """VERDICT r3+r4 'done' criterion: every flagged query produces
+    identical output when the broadcast threshold is forced to 0 —
+    r3's key-set broadcasts and r4's dense-LUT dimension maps
+    (q_revenue_by_nation / q_trade_volume / q_market_share)."""
+
+    @pytest.mark.parametrize(
+        "qname",
+        [
+            "q_waiting_orders",
+            "q_top_balance",
+            "q_revenue_by_nation",
+            "q_trade_volume",
+            "q_market_share",
+        ],
+    )
     def test_forced_join_parity(self, ray_session, qname, monkeypatch):
         from vald import queries as Q
 
@@ -124,6 +214,12 @@ class TestFlaggedQueriesForcedJoinPath:
         monkeypatch.setattr(runtime, "DEFAULT_MAX_BROADCAST_KEYS", 0)
         forced = getattr(Q, qname)(SF).to_pandas()
         cols = sorted(base.columns)
+        assert sorted(forced.columns) == cols
         a = sorted(map(tuple, base[cols].astype(str).values.tolist()))
         b = sorted(map(tuple, forced[cols].astype(str).values.tolist()))
-        assert a == b and len(a) > 0
+        assert a == b
+        # q_trade_volume's two-nation window is legitimately empty at
+        # sf0.001 (nonempty at the sf0.01 driver grade) — parity and
+        # schema still checked above
+        if qname != "q_trade_volume":
+            assert len(a) > 0

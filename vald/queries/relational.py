@@ -468,21 +468,21 @@ def q_revenue_by_nation(sf_dir: str):
     a supplier in the SAME nation, over a two-year order window.
 
     Plan (scale notes): region/nation are fixed-size (5/25 rows) —
-    driver-read and folded into dense numpy lookup tables. supplier and
-    the region-filtered customer key→nation maps broadcast once via
-    ``ray.put`` (suppkey/custkey are dense ints, so the lookup is an
-    O(1) gather, not a hash probe); above a ``max_broadcast_keys``-sized
-    customer table, route the customer map through the native join
-    planner instead (same threshold policy as B5 refint — documented,
-    not implemented twice). The orders date cut is PUSHED into the
-    parquet scan; lineitem is pre-aggregated per batch by
-    (l_orderkey, s_nat) before the single native hash join on
-    orderkey, so the join moves one row per (order, supplier-nation)
-    per batch, never a raw lineitem row."""
+    driver-read for the name map. The supplier and region-filtered
+    customer key→nation maps go through ``runtime.augment_by_key``
+    (VERDICT r4 item 3): dimensions are PRUNED DISTRIBUTED SCANS sized
+    by a distributed count; at or under max_broadcast_keys they
+    broadcast once via ``ray.put`` and gather O(1) through a dense
+    position LUT, above it the fact hash-joins the dimension in the
+    object store — the same forced-join-tested planner rule as B5.
+    The orders date cut is PUSHED into the parquet scan; lineitem is
+    pre-aggregated per batch by (l_orderkey, s_nat) before the single
+    native hash join on orderkey, so the join moves one row per
+    (order, supplier-nation) per batch, never a raw lineitem row."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    from ..runtime import join_partitions, join_remote_args
+    from ..runtime import augment_by_key, join_partitions, join_remote_args
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     reg = pq.read_table(f"{sf_dir}/region.parquet")
@@ -497,44 +497,35 @@ def q_revenue_by_nation(sf_dir: str):
         zip(nat_asia["n_nationkey"].to_pylist(), nat_asia["n_name"].to_pylist())
     )
 
-    def _dense_map(t: pa.Table, key: str, val: str) -> np.ndarray:
-        keys = t[key].to_numpy(zero_copy_only=False)
-        vals = t[val].to_numpy(zero_copy_only=False)
-        lut = np.full(int(keys.max()) + 2 if len(keys) else 2, -1, dtype=np.int32)
-        lut[keys] = vals
-        return lut
+    def _nat_dim(table: str, key: str, nkey: str, out: str):
+        """(key, nation int32) dimension: pruned scan, nation filter
+        applied distributed (asia_keys is the fixed 25-row nation set)."""
 
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=asia_keys))
-    sup_lut_ref = ray.put(_dense_map(sup, "s_suppkey", "s_nationkey"))
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[nkey], value_set=asia_keys))
+            return pa.table({key: t[key], out: pc.cast(t[nkey], pa.int32())})
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=asia_keys))
-    cust_lut_ref = ray.put(_dense_map(cust, "c_custkey", "c_nationkey"))
-
-    def orders_side(t: pa.Table) -> pa.Table:
-        lut = ray.get(cust_lut_ref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cnat = np.where(ck < len(lut), lut[np.minimum(ck, len(lut) - 1)], -1)
-        keep = cnat >= 0
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
-                "c_nat": pa.array(cnat[keep], type=pa.int32()),
-            }
+        return _read(sf_dir, table, [key, nkey]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    orders = _read(
-        sf_dir,
-        "orders",
-        ["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=(pads.field("o_orderdate") >= pa.scalar(_Q5_LO))
-        & (pads.field("o_orderdate") < pa.scalar(_Q5_HI)),
-    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = augment_by_key(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(pads.field("o_orderdate") >= pa.scalar(_Q5_LO))
+            & (pads.field("o_orderdate") < pa.scalar(_Q5_HI)),
+        ),
+        "o_custkey",
+        _nat_dim("customer", "c_custkey", "c_nationkey", "c_nat"),
+        "c_custkey",
+        how="inner",
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nat"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     _LI_EMPTY = pa.table(
         {
@@ -547,20 +538,13 @@ def q_revenue_by_nation(sf_dir: str):
     def li_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return _LI_EMPTY
-        lut = ray.get(sup_lut_ref)
-        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        snat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
-        keep = snat >= 0
-        if not keep.any():
-            return _LI_EMPTY
-        t = t.filter(pa.array(keep))
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
         small = pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "s_nat": pa.array(snat[keep], type=pa.int32()),
+                "s_nat": t["s_nat"],
                 "revenue": rev,
             }
         )
@@ -569,10 +553,16 @@ def q_revenue_by_nation(sf_dir: str):
         )
         return agg.rename_columns(["l_orderkey", "s_nat", "revenue"])
 
-    li = _read(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    li = augment_by_key(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        "l_suppkey",
+        _nat_dim("supplier", "s_suppkey", "s_nationkey", "s_nat"),
+        "s_suppkey",
+        how="inner",
     ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     joined = li.join(
@@ -2292,21 +2282,21 @@ def q_trade_volume(sf_dir: str):
     """TPC-H Q7 flavor: revenue shipped between NATION_1 and NATION_2
     (both directions, kept distinct) by ship year over 1995–1996.
 
-    Plan (scale notes): nation is fixed-size; supplier/customer
-    key→nation maps are filtered to the two nations at the driver and
-    broadcast once as dense int LUTs (`ray.put`, O(1) gathers — same
-    policy as q_revenue_by_nation, with the same documented
-    max_broadcast_keys escape to the join planner). The l_shipdate
-    window is PUSHED into the lineitem scan; lineitem pre-aggregates
-    revenue per (l_orderkey, s_nat, year) per batch, so the single
-    native hash join on orderkey moves one row per
+    Plan (scale notes): nation is fixed-size; the two-nation supplier/
+    customer key→nation maps are PRUNED DISTRIBUTED SCANS routed
+    through ``runtime.augment_by_key`` (VERDICT r4 item 3) — sized by a
+    distributed count, broadcast as an O(1) dense position LUT at or
+    under max_broadcast_keys, hash-joined in the object store above it.
+    The l_shipdate window is PUSHED into the lineitem scan; lineitem
+    pre-aggregates revenue per (l_orderkey, s_nat, year) per batch, so
+    the single native hash join on orderkey moves one row per
     (order, supplier-nation, year), never a raw lineitem row. The
     cross-pair predicate (snat≠cnat within the two-nation set) is
     applied post-join and the final groupby is 4 cells."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    from ..runtime import join_partitions, join_remote_args
+    from ..runtime import augment_by_key, join_partitions, join_remote_args
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     nat2 = nat.filter(pc.is_in(nat["n_name"], value_set=pa.array(_Q7_NATIONS)))
@@ -2315,39 +2305,25 @@ def q_trade_volume(sf_dir: str):
         zip(nat2["n_nationkey"].to_pylist(), nat2["n_name"].to_pylist())
     )
 
-    def _dense_map(t: pa.Table, key: str, val: str) -> np.ndarray:
-        keys = t[key].to_numpy(zero_copy_only=False)
-        vals = t[val].to_numpy(zero_copy_only=False)
-        lut = np.full(int(keys.max()) + 2 if len(keys) else 2, -1, dtype=np.int32)
-        lut[keys] = vals
-        return lut
+    def _nat_dim(table: str, key: str, nkey: str, out: str):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[nkey], value_set=keys2))
+            return pa.table({key: t[key], out: pc.cast(t[nkey], pa.int32())})
 
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=keys2))
-    sup_lut_ref = ray.put(_dense_map(sup, "s_suppkey", "s_nationkey"))
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=keys2))
-    cust_lut_ref = ray.put(_dense_map(cust, "c_custkey", "c_nationkey"))
-
-    def orders_side(t: pa.Table) -> pa.Table:
-        lut = ray.get(cust_lut_ref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cnat = np.where(ck < len(lut), lut[np.minimum(ck, len(lut) - 1)], -1)
-        keep = cnat >= 0
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
-                "c_nat": pa.array(cnat[keep], type=pa.int32()),
-            }
+        return _read(sf_dir, table, [key, nkey]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    orders = augment_by_key(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey",
+        _nat_dim("customer", "c_custkey", "c_nationkey", "c_nat"),
+        "c_custkey",
+        how="inner",
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nat"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     _LI_EMPTY = pa.table(
@@ -2362,20 +2338,13 @@ def q_trade_volume(sf_dir: str):
     def li_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return _LI_EMPTY
-        lut = ray.get(sup_lut_ref)
-        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        snat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
-        keep = snat >= 0
-        if not keep.any():
-            return _LI_EMPTY
-        t = t.filter(pa.array(keep))
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
         small = pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "s_nat": pa.array(snat[keep], type=pa.int32()),
+                "s_nat": t["s_nat"],
                 "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
                 "revenue": rev,
             }
@@ -2385,12 +2354,18 @@ def q_trade_volume(sf_dir: str):
         ).aggregate([("revenue", "sum")])
         return agg.rename_columns(["l_orderkey", "s_nat", "l_year", "revenue"])
 
-    li = _read(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        filter=(pads.field("l_shipdate") >= pa.scalar(_Q7_LO))
-        & (pads.field("l_shipdate") < pa.scalar(_Q7_HI)),
+    li = augment_by_key(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= pa.scalar(_Q7_LO))
+            & (pads.field("l_shipdate") < pa.scalar(_Q7_HI)),
+        ),
+        "l_suppkey",
+        _nat_dim("supplier", "s_suppkey", "s_nationkey", "s_nat"),
+        "s_suppkey",
+        how="inner",
     ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     schema = pa.schema(
@@ -2491,19 +2466,28 @@ def q_market_share(sf_dir: str):
     to ASIA customers, per order year 1995–1996.
 
     Plan (scale notes): the p_type cut is PUSHED into the part scan and
-    only the surviving key ARRAY broadcasts (`ray.put` + `pc.is_in` —
-    the B5 broadcast policy; above max_broadcast_keys route through the
-    join planner). The supplier side needs only a per-suppkey target
-    bit, broadcast as a dense int8 LUT. The orders date window is
-    pushed into the scan and the ASIA-customer key set broadcast for
-    the membership cut, leaving (o_orderkey, o_year). lineitem
-    pre-aggregates volume per (l_orderkey, is_target) per batch, so the
-    single native hash join on orderkey moves ≤ 2 rows per order. The
-    share division happens on the 2-row final table."""
+    the surviving keys ride ``broadcast_or_semijoin`` (the B5 switch:
+    broadcast ``pc.is_in`` under the threshold, hash semi-join above —
+    both paths forced-tested). The supplier side
+    needs only a per-suppkey target bit: the NATION_2 supplier keys are
+    a pruned distributed scan LEFT-augmented onto lineitem through
+    ``runtime.augment_by_key`` with fill 0 (VERDICT r4 item 3 — guarded
+    broadcast mark at or under max_broadcast_keys, left_outer hash join
+    above). The orders date window is pushed into the scan and the
+    ASIA-customer membership cut rides ``broadcast_or_semijoin``,
+    leaving (o_orderkey, o_year). lineitem pre-aggregates volume per
+    (l_orderkey, is_target) per batch, so the single native hash join
+    on orderkey moves ≤ 2 rows per order. The share division happens
+    on the 2-row final table."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    from ..runtime import join_partitions, join_remote_args
+    from ..runtime import (
+        augment_by_key,
+        broadcast_or_semijoin,
+        join_partitions,
+        join_remote_args,
+    )
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     reg = pq.read_table(f"{sf_dir}/region.parquet")
@@ -2517,43 +2501,45 @@ def q_market_share(sf_dir: str):
         "n_nationkey"
     ].combine_chunks()
 
-    from ..runtime import guarded_broadcast
-
-    # p_type cut pushed into a distributed scan; keys distinct-ified
-    # per block and size-guarded before the broadcast
-    part_ref = guarded_broadcast(
-        _read(
+    def _medium_parts():
+        # p_type cut pushed into a distributed scan
+        return _read(
             sf_dir,
             "part",
             ["p_partkey"],
             filter=pads.field("p_type") == "MEDIUM",
-        ),
-        keys_on="p_partkey",
-        what="Q8 MEDIUM part keys",
-    )
-
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
-    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False)
-    lut = np.zeros(int(sk.max()) + 2 if len(sk) else 2, dtype=np.int8)
-    lut[sk[np.isin(sn, target_key.to_numpy(zero_copy_only=False))]] = 1
-    sup_lut_ref = ray.put(lut)
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    asia_cust = cust.filter(
-        pc.is_in(cust["c_nationkey"], value_set=asia_nat)
-    )["c_custkey"]
-    cust_ref = guarded_broadcast(asia_cust, what="Q8 ASIA customer keys")
-
-    def orders_side(t: pa.Table) -> pa.Table:
-        keep = pc.fill_null(
-            pc.is_in(t["o_custkey"], value_set=ray.get(cust_ref)), False
         )
-        t = t.filter(keep)
+
+    def _sup_dim():
+        """(s_suppkey, is_target=1) for NATION_2 suppliers — pruned
+        distributed scan; target_key is the fixed 1-row nation key."""
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["s_nationkey"], value_set=target_key))
+            return pa.table(
+                {
+                    "s_suppkey": t["s_suppkey"],
+                    "is_target": pa.array(
+                        np.ones(len(t), dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _asia_cust_ds():
+        def prep(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(t["c_nationkey"], value_set=asia_nat)
+            ).select(["c_custkey"])
+
+        return _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def orders_year(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
@@ -2561,13 +2547,18 @@ def q_market_share(sf_dir: str):
             }
         )
 
-    orders = _read(
-        sf_dir,
-        "orders",
-        ["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=(pads.field("o_orderdate") >= pa.scalar(_Q8_LO))
-        & (pads.field("o_orderdate") < pa.scalar(_Q8_HI)),
-    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = broadcast_or_semijoin(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(pads.field("o_orderdate") >= pa.scalar(_Q8_LO))
+            & (pads.field("o_orderdate") < pa.scalar(_Q8_HI)),
+        ),
+        "o_custkey",
+        _asia_cust_ds(),
+        keys_on="c_custkey",
+    ).map_batches(orders_year, batch_format="pyarrow", zero_copy_batch=True)
 
     _LI_EMPTY = pa.table(
         {
@@ -2580,22 +2571,13 @@ def q_market_share(sf_dir: str):
     def li_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return _LI_EMPTY
-        keep = pc.fill_null(
-            pc.is_in(t["l_partkey"], value_set=ray.get(part_ref)), False
-        )
-        t = t.filter(keep)
-        if len(t) == 0:
-            return _LI_EMPTY
-        slut = ray.get(sup_lut_ref)
-        skv = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        is_t = np.where(skv < len(slut), slut[np.minimum(skv, len(slut) - 1)], 0)
         vol = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
         small = pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "is_target": pa.array(is_t, type=pa.int8()),
+                "is_target": t["is_target"],
                 "volume": vol,
             }
         )
@@ -2604,10 +2586,22 @@ def q_market_share(sf_dir: str):
         ).aggregate([("volume", "sum")])
         return agg.rename_columns(["l_orderkey", "is_target", "volume"])
 
-    li = _read(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    li = augment_by_key(
+        broadcast_or_semijoin(
+            _read(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            ),
+            "l_partkey",
+            _medium_parts(),
+            keys_on="p_partkey",
+        ),
+        "l_suppkey",
+        _sup_dim(),
+        "s_suppkey",
+        how="left",
+        fill={"is_target": 0},
     ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     schema = pa.schema([("o_year", pa.int64()), ("mkt_share", pa.float64())])

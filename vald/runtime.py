@@ -15,6 +15,7 @@ __all__ = [
     "ts_to_us_int64",
     "compact_strings",
     "nonempty_blocks",
+    "augment_by_key",
     "DEFAULT_MAX_BROADCAST_KEYS",
 ]
 
@@ -378,6 +379,195 @@ def guarded_broadcast(
             "route through broadcast_or_semijoin instead of broadcasting"
         )
     return ray.put(arr)
+
+
+def augment_by_key(
+    fact,
+    on: str,
+    dim,
+    key_col: str,
+    *,
+    how: str = "inner",
+    fill: "dict | None" = None,
+    max_broadcast_keys: "int | None" = None,
+    num_partitions: "int | None" = None,
+    dense_lut_cap: int = 1 << 27,
+):
+    """Append a small DIMENSION's value columns to a FACT dataset by
+    key — the size-guarded form of the dense-LUT dimension broadcast
+    (VERDICT r4 item 3: the same B5 planner rule key SETS already get,
+    extended to key→value maps).
+
+    ``dim`` is a Dataset with one row per key (``[key_col, *values]``,
+    already pruned/filtered — its empty blocks must carry a schema,
+    i.e. come from a scan/map, not a bare groupby). Planner rule:
+
+    - dim row count — a DISTRIBUTED ``count()``; the dimension never
+      lands on the driver before the decision — at or under
+      ``max_broadcast_keys``: the (key, values) table is pulled once
+      (bounded by the threshold), broadcast via ``ray.put``, and
+      gathered per fact batch: an O(1) dense numpy position LUT when
+      the keys are non-negative ints dense enough
+      (span <= max(4·n, 1M), capped at ``dense_lut_cap`` entries),
+      else one vectorized ``pc.index_in`` probe. Zero fact movement.
+    - above the threshold: hash-partitioned ``Dataset.join``
+      (inner / left_outer); the dimension stays in the object store
+      and the cost is one exchange of the fact — B5's semi-join trade.
+
+    ``how="inner"`` drops non-matching fact rows; ``how="left"`` keeps
+    them with NULL values, then applies ``fill`` (col → scalar) on
+    both routes. NULL fact keys never match (SQL join semantics).
+    Dim value-column names must not collide with fact columns; when
+    ``key_col != on`` the key column is renamed to ``on`` and not
+    duplicated in the output."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"augment_by_key: how must be inner|left, got {how!r}")
+    threshold = int(
+        DEFAULT_MAX_BROADCAST_KEYS if max_broadcast_keys is None else max_broadcast_keys
+    )
+    fill = dict(fill or {})
+    m = dim.materialize()
+    n = m.count()
+    if n == 0:
+        # empty dimension: the result is known without a schema for
+        # inner; left needs the value types to append typed columns
+        if how == "inner":
+            return fact.limit(0)
+        schema = m.schema()
+        if schema is None:
+            # Ray drops the Dataset-level schema on all-empty outputs,
+            # but map/scan-produced 0-row BLOCKS still carry one —
+            # recover it from any columned block (they're empty: free)
+            import pyarrow as _pa
+
+            schema = next(
+                (
+                    b.schema
+                    for b in ray.get(m.to_arrow_refs())
+                    if b.num_columns
+                ),
+                None,
+            )
+        if schema is None:
+            raise ValueError(
+                "augment_by_key: empty dimension lost its schema (its empty "
+                "blocks are schema-less, e.g. from a bare groupby) — "
+                "short-circuit the empty case at the call site"
+            )
+        base = getattr(schema, "base_schema", schema)
+        val_names = [c for c in base.names if c != key_col]
+
+        def add_defaults(t: "pa.Table") -> "pa.Table":
+            for name in val_names:
+                typ = base.field(name).type
+                fv = fill.get(name)
+                col = (
+                    pa.nulls(len(t), typ)
+                    if fv is None
+                    else pa.array([fv] * len(t), type=typ)
+                )
+                t = t.append_column(name, col)
+            return t
+
+        return fact.map_batches(
+            add_defaults, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    schema = m.schema()  # nonempty materialized dataset: always known
+    base = getattr(schema, "base_schema", schema)  # ray Schema wraps arrow's
+    val_names = [c for c in base.names if c != key_col]
+
+    if n <= threshold:
+        vt = collect_arrow(m)
+        keys_arr = vt[key_col].combine_chunks()
+        vals_tbl = vt.select(val_names)
+        pos_lut = None
+        if pa.types.is_integer(keys_arr.type):
+            kn = keys_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            if kn.size and kn.min() >= 0:
+                span = int(kn.max()) + 1
+                if span <= min(max(4 * kn.size, 1 << 20), dense_lut_cap):
+                    pos_lut = np.full(span, -1, dtype=np.int64)
+                    pos_lut[kn] = np.arange(kn.size, dtype=np.int64)
+        keys_ref = ray.put(keys_arr)
+        vals_ref = ray.put(vals_tbl)
+        lut_ref = ray.put(pos_lut) if pos_lut is not None else None
+
+        def gather(t: "pa.Table") -> "pa.Table":
+            vals = ray.get(vals_ref)
+            if len(t) == 0:
+                for name in val_names:
+                    t = t.append_column(
+                        name, pa.nulls(0, vals.schema.field(name).type)
+                    )
+                return t
+            if lut_ref is not None:
+                lut = ray.get(lut_ref)
+                k = pc.fill_null(pc.cast(t[on], pa.int64()), -1).to_numpy(
+                    zero_copy_only=False
+                )
+                inb = (k >= 0) & (k < len(lut))
+                idx = np.full(len(k), -1, dtype=np.int64)
+                idx[inb] = lut[k[inb]]
+            else:
+                idx = (
+                    pc.fill_null(
+                        pc.index_in(t[on], value_set=ray.get(keys_ref)), -1
+                    )
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            if how == "inner":
+                keep = idx >= 0
+                if not keep.all():
+                    t = t.filter(pa.array(keep))
+                    idx = idx[keep]
+                taken = vals.take(pa.array(idx, type=pa.int64()))
+            else:
+                taken = vals.take(
+                    pa.array(np.where(idx >= 0, idx, 0), type=pa.int64(), mask=idx < 0)
+                )
+            for name in val_names:
+                col = taken[name]
+                fv = fill.get(name)
+                if how == "left" and fv is not None:
+                    col = pc.fill_null(col, fv)
+                t = t.append_column(name, col)
+            return t
+
+        return fact.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+
+    # join route: the dimension never lands on the driver
+    dimj = nonempty_blocks(m)
+    if key_col != on:
+        dimj = dimj.map_batches(
+            lambda t: t.rename_columns(
+                [on if c == key_col else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    joined = fact.join(
+        dimj,
+        join_type="inner" if how == "inner" else "left_outer",
+        num_partitions=join_partitions(num_partitions),
+        on=(on,),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+    if how == "left" and fill:
+
+        def post(t: "pa.Table") -> "pa.Table":
+            for name, fv in fill.items():
+                i = t.schema.get_field_index(name)
+                t = t.set_column(i, name, pc.fill_null(t[name], fv))
+            return t
+
+        joined = joined.map_batches(post, batch_format="pyarrow")
+    return joined
 
 
 def bucketed_group_agg(
