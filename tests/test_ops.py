@@ -1307,6 +1307,101 @@ class TestTfidf:
             assert abs(out.loc[0, "logprob"] - want) < 1e-12
 
 
+class TestBM25:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        corpus = [
+            "hash join beats sort merge join",
+            "scan scan scan",
+            None,
+            "",
+            "nothing relevant here",
+            "hash",
+        ]
+        Q = ["hash", "join", "scan"]
+        k1, b = 1.2, 0.75
+        t = pa.table({"doc_id": list(range(len(corpus))), "text": corpus})
+        out = (
+            TX.bm25_ds(
+                ray.data.from_arrow(t).repartition(3), "text", "doc_id", Q
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = {i: s.split() for i, s in enumerate(corpus) if s is not None}
+        N = len(docs)
+        total = sum(len(v) for v in docs.values())
+        avgdl = total / N
+        df = Counter()
+        for toks in docs.values():
+            for q in set(toks) & set(Q):
+                df[q] += 1
+        assert out["doc_id"].tolist() == sorted(docs)
+        for r in out.itertuples():
+            toks = docs[r.doc_id]
+            assert r.n_tokens == len(toks)
+            tf = Counter(tok for tok in toks if tok in Q)
+            want = sum(
+                math.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1)
+                * tf[q] * (k1 + 1) / (tf[q] + k1 * (1 - b + b * len(toks) / avgdl))
+                for q in tf
+            )
+            assert abs(r.bm25 - want) < 1e-12, (r.doc_id, r.bm25, want)
+        # ranking sanity: the all-scan doc tops 'nothing relevant'
+        scores = dict(zip(out["doc_id"], out["bm25"]))
+        assert scores[1] > scores[4] == 0.0
+
+    def test_empty_query_rejected(self, ray_session):
+        t = pa.table({"doc_id": [0], "text": ["a"]})
+        with pytest.raises(ValueError):
+            TX.bm25_ds(ray.data.from_arrow(t), "text", "doc_id", [])
+
+
+class TestCategoricalEntropy:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        from vald.ops.stats import categorical_entropy_ds
+
+        rng = np.random.default_rng(5)
+        a = rng.choice(["x", "y", "z", "w"], 400, p=[0.7, 0.2, 0.05, 0.05])
+        b = ["const"] * 400
+        t = pa.table(
+            {
+                "a": pa.array(a.tolist() + [None] * 10, type=pa.string()),
+                "b": pa.array(b + [None] * 10, type=pa.string()),
+            }
+        )
+        out = (
+            categorical_entropy_ds(
+                ray.data.from_arrow(t).repartition(4), ["a", "b"]
+            )
+            .to_pandas()
+            .set_index("column")
+        )
+        cnt = Counter(a.tolist())
+        T = sum(cnt.values())
+        want = -sum(n / T * math.log(n / T) for n in cnt.values())
+        assert out.loc["a", "n"] == 400 and out.loc["a", "n_distinct"] == 4
+        assert abs(out.loc["a", "entropy"] - want) < 1e-9
+        # constant column: zero entropy, NULLs excluded from n
+        assert out.loc["b", "n"] == 400 and out.loc["b", "n_distinct"] == 1
+        assert out.loc["b", "entropy"] == 0.0
+
+    def test_uniform_is_ln_k(self, ray_session):
+        import math
+
+        from vald.ops.stats import categorical_entropy_ds
+
+        t = pa.table({"c": pa.array([str(i % 8) for i in range(800)])})
+        out = categorical_entropy_ds(ray.data.from_arrow(t), ["c"]).to_pandas()
+        assert abs(out.loc[0, "entropy"] - math.log(8)) < 1e-9
+
+
 class TestPivotCounts:
     def test_matches_bruteforce(self, ray_session):
         import pandas as pd

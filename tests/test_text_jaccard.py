@@ -221,3 +221,102 @@ def test_text_stats_dataset(ray_session):
         assert out.n_tokens[i] == nt
         assert out.n_alpha[i] == na
         assert out.n_digit[i] == nd
+
+
+class TestEditDistancePairs:
+    """ops.dedup.edit_distance_pairs_ds — SymSpell deletion-neighborhood
+    fuzzy join: brute-force parity (insert/delete/substitute/equal),
+    null/long-string drops, the low-entropy refusal."""
+
+    @staticmethod
+    def _brute(strs):
+        def ed_le1(a, b):
+            if a == b:
+                return 0
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1:
+                return None
+            if la == lb:
+                return 1 if sum(x != y for x, y in zip(a, b)) == 1 else None
+            if la > lb:
+                a, b = b, a
+            i = 0
+            while i < len(a) and a[i] == b[i]:
+                i += 1
+            return 1 if a[i:] == b[i + 1:] else None
+
+        out = set()
+        for i in range(len(strs)):
+            for j in range(i + 1, len(strs)):
+                if strs[i] is None or strs[j] is None:
+                    continue
+                d = ed_le1(strs[i], strs[j])
+                if d is not None:
+                    out.add((i, j, d))
+        return sorted(out)
+
+    def test_matches_bruteforce_random(self, ray_session):
+        import random
+
+        from vald.ops.dedup import edit_distance_pairs_ds
+
+        rng = random.Random(17)
+        alphabet = "abc"
+        strs = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 5)))
+            for _ in range(120)
+        ] + [None, "way-too-long" * 20]
+        t = pa.table(
+            {
+                "rid": pa.array(list(range(len(strs))), type=pa.int64()),
+                "s": pa.array(strs, type=pa.string()),
+            }
+        )
+        got = (
+            edit_distance_pairs_ds(
+                ray.data.from_arrow(t).repartition(4), "s", "rid",
+                max_len=30, num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        got_t = sorted(
+            (int(r.id_a), int(r.id_b), int(r.ed)) for r in got.itertuples()
+        )
+        want = self._brute([s if s is None or len(s) <= 30 else None for s in strs])
+        assert got_t == want and len(want) > 50
+
+    def test_each_edit_kind(self, ray_session):
+        from vald.ops.dedup import edit_distance_pairs_ds
+
+        strs = ["kitten", "kittenx", "kiten", "mitten", "sitting", "kitten"]
+        t = pa.table(
+            {"rid": pa.array(range(len(strs)), pa.int64()), "s": strs}
+        )
+        got = edit_distance_pairs_ds(
+            ray.data.from_arrow(t), "s", "rid"
+        ).to_pandas()
+        pairs = {(int(r.id_a), int(r.id_b)): int(r.ed) for r in got.itertuples()}
+        assert pairs[(0, 1)] == 1   # insert
+        assert pairs[(0, 2)] == 1   # delete
+        assert pairs[(0, 3)] == 1   # substitute
+        assert pairs[(0, 5)] == 0   # exact duplicate
+        assert (0, 4) not in pairs  # ed 3
+        # transitivity is NOT implied: kittenx-kiten is ed 2
+        assert (1, 2) not in pairs
+
+    def test_low_entropy_refusal(self, ray_session):
+        import pytest as _pytest
+
+        from vald.ops.dedup import edit_distance_pairs_ds
+
+        t = pa.table(
+            {
+                "rid": pa.array(range(50), pa.int64()),
+                "s": pa.array(["same"] * 50),
+            }
+        )
+        with _pytest.raises(Exception, match="max_key_group"):
+            edit_distance_pairs_ds(
+                ray.data.from_arrow(t), "s", "rid", max_key_group=10
+            ).to_pandas()

@@ -2091,3 +2091,186 @@ def dup_span_stats_ds(
         id_col,
         [("n_windows", "sum"), ("n_dup_windows", "sum")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy pairs (SymSpell deletion-neighborhood join)
+# ---------------------------------------------------------------------------
+
+
+def _ed_le1(a: str, b: str) -> "int | None":
+    """Exact edit distance when <= 1, else None. O(len) single pass —
+    the verify step for deletion-neighborhood candidates."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return None
+        return 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must be a with exactly one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else None
+
+
+def edit_distance_pairs_ds(
+    ds: "ray.data.Dataset",
+    col: str,
+    id_col: str,
+    *,
+    max_len: int = 64,
+    num_buckets: int = 64,
+    max_key_group: int = 4096,
+) -> "ray.data.Dataset":
+    """All (id_a, id_b, ed) pairs of rows whose ``col`` strings are
+    within edit distance 1 — fuzzy duplicate detection for SHORT
+    string columns (names, codes, titles), never an all-pairs scan.
+
+    Algorithm: the symmetric-delete (SymSpell, Garbe 2012 — public
+    algorithm) candidate rule — ed(a, b) <= 1 implies a and b share a
+    key in {s} ∪ del1(s) (the string or one single-char deletion).
+    Each row explodes into its len+1 keys; keys hash-partition; every
+    key's group emits its EXACT-verified pairs (``_ed_le1``: deletion
+    keys over-generate); pairs found under several keys collapse in
+    one bucketed distinct keyed on (id_a, id_b).
+
+    Shape (100 TB): the exchange is O(rows × (len+1)) key rows — the
+    SymSpell space trade — and per-key groups stay small on natural
+    data (``max_key_group`` fails loudly on pathological low-entropy
+    columns, the pivot/max_categories convention; long/repetitive text
+    belongs to the MinHash family, not edit distance). NULL and
+    longer-than-``max_len`` strings are dropped. The per-row deletion
+    enumeration is a Python loop by necessity (no Arrow kernel exists)
+    but is bounded by max_len tiny strings; everything wide — the key
+    exchange, the distinct — is bucketed. ``id_a < id_b`` in every
+    output row."""
+    import pandas as pd
+
+    from ..runtime import bucketed_group_agg
+
+    _EMPTY_KEYS = pa.table(
+        {
+            "key": pa.array([], type=pa.string()),
+            "rid": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.string()),
+        }
+    )
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "ed": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t[col]),
+            pc.less_equal(pc.utf8_length(t[col]), pa.scalar(max_len)),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        if len(t) == 0:
+            return _EMPTY_KEYS
+        ids = t[id_col].to_pylist()
+        strs = t[col].to_pylist()
+        keys, rids, ss = [], [], []
+        for rid, s in zip(ids, strs):
+            keys.append(s)
+            rids.append(rid)
+            ss.append(s)
+            for i in range(len(s)):
+                keys.append(s[:i] + s[i + 1 :])
+                rids.append(rid)
+                ss.append(s)
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "rid": pa.array(rids, type=pa.int64()),
+                "s": pa.array(ss, type=pa.string()),
+            }
+        )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["key"].to_numpy(zero_copy_only=False)), categorize=False
+        )
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY_PAIRS
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("key", "ascending"), ("rid", "ascending")]
+            )
+        )
+        keys = g["key"].to_pylist()
+        rids = g["rid"].to_pylist()
+        strs = g["s"].to_pylist()
+        n = len(keys)
+        found: dict = {}
+        lo = 0
+        while lo < n:
+            hi = lo + 1
+            while hi < n and keys[hi] == keys[lo]:
+                hi += 1
+            width = hi - lo
+            if width > max_key_group:
+                raise ValueError(
+                    f"edit_distance_pairs_ds: key group of {width} exceeds "
+                    f"max_key_group={max_key_group} (low-entropy column?) — "
+                    "use the MinHash-family ops for long/repetitive text"
+                )
+            if width > 1:
+                for i in range(lo, hi):
+                    for j in range(i + 1, hi):
+                        if rids[i] == rids[j]:
+                            continue
+                        a, b = rids[i], rids[j]
+                        if a > b:
+                            a, b = b, a
+                        if (a, b) in found:
+                            continue
+                        d = _ed_le1(strs[i], strs[j])
+                        if d is not None:
+                            found[(a, b)] = d
+            lo = hi
+        if not found:
+            return _EMPTY_PAIRS
+        items = sorted(found.items())
+        arr = np.array([k for k, _ in items], dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(arr[:, 0]),
+                "id_b": pa.array(arr[:, 1]),
+                "ed": pa.array(
+                    np.array([d for _, d in items], dtype=np.int64)
+                ),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    # same pair discovered via keys hashing to DIFFERENT buckets: one
+    # global bucketed distinct ((id_a, id_b) -> min ed; ed is identical
+    # on every discovery, min is just the combiner)
+    return bucketed_group_agg(
+        pairs, ["id_a", "id_b"], [("ed", "min")], num_buckets=num_buckets
+    )

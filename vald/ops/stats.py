@@ -1014,3 +1014,105 @@ def freshness_ds(
         ).append_column("stale", pa.array(last < threshold))
 
     return combined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Categorical entropy profiling — distribution-shape data-quality signal
+# ---------------------------------------------------------------------------
+
+
+def categorical_entropy_ds(
+    ds: "ray.data.Dataset",
+    cols: "list[str]",
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Shannon entropy (natural log) of each column's value
+    distribution — the standard "is this field degenerate / skewed /
+    near-uniform" profile signal. NULLs are excluded (entropy is over
+    observed values); a constant column scores 0.
+
+    Shape (100 TB): per-batch (column, value, count) partials feed one
+    bucketed combine, then the identity ``H = ln(T) − Σ n·ln n / T``
+    turns the per-VALUE table into a per-COLUMN sum — a second tiny
+    grouped aggregation over (column) — so no distinct-value list ever
+    lands on the driver and cardinality is unbounded. Values exchange
+    as strings (the usual categorical-profile convention; numeric
+    columns are profiled by B6 histograms instead).
+
+    Returns ``(column:string, n:int64, n_distinct:int64,
+    entropy:float64)`` — one row per profiled column."""
+    from ..runtime import bucketed_group_agg
+
+    cols = list(cols)
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in cols:
+            v = pc.drop_null(t[c])
+            if len(v) == 0:
+                continue
+            small = pa.table({"v": pc.cast(v, pa.string())})
+            agg = small.group_by("v", use_threads=False).aggregate([("v", "count")])
+            agg = agg.rename_columns(["v", "n"])
+            pieces.append(
+                pa.table(
+                    {
+                        "column": pa.array([c] * len(agg), type=pa.string()),
+                        "v": agg["v"],
+                        "n": pc.cast(agg["n"], pa.int64()),
+                    }
+                )
+            )
+        if not pieces:
+            return pa.table(
+                {
+                    "column": pa.array([], type=pa.string()),
+                    "v": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(pieces)
+
+    per_value = bucketed_group_agg(
+        ds.select_columns(cols).map_batches(
+            counts_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["column", "v"],
+        [("n", "sum")],
+        num_buckets=num_buckets,
+    )
+
+    def nlogn(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "column": t["column"],
+                "n": t["n"],
+                "d": pa.array(np.ones(len(t), dtype=np.int64)),
+                "nlogn": pa.array(n * np.log(n), type=pa.float64()),
+            }
+        )
+
+    folded = bucketed_group_agg(
+        per_value.map_batches(nlogn, batch_format="pyarrow"),
+        "column",
+        [("n", "sum"), ("d", "sum"), ("nlogn", "sum")],
+        num_buckets=8,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["nlogn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(n > 0, np.log(n) - s / np.maximum(n, 1), 0.0)
+        return pa.table(
+            {
+                "column": t["column"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "n_distinct": pc.cast(t["d"], pa.int64()),
+                "entropy": pa.array(np.maximum(h, 0.0), type=pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -1049,3 +1049,152 @@ def unigram_logprob_ds(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 scoring against a fixed query (retrieval-style curation)
+# ---------------------------------------------------------------------------
+
+
+def bm25_ds(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    query_terms,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Okapi BM25 score of every document against a fixed query — the
+    standard Lucene-style formulation (Robertson–Spärck Jones idf with
+    the +1 floor, so idf is always positive)::
+
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    N counts docs with non-null text; ``dl`` is the doc's whitespace
+    token count (empty tokens dropped, str.split semantics); ``avgdl``
+    the corpus mean. Docs matching no query term score 0; one output
+    row per non-null-text doc.
+
+    Shape (100 TB): the statistics pass prunes tokens to the QUERY'S
+    OWN terms per batch before the bucketed combine, so the exchanged
+    vocabulary is bounded by |query| — never the corpus vocabulary (the
+    corpus-wide analog with the broadcast/term-join guard is
+    ``tfidf_ds``); the N and total-token normalizers ride the same
+    exchange as a NULL-term row. Scoring is embarrassingly parallel:
+    tokens probe the query list with one ``pc.index_in``, per-(doc,
+    term) tfs via ``np.unique``, contributions folded with one
+    ``np.add.at``. Returns ``(id_col, n_tokens:int64, bm25:float64)``.
+    """
+    from ..runtime import bucketed_group_agg, collect_arrow
+
+    from .dedup import token_grams
+
+    qlist = sorted(set(query_terms))
+    if not qlist:
+        raise ValueError("bm25_ds: query_terms must be non-empty")
+    nq = len(qlist)
+    qarr = pa.array(qlist, type=pa.string())
+    k1 = float(k1)
+    b = float(b)
+
+    _EMPTY_STATS = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "tok": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        n_docs = len(t)
+        if n_docs == 0:
+            return _EMPTY_STATS
+        toks, doc_idx, nw = token_grams(t, text_col, 1)
+        base = pa.table(
+            {
+                "term": pa.array([None], type=pa.string()),
+                "df": pa.array([n_docs], type=pa.int64()),
+                "tok": pa.array([int(nw.sum())], type=pa.int64()),
+            }
+        )
+        if len(toks) == 0:
+            return base
+        idx = (
+            pc.fill_null(pc.index_in(toks, value_set=qarr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = idx >= 0
+        if not m.any():
+            return base
+        pair = np.unique(doc_idx[m] * nq + idx[m])
+        dfc = np.bincount(pair % nq, minlength=nq).astype(np.int64)
+        present = np.flatnonzero(dfc > 0)
+        out = pa.table(
+            {
+                "term": qarr.take(pa.array(present)),
+                "df": pa.array(dfc[present]),
+                "tok": pa.array(np.zeros(present.size, dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([out, base])
+
+    st = collect_arrow(
+        bucketed_group_agg(
+            ds.map_batches(
+                stats_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "term",
+            [("df", "sum"), ("tok", "sum")],
+            num_buckets=num_buckets,
+        )
+    )  # bounded: <= |query| + 1 rows by construction
+    idf = np.zeros(nq, dtype=np.float64)
+    n_total, tok_total = 0, 0
+    if len(st):
+        terms = st["term"].to_pylist()
+        dfs = st["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toksum = st["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = {t: i for i, t in enumerate(qlist)}
+        for trm, dfv, tkv in zip(terms, dfs, toksum):
+            if trm is None:
+                n_total, tok_total = int(dfv), int(tkv)
+            else:
+                idf[pos[trm]] = dfv  # stash df; idf computed below
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idf = np.log((n_total - idf + 0.5) / (idf + 0.5) + 1.0)
+    avgdl = (tok_total / n_total) if n_total and tok_total else 1.0
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        toks, doc_idx, nw = token_grams(t, text_col, 1)
+        n = nw.astype(np.int64)
+        sc = np.zeros(len(t), dtype=np.float64)
+        if len(toks):
+            idx = (
+                pc.fill_null(pc.index_in(toks, value_set=qarr), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m = idx >= 0
+            if m.any():
+                pair, tf = np.unique(doc_idx[m] * nq + idx[m], return_counts=True)
+                pd_ = (pair // nq).astype(np.int64)
+                pq_ = (pair % nq).astype(np.int64)
+                tf = tf.astype(np.float64)
+                dl = n[pd_].astype(np.float64)
+                denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+                np.add.at(sc, pd_, idf[pq_] * tf * (k1 + 1.0) / denom)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n),
+                "bm25": pa.array(sc, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

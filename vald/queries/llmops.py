@@ -716,6 +716,93 @@ def q_pivot(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Customer names within edit distance 1 — the SymSpell
+    deletion-neighborhood fuzzy join (ops.dedup.edit_distance_pairs_ds);
+    oracle = the quadratic self-join with DuckDB levenshtein (exact at
+    sf0.01 grading scale; the Ray side never does all-pairs)."""
+    from ..ops.dedup import edit_distance_pairs_ds
+
+    out = edit_distance_pairs_ds(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_name",
+        "c_custkey",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("ed", pa.int64()),
+            ]
+        ),
+    )
+
+
+
+def q_entropy(sf_dir: str):
+    """Shannon entropy of the documents table's categorical columns
+    (lang, source) — ops.stats.categorical_entropy_ds; the oracle
+    recomputes H = -Σ p·ln p from per-value counts."""
+    from ..ops.stats import categorical_entropy_ds
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    out = categorical_entropy_ds(ds, ["lang", "source"]).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("entropy"),
+            "entropy",
+            pc.round(t["entropy"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("column", pa.string()),
+                ("n", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("entropy", pa.float64()),
+            ]
+        ),
+    )
+
+
+
+# fixed retrieval query for q_bm25 (high-df corpus terms, so every sf
+# has matches); mirrored literally in the oracle SQL
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 of every document against the fixed query
+    ('hash', 'join', 'scan') — ops.text.bm25_ds; oracle recomputes
+    idf/tf/dl/avgdl from the same whitespace-token definition."""
+    from ..ops.text import bm25_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_ds(ds, "text", "doc_id", _BM25_TERMS).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("bm25"),
+            "bm25",
+            pc.round(t["bm25"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("bm25", pa.float64()),
+            ]
+        ),
+    )
+
+
+
 def q_logprob(sf_dir: str):
     from ..ops.text import unigram_logprob_ds
 

@@ -143,6 +143,9 @@ QUERIES = {
     "q_monotonic": q_monotonic,
     "q_reconcile": q_reconcile,
     "q_freshness": q_freshness,
+    "q_bm25": q_bm25,
+    "q_entropy": q_entropy,
+    "q_fuzzy_pairs": q_fuzzy_pairs,
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
@@ -917,6 +920,61 @@ ORACLE_SQL = {
         "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_fuzzy_pairs": (
+        # quadratic reference for the SymSpell deletion-neighborhood
+        # join — exact at the sf0.01 grading scale
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+        "levenshtein(a.c_name, b.c_name)::BIGINT AS ed "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL "
+        "AND levenshtein(a.c_name, b.c_name) <= 1"
+    ),
+    "q_entropy": (
+        # Shannon entropy (ln) per categorical column, NULLs excluded
+        "WITH l AS (SELECT lang AS v FROM documents WHERE lang IS NOT NULL), "
+        "lc AS (SELECT v, count(*)::DOUBLE AS n FROM l GROUP BY v), "
+        "ls AS (SELECT sum(n) AS tot FROM lc), "
+        "s2 AS (SELECT source AS v FROM documents WHERE source IS NOT NULL), "
+        "sc AS (SELECT v, count(*)::DOUBLE AS n FROM s2 GROUP BY v), "
+        "ss AS (SELECT sum(n) AS tot FROM sc) "
+        "SELECT 'lang' AS \"column\", ls.tot::BIGINT AS n, "
+        "(SELECT count(*) FROM lc)::BIGINT AS n_distinct, "
+        "round(-sum(lc.n / ls.tot * ln(lc.n / ls.tot)), 6) AS entropy "
+        "FROM lc, ls GROUP BY ls.tot "
+        "UNION ALL "
+        "SELECT 'source', ss.tot::BIGINT, "
+        "(SELECT count(*) FROM sc)::BIGINT, "
+        "round(-sum(sc.n / ss.tot * ln(sc.n / ss.tot)), 6) "
+        "FROM sc, ss GROUP BY ss.tot"
+    ),
+    "q_bm25": (
+        # Okapi BM25 (k1=1.2, b=0.75, RSJ idf with +1 floor) against
+        # the fixed query ('hash','join','scan') — same whitespace
+        # token definition as q_logprob; docs matching no query term
+        # score 0, one row per non-null-text doc
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d), "
+        "tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''), "
+        "dl AS (SELECT d.doc_id, COALESCE(c.cnt, 0)::BIGINT AS dl FROM d "
+        "LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok2 GROUP BY doc_id) c "
+        "USING (doc_id)), "
+        "s AS (SELECT (SELECT count(*) FROM d)::DOUBLE AS n_docs, "
+        "(SELECT count(*) FROM tok2)::DOUBLE AS total), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok2 "
+        "WHERE term IN ('hash','join','scan') GROUP BY term), "
+        "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2 "
+        "WHERE term IN ('hash','join','scan') GROUP BY doc_id, term), "
+        "contrib AS (SELECT tf.doc_id, "
+        "ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) * tf.tf * (1.2 + 1.0) "
+        "/ (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total / s.n_docs))) AS c "
+        "FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id "
+        "CROSS JOIN s) "
+        "SELECT d.doc_id, dl.dl AS n_tokens, "
+        "round(COALESCE(cs.csum, 0), 6) AS bm25 "
+        "FROM d JOIN dl USING (doc_id) "
+        "LEFT JOIN (SELECT doc_id, sum(c) AS csum FROM contrib GROUP BY doc_id) cs "
+        "USING (doc_id)"
     ),
     "q_logprob": (
         # NULL-text docs produce no row; docs whose tokens are all
