@@ -439,3 +439,82 @@ def test_rolling_time_null_policy_and_window_parse(ray_session):
     assert len(out) == 3
     assert out["roll_n"].tolist() == [1, 2, 2]
     assert out["roll_sum"].tolist() == [1.0, 1.0, 4.0]
+
+
+class TestIntervalConcurrency:
+    """ops.windows.interval_concurrency_ds — distributed sweep line:
+    brute-force parity (incl. first-max tiebreak and same-instant
+    end-before-start), bucket invariance, empty/degenerate intervals."""
+
+    @staticmethod
+    def _brute(iv):
+        evs = []
+        for s, e in iv:
+            evs.append((s, 1))
+            evs.append((e, -1))
+        evs.sort()  # (t, d): d=-1 sorts before d=1 at equal t
+        run, best, at = 0, 0, None
+        for t, d in evs:
+            run += d
+            if run > best:
+                best, at = run, t
+        return best, at
+
+    def _ds(self, iv, blocks=4):
+        from datetime import datetime, timedelta
+
+        T0 = datetime(2024, 1, 1)
+        t = pa.table(
+            {
+                "s": pa.array(
+                    [T0 + timedelta(minutes=s) for s, _ in iv],
+                    type=pa.timestamp("us"),
+                ),
+                "e": pa.array(
+                    [T0 + timedelta(minutes=e) for _, e in iv],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        import ray
+
+        return ray.data.from_arrow(t).repartition(blocks)
+
+    @pytest.mark.parametrize("buckets", [1, 4, 33])
+    def test_matches_bruteforce(self, ray_session, buckets):
+        from datetime import datetime, timedelta
+
+        from vald.ops.windows import interval_concurrency_ds
+
+        rng = np.random.default_rng(9)
+        iv = [
+            (int(s), int(s) + int(d))
+            for s, d in zip(
+                rng.integers(0, 500, 300), rng.integers(0, 50, 300)
+            )
+        ]
+        # same-instant edges: back-to-back (end == next start) never
+        # overlaps under the half-open convention
+        iv += [(600, 610), (610, 620), (605, 605)]  # incl. empty interval
+        got = interval_concurrency_ds(
+            self._ds(iv), "s", "e", num_buckets=buckets
+        ).to_pandas()
+        best, at = self._brute(iv)
+        T0 = datetime(2024, 1, 1)
+        assert int(got.loc[0, "max_concurrency"]) == best
+        assert got.loc[0, "at"] == T0 + timedelta(minutes=at)
+
+    def test_empty_input(self, ray_session):
+        from vald.ops.windows import interval_concurrency_ds
+
+        got = interval_concurrency_ds(self._ds([]), "s", "e").to_pandas()
+        assert int(got.loc[0, "max_concurrency"]) == 0
+        assert pd.isna(got.loc[0, "at"])
+
+    def test_back_to_back_never_two(self, ray_session):
+        from vald.ops.windows import interval_concurrency_ds
+
+        got = interval_concurrency_ds(
+            self._ds([(0, 10), (10, 20), (20, 30)]), "s", "e"
+        ).to_pandas()
+        assert int(got.loc[0, "max_concurrency"]) == 1

@@ -48,6 +48,7 @@ __all__ = [
     "rolling_time",
     "lagged",
     "watermark_late",
+    "interval_concurrency_ds",
 ]
 
 # B4's documented scaling rule: one shuffle group ≈ one task's memory
@@ -835,4 +836,182 @@ def watermark_late(
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (distributed sweep line) — "max concurrent
+# sessions" over [start, end) intervals
+# ---------------------------------------------------------------------------
+
+
+def interval_concurrency_ds(
+    ds: "ray.data.Dataset",
+    start_col: str,
+    end_col: str,
+    *,
+    num_buckets: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_BUCKET,
+    min_buckets: int = _MIN_BUCKETS,
+) -> "ray.data.Dataset":
+    """Maximum number of simultaneously-open ``[start, end)`` intervals
+    and the FIRST instant it is reached — capacity planning's "peak
+    concurrent sessions" — via the classic sweep line (±1 delta events,
+    running sum), distributed with the watermark_late range-partition +
+    exclusive-prefix recipe:
+
+    - pass 0 scans only the endpoint columns for (min, max, count)
+      partials (one row per block);
+    - pass 1 emits one (range-bucket, Σdelta) partial per batch; the
+      driver folds an EXCLUSIVE prefix SUM per bucket — the number of
+      intervals already open when a bucket begins (O(num_buckets)
+      driver state, broadcast once);
+    - pass 2 moves each ±1 delta event exactly once to its range
+      bucket, one Arrow sort by (t, delta) per bucket (ends BEFORE
+      starts at equal t — the half-open convention: back-to-back
+      intervals never overlap), a vectorized cumsum seeded by the
+      bucket's prefix, one (max, argmax-t) row out per bucket.
+
+    The bucket map is the overflow-safe float64 monotone map (shared
+    rationale with watermark_late). NULL start/end rows are dropped;
+    empty intervals (end <= start) contribute +1/−1 at the same (or
+    inverted) instants and never count, matching the SQL sweep. Returns
+    ONE row: ``(max_concurrency:int64, at:timestamp[us])`` — 0 / NULL
+    for an empty input."""
+    import ray
+    import ray.data
+
+    from ..runtime import collect_arrow
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(_drop_null_ts(t, start_col), end_col)
+        if len(t) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        s = _ts_int64(t[start_col])
+        e = _ts_int64(t[end_col])
+        return pa.table({"lo": pa.array([int(min(s.min(), e.min()))]),
+                         "hi": pa.array([int(max(s.max(), e.max()))]),
+                         "n": pa.array([2 * len(t)])})
+
+    pruned = ds.select_columns([start_col, end_col])
+    bt = collect_arrow(
+        pruned.map_batches(bounds_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if len(bt) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "max_concurrency": pa.array([0], pa.int64()),
+                    "at": pa.nulls(1, pa.timestamp("us")),
+                }
+            )
+        )
+    lo = pc.min(bt["lo"]).as_py()
+    hi = pc.max(bt["hi"]).as_py()
+    total = pc.sum(bt["n"]).as_py()
+    if num_buckets is None:
+        num_buckets = max(min_buckets, math.ceil(total / rows_per_bucket))
+    span = max(hi - lo + 1, 1)
+
+    def bucket_of(tv: np.ndarray) -> np.ndarray:
+        b = np.floor(
+            (tv.astype(np.float64) - float(lo)) * (float(num_buckets) / float(span))
+        )
+        return np.clip(b, 0, num_buckets - 1).astype(np.int64)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        t = _drop_null_ts(_drop_null_ts(t, start_col), end_col)
+        s = _ts_int64(t[start_col])
+        e = _ts_int64(t[end_col])
+        tv = np.concatenate([s, e])
+        d = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        return pa.table({"t": pa.array(tv), "d": pa.array(d)})
+
+    dl = pruned.map_batches(deltas, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pass 1: per-(batch, bucket) delta sums -> exclusive prefix per bucket
+    def sum_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "sd": pa.array([], pa.int64())})
+        b = bucket_of(t["t"].to_numpy(zero_copy_only=False))
+        ub, inv = np.unique(b, return_inverse=True)
+        sd = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sd, inv, t["d"].to_numpy(zero_copy_only=False))
+        return pa.table({"b": pa.array(ub), "sd": pa.array(sd)})
+
+    st = collect_arrow(
+        dl.map_batches(sum_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    bucket_sum = np.zeros(num_buckets, dtype=np.int64)
+    if len(st):
+        np.add.at(
+            bucket_sum,
+            st["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            st["sd"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    prefix = np.concatenate(([0], np.cumsum(bucket_sum)[:-1]))  # EXCLUSIVE
+    prefix_ref = ray.put(prefix)
+
+    # pass 2: per-bucket sorted cumsum seeded by the prefix
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(bucket_of(t["t"].to_numpy(zero_copy_only=False)))
+        )
+
+    _EMPTY_MAX = pa.table(
+        {
+            "mx": pa.array([], pa.int64()),
+            "at": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY_MAX
+        pre = int(ray.get(prefix_ref)[g["__bucket"][0].as_py()])
+        order = pc.sort_indices(
+            g, sort_keys=[("t", "ascending"), ("d", "ascending")]
+        )
+        g = g.take(order)
+        run = pre + np.cumsum(g["d"].to_numpy(zero_copy_only=False))
+        i = int(np.argmax(run))  # first occurrence of the max
+        return pa.table(
+            {
+                "mx": pa.array([int(run[i])], pa.int64()),
+                "at": pa.array([int(g["t"][i].as_py())], pa.int64()),
+            }
+        )
+
+    maxima = collect_arrow(
+        dl.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    if len(maxima) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "max_concurrency": pa.array([0], pa.int64()),
+                    "at": pa.nulls(1, pa.timestamp("us")),
+                }
+            )
+        )
+    mx = maxima["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    at = maxima["at"].to_numpy(zero_copy_only=False).astype(np.int64)
+    best = int(mx.max())
+    first = int(at[mx == best].min())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "max_concurrency": pa.array([best], pa.int64()),
+                "at": pa.array(
+                    np.array([first], dtype=np.int64).astype("datetime64[us]")
+                ),
+            }
+        )
     )

@@ -146,6 +146,7 @@ QUERIES = {
     "q_bm25": q_bm25,
     "q_entropy": q_entropy,
     "q_fuzzy_pairs": q_fuzzy_pairs,
+    "q_peak_sessions": q_peak_sessions,
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
@@ -920,6 +921,20 @@ ORACLE_SQL = {
         "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_peak_sessions": (
+        # sweep line: each event opens a [ts, ts + value min) session;
+        # ±1 deltas, running sum ordered (t, d) so ends free a slot
+        # before same-instant starts (half-open); first t at the max
+        "WITH iv AS (SELECT ts AS s, "
+        "ts + to_microseconds(CAST(round(value * 60000000) AS BIGINT)) AS e "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), "
+        "ev AS (SELECT s AS t, 1 AS d FROM iv "
+        "UNION ALL SELECT e, -1 FROM iv), "
+        "c AS (SELECT t, sum(d) OVER (ORDER BY t, d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM ev) "
+        "SELECT conc::BIGINT AS max_concurrency, t AS at FROM c "
+        "ORDER BY conc DESC, t ASC LIMIT 1"
     ),
     "q_fuzzy_pairs": (
         # quadratic reference for the SymSpell deletion-neighborhood

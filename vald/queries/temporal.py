@@ -547,3 +547,45 @@ def q_watermark_agg(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency: max simultaneously-open synthetic sessions
+# [ts, ts + value minutes) via the distributed sweep line
+# (vald.ops.windows.interval_concurrency_ds)
+# ---------------------------------------------------------------------------
+
+
+def q_peak_sessions(sf_dir: str):
+    """Peak concurrent sessions where each event opens a session of
+    ``value`` minutes — the capacity-planning sweep-line; oracle
+    replays the identical ±1 running sum in SQL (ends before starts at
+    equal instants: the half-open convention)."""
+    from ..ops.windows import interval_concurrency_ds
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["value"]))
+        t = t.filter(pc.fill_null(m, False))
+        s = np.asarray(
+            t["ts"].to_numpy(zero_copy_only=False), dtype="datetime64[us]"
+        ).astype(np.int64)
+        dur = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 60_000_000
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(s.astype("datetime64[us]")),
+                "e": pa.array((s + dur).astype("datetime64[us]")),
+            }
+        )
+
+    iv = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        mk_intervals, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = interval_concurrency_ds(iv, "s", "e")
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [("max_concurrency", pa.int64()), ("at", pa.timestamp("us"))]
+        ),
+    )
