@@ -2179,3 +2179,59 @@ class TestGroupDistinctSketch:
         assert out["k"].tolist() == ["a", "b"]
         assert abs(out["n_distinct_est"].iloc[0] - 1) < 0.1
         assert abs(out["n_distinct_est"].iloc[1] - 1) < 0.1
+
+
+class TestGroupLinreg:
+    def test_matches_numpy(self, ray_session):
+        from vald.ops.stats import group_linreg_ds
+
+        rng = np.random.default_rng(13)
+        ks, xs, ys = [], [], []
+        for g, (a, b) in enumerate([(2.0, 1.0), (-0.5, 3.0), (0.0, 7.0)]):
+            x = rng.uniform(0, 10, 200)
+            ks += [f"g{g}"] * 200
+            xs += x.tolist()
+            ys += (a * x + b + rng.normal(0, 0.1, 200)).tolist()
+        # pairwise-NULL and NaN rows must be excluded
+        ks += ["g0", "g0", "g0"]
+        xs += [None, 5.0, float("nan")]
+        ys += [1.0, None, 2.0]
+        t = pa.table({"k": ks, "x": pa.array(xs, pa.float64()),
+                      "y": pa.array(ys, pa.float64())})
+        out = (
+            group_linreg_ds(ray.data.from_arrow(t).repartition(4), "k", "x", "y")
+            .to_pandas()
+            .set_index("k")
+        )
+        for g, (a, b) in enumerate([(2.0, 1.0), (-0.5, 3.0), (0.0, 7.0)]):
+            x = np.array(xs[g * 200:(g + 1) * 200], dtype=float)
+            y = np.array(ys[g * 200:(g + 1) * 200], dtype=float)
+            slope, intercept = np.polyfit(x, y, 1)
+            row = out.loc[f"g{g}"]
+            assert row["n"] == 200
+            assert abs(row["slope"] - slope) < 1e-9
+            assert abs(row["intercept"] - intercept) < 1e-9
+            ss_res = ((y - (row["slope"] * x + row["intercept"])) ** 2).sum()
+            ss_tot = ((y - y.mean()) ** 2).sum()
+            assert abs(row["r2"] - (1 - ss_res / ss_tot)) < 1e-9
+
+    def test_degenerate_groups(self, ray_session):
+        from vald.ops.stats import group_linreg_ds
+
+        t = pa.table(
+            {
+                "k": ["one", "const_x", "const_x", "const_y", "const_y"],
+                "x": pa.array([1.0, 2.0, 2.0, 1.0, 3.0], pa.float64()),
+                "y": pa.array([5.0, 1.0, 2.0, 4.0, 4.0], pa.float64()),
+            }
+        )
+        out = (
+            group_linreg_ds(ray.data.from_arrow(t), "k", "x", "y")
+            .to_pandas()
+            .set_index("k")
+        )
+        assert np.isnan(out.loc["one", "slope"])       # n < 2
+        assert np.isnan(out.loc["const_x", "slope"])   # zero x variance
+        assert out.loc["const_y", "slope"] == 0.0      # flat fit is valid
+        assert out.loc["const_y", "intercept"] == 4.0
+        assert np.isnan(out.loc["const_y", "r2"])      # zero y variance

@@ -518,3 +518,89 @@ class TestIntervalConcurrency:
             self._ds([(0, 10), (10, 20), (20, 30)]), "s", "e"
         ).to_pandas()
         assert int(got.loc[0, "max_concurrency"]) == 1
+
+
+class TestDenseTumblingCounts:
+    """ops.windows.dense_tumbling_counts — gap-fill: every window in
+    [min, max] (x every key) present, zeros where nothing happened."""
+
+    def _events(self):
+        from datetime import datetime, timedelta
+
+        T0 = datetime(2024, 1, 1)
+        # hours 0, 1, 5 for type a; hour 3 for type b; gaps elsewhere
+        rows = [("a", 0), ("a", 0), ("a", 1), ("a", 5), ("b", 3)]
+        return pa.table(
+            {
+                "et": pa.array([r[0] for r in rows]),
+                "ts": pa.array(
+                    [T0 + timedelta(hours=r[1], minutes=7) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+
+    def test_keyed_grid(self, ray_session):
+        from datetime import timedelta
+
+        import ray
+
+        from vald.ops.windows import dense_tumbling_counts
+
+        out = (
+            dense_tumbling_counts(
+                ray.data.from_arrow(self._events()).repartition(2),
+                "ts",
+                timedelta(hours=1),
+                key_cols=["et"],
+            )
+            .to_pandas()
+            .sort_values(["et", "window_start"])
+            .reset_index(drop=True)
+        )
+        # 6 hours x 2 types = 12 dense rows
+        assert len(out) == 12
+        a = out[out["et"] == "a"]["n"].tolist()
+        b = out[out["et"] == "b"]["n"].tolist()
+        assert a == [2, 1, 0, 0, 0, 1]
+        assert b == [0, 0, 0, 1, 0, 0]
+
+    def test_global_grid_and_empty(self, ray_session):
+        from datetime import timedelta
+
+        import ray
+
+        from vald.ops.windows import dense_tumbling_counts
+
+        out = (
+            dense_tumbling_counts(
+                ray.data.from_arrow(self._events()), "ts", timedelta(hours=1)
+            )
+            .to_pandas()
+            .sort_values("window_start")
+        )
+        # un-keyed: hour 3 holds the type-b event
+        assert out["n"].tolist() == [2, 1, 0, 1, 0, 1]
+        empty = dense_tumbling_counts(
+            ray.data.from_arrow(self._events().slice(0, 0)),
+            "ts",
+            timedelta(hours=1),
+            key_cols=["et"],
+        )
+        assert empty.count() == 0
+
+    def test_max_keys_refusal(self, ray_session):
+        from datetime import timedelta
+
+        import ray
+
+        from vald.ops.windows import dense_tumbling_counts
+
+        with pytest.raises(Exception, match="max_keys"):
+            dense_tumbling_counts(
+                ray.data.from_arrow(self._events()),
+                "ts",
+                timedelta(hours=1),
+                key_cols=["et"],
+                max_keys=1,
+            ).to_pandas()

@@ -1116,3 +1116,118 @@ def categorical_entropy_ds(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-group simple linear regression (trend detection) — one-pass moments
+# ---------------------------------------------------------------------------
+
+
+def group_linreg_ds(
+    ds: "ray.data.Dataset",
+    key: str,
+    x: str,
+    y: str,
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Ordinary-least-squares ``y = slope·x + intercept`` per group —
+    trend detection over keyed series ("is this source's quality score
+    drifting down over time") — from the closed form over the five
+    sufficient moments (n, Σx, Σy, Σxy, Σx²) plus Σy² for r²:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = slope² · Sxx / Syy   (NULL when either variance is 0)
+
+    Shape (100 TB): ONE streaming pass — per-batch per-group moment
+    partials (one Arrow hash-aggregate) through the bucketed combine,
+    then a vectorized finish per combined row; rows never shuffle.
+    Rows with NULL/NaN in x or y are excluded pairwise (SQL ``regr_*``
+    semantics). Groups with n < 2 or zero x-variance emit NULL
+    slope/intercept (a vertical/degenerate fit is not data).
+
+    Returns ``(key, n:int64, slope, intercept, r2:float64)``."""
+    from ..runtime import bucketed_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t[x], pa.float64())
+        yv = pc.cast(t[y], pa.float64())
+        keep = pc.and_(
+            pc.is_valid(t[key]),
+            pc.and_(
+                pc.and_(pc.is_valid(xv), pc.invert(pc.is_nan(xv))),
+                pc.and_(pc.is_valid(yv), pc.invert(pc.is_nan(yv))),
+            ),
+        )
+        t2 = pa.table({key: t[key], "x": xv, "y": yv}).filter(
+            pc.fill_null(keep, False)
+        )
+        if len(t2) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=t.schema.field(key).type),
+                    "n": pa.array([], type=pa.int64()),
+                    "sx": pa.array([], type=pa.float64()),
+                    "sy": pa.array([], type=pa.float64()),
+                    "sxy": pa.array([], type=pa.float64()),
+                    "sxx": pa.array([], type=pa.float64()),
+                    "syy": pa.array([], type=pa.float64()),
+                }
+            )
+        xn = t2["x"].to_numpy(zero_copy_only=False)
+        yn = t2["y"].to_numpy(zero_copy_only=False)
+        small = pa.table(
+            {
+                key: t2[key],
+                "n": pa.array(np.ones(len(t2), dtype=np.int64)),
+                "sx": t2["x"],
+                "sy": t2["y"],
+                "sxy": pa.array(xn * yn, type=pa.float64()),
+                "sxx": pa.array(xn * xn, type=pa.float64()),
+                "syy": pa.array(yn * yn, type=pa.float64()),
+            }
+        )
+        agg = small.group_by(key, use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        return agg.rename_columns([key, "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    combined = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key,
+        [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vx = n * sxx - sx * sx  # n² · var_x
+            vy = n * syy - sy * sy
+            slope = np.where((n >= 2) & (vx > 0), (n * sxy - sx * sy) / vx, np.nan)
+            intercept = np.where(np.isnan(slope), np.nan, (sy - slope * sx) / n)
+            r2 = np.where(
+                np.isnan(slope) | (vy <= 0), np.nan, slope * slope * vx / vy
+            )
+
+        def fcol(v):
+            a = pa.array(v, type=pa.float64())
+            return pc.if_else(pc.is_nan(a), pa.scalar(None, pa.float64()), a)
+
+        return pa.table(
+            {
+                key: t[key],
+                "n": pc.cast(t["n"], pa.int64()),
+                "slope": fcol(slope),
+                "intercept": fcol(intercept),
+                "r2": fcol(r2),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")

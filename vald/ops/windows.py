@@ -49,6 +49,7 @@ __all__ = [
     "lagged",
     "watermark_late",
     "interval_concurrency_ds",
+    "dense_tumbling_counts",
 ]
 
 # B4's documented scaling rule: one shuffle group ≈ one task's memory
@@ -1015,3 +1016,130 @@ def interval_concurrency_ds(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense tumbling counts (gap-fill): every window in [min, max] gets a
+# row, zeros where nothing happened — monitoring/forecasting input shape
+# ---------------------------------------------------------------------------
+
+
+def dense_tumbling_counts(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    window: "_dt.timedelta | int",
+    *,
+    key_cols: Sequence[str] = (),
+    out_col: str = "n",
+    max_keys: int = 100_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """``tumbling_window`` counts with the GAPS FILLED: one row for
+    EVERY epoch-aligned window between the corpus's first and last
+    event (× every observed key combination), ``out_col`` = 0 where
+    nothing happened — the dense series monitoring dashboards and
+    forecasting models consume ("an hour with zero events IS the
+    signal").
+
+    Shape (100 TB): the aggregate side is the tumbling pre-aggregation
+    (one row per distinct (window, keys) — tiny next to events); its
+    [min, max] window bound is a metadata-scale pull. The dense grid is
+    GENERATED DISTRIBUTED — ``ray.data.range(n_windows)`` mapped to
+    window starts, cross-producted per batch against the observed key
+    tuples (pulled once, ``max_keys``-guarded: a grid wider than that
+    is a modeling bug) — and LEFT-joins the aggregate hash-partitioned;
+    nothing row-scale ever lands on the driver. Empty input → empty
+    output (there is no range to fill)."""
+    import ray
+    import ray.data
+
+    from ..runtime import (
+        collect_arrow,
+        join_partitions,
+        join_remote_args,
+        nonempty_blocks,
+    )
+
+    keys = list(key_cols)
+    w = _us(window)
+    agg = tumbling_window(ds, ts_col, window, key_cols=keys, out_col=out_col)
+    m = agg.materialize()  # one row per (window, keys); join barrier too
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        iv = _ts_int64(t["window_start"])
+        return pa.table({"lo": pa.array([int(iv.min())]),
+                         "hi": pa.array([int(iv.max())])})
+
+    bt = collect_arrow(
+        m.map_batches(bounds, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if len(bt) == 0:
+        empty_cols = {"window_start": pa.array([], pa.timestamp("us"))}
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        for k in keys:
+            empty_cols[k] = pa.array([], type=base.field(k).type)
+        empty_cols[out_col] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(empty_cols))
+    lo = pc.min(bt["lo"]).as_py()
+    hi = pc.max(bt["hi"]).as_py()
+    n_windows = (hi - lo) // w + 1
+
+    if keys:
+        kt = collect_arrow(
+            m.map_batches(
+                lambda t: t.select(keys)
+                .group_by(keys, use_threads=False)
+                .aggregate([]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        kt = kt.group_by(keys, use_threads=False).aggregate([])  # global distinct
+        if len(kt) > max_keys:
+            raise ValueError(
+                f"dense_tumbling_counts: {len(kt)} key combinations exceeds "
+                f"max_keys={max_keys} — a dense grid that wide is a modeling "
+                "bug; densify per shard or raise the bound"
+            )
+        kt_ref = ray.put(kt)
+    else:
+        kt_ref = None
+
+    def grid(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = lo + ids * w
+        if kt_ref is None:
+            return pa.table(
+                {"window_start": pa.array(ws.astype("datetime64[us]"))}
+            )
+        kt_l = ray.get(kt_ref)
+        nk = len(kt_l)
+        rep = np.repeat(ws, nk)
+        tile = pa.array(np.tile(np.arange(nk, dtype=np.int64), len(ws)))
+        cols = {"window_start": pa.array(rep.astype("datetime64[us]"))}
+        for k in keys:
+            cols[k] = kt_l[k].take(tile)
+        return pa.table(cols)
+
+    g = ray.data.range(n_windows).map_batches(
+        grid, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = g.join(
+        nonempty_blocks(m),
+        join_type="left_outer",
+        num_partitions=join_partitions(num_partitions),
+        on=("window_start", *keys),
+        aggregator_ray_remote_args=join_remote_args(),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(out_col)
+        return t.set_column(
+            i, out_col, pc.cast(pc.fill_null(t[out_col], 0), pa.int64())
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

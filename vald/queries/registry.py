@@ -147,6 +147,8 @@ QUERIES = {
     "q_entropy": q_entropy,
     "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_peak_sessions": q_peak_sessions,
+    "q_value_trend": q_value_trend,
+    "q_gapfill": q_gapfill,
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
@@ -921,6 +923,36 @@ ORACLE_SQL = {
         "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_gapfill": (
+        # dense hourly grid: generate_series over [min, max] hour x
+        # DISTINCT event types, LEFT JOIN the aggregate, 0-fill
+        "WITH agg AS (SELECT date_trunc('hour', ts) AS window_start, "
+        "event_type, count(*)::BIGINT AS n FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2), "
+        "rng AS (SELECT unnest(generate_series("
+        "(SELECT min(window_start) FROM agg), "
+        "(SELECT max(window_start) FROM agg), INTERVAL 1 HOUR)) AS window_start), "
+        "k AS (SELECT DISTINCT event_type FROM agg) "
+        "SELECT r.window_start, k.event_type, COALESCE(a.n, 0)::BIGINT AS n "
+        "FROM rng r CROSS JOIN k "
+        "LEFT JOIN agg a ON a.window_start = r.window_start "
+        "AND a.event_type = k.event_type"
+    ),
+    "q_value_trend": (
+        # OLS trend per event_type over centered days-since-epoch x
+        # (centering keeps the one-pass moments and DuckDB's regr_*
+        # numerically in lockstep at 6 decimals)
+        "WITH e AS (SELECT event_type, value, "
+        "(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))::DOUBLE "
+        "/ 86400000000.0 AS x "
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL "
+        "AND value IS NOT NULL) "
+        "SELECT event_type, regr_count(value, x)::BIGINT AS n, "
+        "round(regr_slope(value, x), 6) AS slope, "
+        "round(regr_intercept(value, x), 6) AS intercept, "
+        "round(regr_r2(value, x), 6) AS r2 "
+        "FROM e GROUP BY event_type"
     ),
     "q_peak_sessions": (
         # sweep line: each event opens a [ts, ts + value min) session;

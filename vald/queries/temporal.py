@@ -589,3 +589,96 @@ def q_peak_sessions(sf_dir: str):
             [("max_concurrency", pa.int64()), ("at", pa.timestamp("us"))]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-type value trend: OLS slope of value over time (ops.stats
+# .group_linreg_ds) — "is this source drifting" as a regression
+# ---------------------------------------------------------------------------
+
+_TREND_T0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def q_value_trend(sf_dir: str):
+    """Per-event_type OLS trend of value over days since the corpus
+    epoch — ops.stats.group_linreg_ds (one-pass moment partials);
+    oracle = DuckDB regr_slope/intercept/r2 on the same centered x."""
+    from ..ops.stats import group_linreg_ds
+
+    def mk_x(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"]))
+        t = t.filter(pc.fill_null(m, False))
+        iv = np.asarray(
+            t["ts"].to_numpy(zero_copy_only=False), dtype="datetime64[us]"
+        ).astype(np.int64)
+        x = (iv - int(_TREND_T0.astype(np.int64))) / 86_400_000_000.0
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": pa.array(x, type=pa.float64()),
+                "value": t["value"],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        mk_x, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = group_linreg_ds(ds, "event_type", "x", "value").map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "slope": pc.round(t["slope"], 6),
+                "intercept": pc.round(t["intercept"], 6),
+                "r2": pc.round(t["r2"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("slope", pa.float64()),
+                ("intercept", pa.float64()),
+                ("r2", pa.float64()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense hourly series: gap-filled per-type counts (ops.windows
+# .dense_tumbling_counts) — zero-event hours are rows, not holes
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill(sf_dir: str):
+    """Hourly event counts per event_type with every (hour, type) cell
+    present — missing cells 0 (ops.windows.dense_tumbling_counts);
+    oracle = generate_series × DISTINCT types LEFT JOIN the aggregate."""
+    from datetime import timedelta
+
+    from ..ops.windows import dense_tumbling_counts
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(pc.is_valid(t["event_type"]), False))
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = dense_tumbling_counts(
+        ds, "ts", timedelta(hours=1), key_cols=["event_type"]
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
