@@ -250,3 +250,45 @@ class TestLatestBy:
             .sort_values("k")
         )
         assert first["payload"].tolist() == ["a", "d", "f"]
+
+
+class TestGroupPercentRank:
+    """ops.rank.group_percent_rank vs pandas rank(method='min') —
+    PERCENT_RANK semantics incl. ties, single-row groups, NULL drops,
+    bucket invariance."""
+
+    @pytest.mark.parametrize("buckets", [1, 3, 16])
+    def test_matches_pandas(self, ray_session, buckets):
+        import pandas as pd
+
+        from vald.ops.rank import group_percent_rank
+
+        rng = np.random.default_rng(21)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c", "lonely"], n,
+                                p=[0.45, 0.45, 0.098, 0.002]),
+                "v": rng.integers(0, 20, n).astype(float),  # plenty of ties
+                "i": np.arange(n),
+            }
+        )
+        df.loc[0, "k"] = None
+        df.loc[1, "v"] = None
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        got = (
+            group_percent_rank(
+                ray.data.from_arrow(t).repartition(4), "k", "v",
+                carry_cols=("i",), num_buckets=buckets,
+            )
+            .to_pandas()
+            .sort_values("i")
+            .set_index("i")
+        )
+        clean = df.dropna(subset=["k", "v"])
+        grp = clean.groupby("k")["v"]
+        want = (grp.rank(method="min") - 1) / (grp.transform("size") - 1)
+        want = want.fillna(0.0)  # single-row group
+        assert len(got) == len(clean)
+        for i, w in zip(clean["i"], want):
+            assert abs(got.loc[i, "pct_rank"] - w) < 1e-12, i

@@ -15,6 +15,8 @@ ROW_NUMBER() oracles add the matching ``IS NOT NULL`` guards.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -278,4 +280,77 @@ def global_rank(
         proj.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+def group_percent_rank(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    *,
+    carry_cols: "tuple | list" = (),
+    out_col: str = "pct_rank",
+    num_buckets: int | None = None,
+    rows_per_bucket: int = 5_000_000,
+    min_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY val)`` —
+    the per-group percentile feature (quality-score normalization
+    across heterogeneous sources: "is this doc in its source's top
+    1%"). Ties share the minimum rank (RANK semantics); a single-row
+    group scores 0.
+
+    Shape (100 TB): one key-hash shuffle (every row of a key in one
+    bucket task — the cumulative/sessionize recipe, B4 data-scaled
+    bucket count), per bucket one Arrow sort by (key, val) and a fully
+    vectorized rank pass (segment starts via adjacent-change, tie
+    groups via a running maximum of change positions). Rows with NULL
+    key or val are dropped (SQL guards added in oracles). Returns
+    (key_col, *carry_cols, val_col, out_col:float64)."""
+    from .windows import _adjacent_change, _bucket_ids
+
+    carry = list(carry_cols)
+    if num_buckets is None:
+        num_buckets = max(min_buckets, math.ceil(ds.count() / rows_per_bucket))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[val_col]))
+        t = t.filter(pc.fill_null(m, False)).select([key_col, *carry, val_col])
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t[key_col], num_buckets))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return g.select([key_col, *carry, val_col]).slice(0, 0).append_column(
+                out_col, pa.array([], type=pa.float64())
+            )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[(key_col, "ascending"), (val_col, "ascending")],
+            )
+        )
+        keys = g[key_col].combine_chunks()
+        vals = g[val_col].combine_chunks()
+        new_key = _adjacent_change(keys, n)
+        new_pair = new_key | _adjacent_change(vals, n)
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        seg_start = starts[seg_id]
+        counts = np.diff(np.r_[starts, n]).astype(np.int64)[seg_id]
+        pos = np.arange(n, dtype=np.int64)
+        tie_first = np.maximum.accumulate(np.where(new_pair, pos, -1))
+        rank = tie_first - seg_start + 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.where(counts > 1, (rank - 1) / (counts - 1), 0.0)
+        return g.select([key_col, *carry, val_col]).append_column(
+            out_col, pa.array(pct, type=pa.float64())
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -149,6 +149,7 @@ QUERIES = {
     "q_peak_sessions": q_peak_sessions,
     "q_value_trend": q_value_trend,
     "q_gapfill": q_gapfill,
+    "q_pct_rank": q_pct_rank,
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
@@ -923,6 +924,13 @@ ORACLE_SQL = {
         "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_pct_rank": (
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, "
+        "round(PERCENT_RANK() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice), 6) AS pct_rank "
+        "FROM lineitem "
+        "WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL"
     ),
     "q_gapfill": (
         # dense hourly grid: generate_series over [min, max] hour x

@@ -2661,3 +2661,46 @@ def q_market_share(sf_dir: str):
     return pa.table(
         {"o_year": pc.cast(t["o_year"], pa.int64()), "mkt_share": share}
     ).sort_by([("o_year", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# per-group percentile feature: PERCENT_RANK of price within return
+# flag (ops.rank.group_percent_rank)
+# ---------------------------------------------------------------------------
+
+
+def q_pct_rank(sf_dir: str):
+    """Percent rank of l_extendedprice within each l_returnflag —
+    ops.rank.group_percent_rank (one key-hash shuffle + vectorized
+    per-bucket rank pass); oracle = SQL PERCENT_RANK() OVER."""
+    from ..ops.rank import group_percent_rank
+
+    out = group_percent_rank(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        ),
+        "l_returnflag",
+        "l_extendedprice",
+        carry_cols=("l_orderkey", "l_linenumber"),
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("pct_rank"),
+            "pct_rank",
+            pc.round(t["pct_rank"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("pct_rank", pa.float64()),
+            ]
+        ),
+    )
