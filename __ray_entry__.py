@@ -112,6 +112,33 @@ def entry() -> Any:
     df.insert(0, "table", "orders_rec")
     verdicts.append(df)
 
+    # distinct-cardinality fire-check (kind: cardinality, r5): at
+    # sf0.001 the zh slice holds 19 distinct sources vs 20 for the
+    # rest, so min_distinct=20 fires exactly one group violation
+    # (the clean direction is tests/test_cardinality.py)
+    docs_card = ray.data.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["lang", "source"]
+    )
+    res = P.validate(
+        docs_card,
+        {
+            "table": "documents_card",
+            "columns": {},
+            "checks": [
+                {
+                    "kind": "cardinality",
+                    "column": "source",
+                    "group_by": "lang",
+                    "min_distinct": 20,
+                }
+            ],
+        },
+        concurrency=2,
+    )
+    df = res.verdicts_table().to_pandas()
+    df.insert(0, "table", "documents_card")
+    verdicts.append(df)
+
     # north-rule corpus (generated input, violations injected)
     n = 5000
     res = P.validate(

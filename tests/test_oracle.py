@@ -85,9 +85,13 @@ def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
     assert {"table", "constraint_id", "pass", "n_checked", "n_violations"} <= set(df.columns)
-    # clean testdata tables must pass everything; corpus and the
-    # orders_rec reconcile fire-check must have failures by design
-    clean = df[~df.table.isin(["corpus", "orders_rec"])]
+    # clean testdata tables must pass everything; corpus, the
+    # orders_rec reconcile fire-check and the documents_card
+    # cardinality fire-check must have failures by design
+    clean = df[~df.table.isin(["corpus", "orders_rec", "documents_card"])]
     assert clean["pass"].all(), clean[~clean["pass"]].head()
     assert (~df[df.table == "corpus"]["pass"]).any()
     assert (~df[df.table == "orders_rec"]["pass"]).any()
+    card = df[df.table == "documents_card"]
+    assert (~card["pass"]).any()  # zh: 19 < 20 distinct sources
+    assert int(card["n_violations"].sum()) == 1

@@ -468,6 +468,32 @@ def compile_table_spec(spec: dict) -> ConstraintSet:
                     chk.get("severity", "error"),
                 )
             )
+        elif kind == "cardinality":
+            # distinct-count bounds (Deequ hasNumberOfDistinctValues):
+            # distinct `column` values per group within [min, max]
+            col = chk["column"]
+            if chk.get("min_distinct") is None and chk.get("max_distinct") is None:
+                raise ValueError(
+                    "cardinality check needs min_distinct and/or max_distinct"
+                )
+            cid = chk.get(
+                "constraint_id", f"{table}.{col}.cardinality"
+            )
+            cs.dist_checks.append(
+                DistCheck(
+                    cid,
+                    "cardinality",
+                    {
+                        "column": col,
+                        "min_distinct": chk.get("min_distinct"),
+                        "max_distinct": chk.get("max_distinct"),
+                        "group_by": chk.get("group_by"),
+                        "num_buckets": chk.get("num_buckets", 256),
+                        "max_violation_rows": chk.get("max_violation_rows"),
+                    },
+                    chk.get("severity", "error"),
+                )
+            )
         elif kind == "reconcile":
             # cross-table aggregate consistency: column ==
             # sum(other_sum) over other_table rows sharing the key

@@ -1067,6 +1067,12 @@ def validate(
             combined = combined.union(
                 cd.freshness_check_results(ds, cs, dist)
             )
+        elif dist.kind == "cardinality":
+            # B4-shaped locally-distinct (pid, group, value) exchange +
+            # one fold task, see cardinality_check_results
+            combined = combined.union(
+                cd.cardinality_check_results(ds, cs, dist)
+            )
         elif dist.kind == "reconcile":
             # other table resolves from the same parents= mapping refint
             # uses; pa.Table / list sources are wrapped into a Dataset

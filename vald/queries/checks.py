@@ -992,3 +992,34 @@ def q_freshness(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# distinct-cardinality bounds (kind: cardinality twin): sources per
+# language must stay >= 20 distinct (ops.stats.distinct_bounds_ds)
+# ---------------------------------------------------------------------------
+
+
+def q_cardinality(sf_dir: str):
+    """Distinct sources per language with a lower bound of 20 —
+    ops.stats.distinct_bounds_ds (the Deequ hasNumberOfDistinctValues
+    shape; at sf0.01 en/es pass and de/fr/zh fail, so both verdict
+    branches are exercised)."""
+    from ..ops.stats import distinct_bounds_ds
+
+    out = distinct_bounds_ds(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        "source",
+        "lang",
+        min_distinct=20,
+    )
+    return _ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_distinct", pa.int64()),
+                ("ok", pa.bool_()),
+            ]
+        ),
+    )

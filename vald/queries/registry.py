@@ -150,6 +150,7 @@ QUERIES = {
     "q_value_trend": q_value_trend,
     "q_gapfill": q_gapfill,
     "q_pct_rank": q_pct_rank,
+    "q_cardinality": q_cardinality,
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
@@ -924,6 +925,11 @@ ORACLE_SQL = {
         "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_cardinality": (
+        "SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct, "
+        "count(DISTINCT source) >= 20 AS ok FROM documents "
+        "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY lang"
     ),
     "q_pct_rank": (
         "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, "
