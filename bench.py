@@ -85,6 +85,16 @@ BENCH_QUERIES = [
     "q_monotonic",
     "q_reconcile",
     "q_freshness",
+    # r5 operators
+    "q_bm25",
+    "q_entropy",
+    "q_fuzzy_pairs",
+    "q_peak_sessions",
+    "q_value_trend",
+    "q_gapfill",
+    "q_pct_rank",
+    "q_cardinality",
+    "q_trending",
 ]
 
 

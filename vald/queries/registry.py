@@ -151,6 +151,7 @@ QUERIES = {
     "q_gapfill": q_gapfill,
     "q_pct_rank": q_pct_rank,
     "q_cardinality": q_cardinality,
+    "q_trending": q_trending,
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
@@ -925,6 +926,14 @@ ORACLE_SQL = {
         "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens FROM tok) "
         "SELECT doc_id, lang, n_chars, n_tokens_ws, cum_tokens "
         "FROM w WHERE cum_tokens <= 2000"
+    ),
+    "q_trending": (
+        "WITH agg AS (SELECT date_trunc('day', ts) AS window_start, "
+        "event_type, count(*)::BIGINT AS n FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start "
+        "ORDER BY n DESC, event_type) AS rn FROM agg) "
+        "SELECT window_start, event_type, n, rn FROM r WHERE rn <= 2"
     ),
     "q_cardinality": (
         "SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct, "

@@ -682,3 +682,45 @@ def q_gapfill(sf_dir: str):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# trending types per day: tumbling window x grouped top-k composition
+# ---------------------------------------------------------------------------
+
+
+def q_trending(sf_dir: str):
+    """Top-2 event types per day by count — pure composition of the
+    B18 tumbling window and the B12 grouped top-k (partial-combiner)
+    operators; oracle = GROUP BY day + ROW_NUMBER window."""
+    from datetime import timedelta
+
+    from ..ops.rank import grouped_topk
+    from ..ops.windows import tumbling_window
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(pc.is_valid(t["event_type"]), False))
+
+    daily = tumbling_window(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            clean, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "ts",
+        timedelta(days=1),
+        key_cols=["event_type"],
+    )
+    out = grouped_topk(daily, "window_start", "n", "event_type", k=2)
+    return _ensure_schema(
+        out.map_batches(
+            lambda t: t.select(["window_start", "event_type", "n", "rn"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("rn", pa.int64()),
+            ]
+        ),
+    )
