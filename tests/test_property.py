@@ -383,3 +383,79 @@ def test_augment_by_key_route_parity(ray_session, fkeys, dkeys, how):
         )
 
     assert run(None) == run(0)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 30)),
+        min_size=1, max_size=80,
+    ),
+)
+@_SET
+def test_interval_concurrency_matches_sweep(ray_session, iv):
+    """interval_concurrency_ds vs the literal sorted sweep on arbitrary
+    [s, s+d) intervals (zero-length included)."""
+    from vald.ops.windows import interval_concurrency_ds
+
+    rows = [(s, s + d) for s, d in iv]
+    t = pa.table(
+        {
+            "s": pa.array(
+                [_T0 + timedelta(minutes=s) for s, _ in rows],
+                type=pa.timestamp("us"),
+            ),
+            "e": pa.array(
+                [_T0 + timedelta(minutes=e) for _, e in rows],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    got = interval_concurrency_ds(
+        ray.data.from_arrow(t).repartition(3), "s", "e", num_buckets=4
+    ).to_pandas()
+    evs = sorted(
+        [(s, 1) for s, _ in rows] + [(e, -1) for _, e in rows]
+    )  # (t, d): -1 before +1 at equal t
+    run, best, at = 0, 0, None
+    for tt, d in evs:
+        run += d
+        if run > best:
+            best, at = run, tt
+    assert int(got.loc[0, "max_concurrency"]) == best
+    if best > 0:
+        assert got.loc[0, "at"] == _T0 + timedelta(minutes=at)
+
+
+@given(
+    keys=st.lists(st.integers(0, 4), min_size=1, max_size=150),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_SET
+def test_group_percent_rank_matches_pandas(ray_session, keys, seed):
+    import pandas as pd
+
+    from vald.ops.rank import group_percent_rank
+
+    rng = np.random.default_rng(seed)
+    n = len(keys)
+    vals = rng.integers(0, 6, n).astype(float)  # heavy ties
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "v": pa.array(vals),
+            "i": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    got = (
+        group_percent_rank(
+            ray.data.from_arrow(t).repartition(3), "k", "v",
+            carry_cols=("i",), num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    grp = df.groupby("k")["v"]
+    want = ((grp.rank(method="min") - 1) / (grp.transform("size") - 1)).fillna(0.0)
+    assert np.allclose(got["pct_rank"].to_numpy(), want.to_numpy()[got["i"]])

@@ -320,3 +320,31 @@ class TestEditDistancePairs:
             edit_distance_pairs_ds(
                 ray.data.from_arrow(t), "s", "rid", max_key_group=10
             ).to_pandas()
+
+
+class TestLshParams:
+    def test_scurve_midpoint_near_threshold(self):
+        from vald.ops.dedup import lsh_params_for_threshold
+
+        for t in (0.3, 0.5, 0.7, 0.9):
+            b, r = lsh_params_for_threshold(t, 128)
+            assert b * r <= 128 and b >= 1 and r >= 1
+            # the 50%-candidate similarity ~ (1/b)^(1/r) must sit near t
+            s50 = (1 - 0.5 ** (1 / b)) ** (1 / r)
+            assert abs(s50 - t) < 0.12, (t, b, r, s50)
+
+    def test_rows_grow_with_threshold(self):
+        from vald.ops.dedup import lsh_params_for_threshold
+
+        rs = [lsh_params_for_threshold(t, 128)[1] for t in (0.2, 0.5, 0.8, 0.95)]
+        assert rs == sorted(rs) and rs[0] < rs[-1]
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from vald.ops.dedup import lsh_params_for_threshold
+
+        with _pytest.raises(ValueError):
+            lsh_params_for_threshold(0.0)
+        with _pytest.raises(ValueError):
+            lsh_params_for_threshold(0.5, 1)

@@ -2274,3 +2274,38 @@ def edit_distance_pairs_ds(
     return bucketed_group_agg(
         pairs, ["id_a", "id_b"], [("ed", "min")], num_buckets=num_buckets
     )
+
+
+def lsh_params_for_threshold(
+    threshold: float,
+    num_perm: int = 128,
+    *,
+    fp_weight: float = 0.5,
+) -> "tuple[int, int]":
+    """Pick the MinHash-LSH banding ``(bands, rows_per_band)`` for a
+    target Jaccard ``threshold`` — the standard S-curve optimization
+    (as popularized by the public datasketch library / MMDS ch. 3):
+    candidate probability at similarity s is ``1 − (1 − s^r)^b``;
+    minimize ``fp_weight · ∫₀^t P(s) ds + (1−fp_weight) · ∫ₜ¹ (1−P(s)) ds``
+    over every (b, r) with ``b·r <= num_perm``.
+
+    Returns the (bands, rows) to pass to the near-dup ops; exact — a
+    512-point midpoint quadrature per candidate, microseconds total."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    xs = (np.arange(512, dtype=np.float64) + 0.5) / 512.0
+    below = xs < threshold
+    best, best_err = (1, num_perm), float("inf")
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        p = 1.0 - (1.0 - xs**r) ** b
+        fp = p[below].sum() / 512.0
+        fn = (1.0 - p[~below]).sum() / 512.0
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
