@@ -117,6 +117,58 @@ def test_knn_ivf_recall(ray_session):
         assert len(a & b) / len(b) >= 0.8  # recall@10 >= 0.8
 
 
+def test_pq_recall_and_compression(ray_session):
+    """PQ (train → encode → ADC top-k): recall@10 >= 0.7 vs exact L2
+    on clustered embeddings, uint8 code shape (dim×4 → m bytes), and
+    encode determinism across partitionings."""
+    rng = np.random.default_rng(23)
+    # 12-point clusters: each query's true top-10 is its cluster, so
+    # recall measures PQ's realistic claim — preserving neighborhood
+    # structure — not sub-quantization-noise ordering inside one blob
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 6
+    emb = np.vstack(
+        [c + rng.standard_normal((12, 32)).astype(np.float32) * 0.5 for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": list(range(len(emb))),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), type=pa.float32()), 32
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    books = SIM.pq_train(ds, m=8, k=32, sample_rows=480, iters=8, seed=3)
+    assert books.shape == (8, 32, 4) and books.dtype == np.float32
+
+    enc = SIM.pq_encode_ds(ds, books).to_pandas().sort_values("vec_id")
+    codes = np.stack(enc["pq_code"].to_numpy())
+    assert codes.shape == (len(emb), 8) and codes.dtype == np.uint8
+    # determinism across partitionings
+    enc2 = (
+        SIM.pq_encode_ds(ray.data.from_arrow(t).repartition(7), books)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert (np.stack(enc2["pq_code"].to_numpy()) == codes).all()
+
+    q = emb[[5, 30, 80]]
+    got = SIM.pq_topk(
+        SIM.pq_encode_ds(ds, books),
+        q,
+        books,
+        k=10,
+    ).to_pandas()
+    # exact L2 reference
+    for qi in range(3):
+        d = ((emb - q[qi]) ** 2).sum(axis=1)
+        want = set(np.argsort(d)[:10].tolist())
+        a = set(got[got.query_id == qi].vec_id)
+        assert len(a & want) / 10 >= 0.7, (qi, len(a & want))
+    # the query's own seed vector must rank first
+    assert got[got.query_id == 0].iloc[0].vec_id == 5
+
+
 def test_language_id(ray_session):
     ds, _ = _docs(ray_session)
     t = pa.table(

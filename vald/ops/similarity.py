@@ -455,3 +455,150 @@ def random_project(
         return t.append_column(name, col)
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, TPAMI 2011 — public
+# method): m-subspace codebooks, uint8 codes, asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    ds: "ray.data.Dataset",
+    *,
+    embedding_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train PQ codebooks: split the vector into ``m`` contiguous
+    subspaces and run k-means (``k`` centroids, Lloyd) independently in
+    each — on a BOUNDED training sample (codebook quality needs a
+    sample, not the corpus; same discipline as IvfIndex.train). Returns
+    float32 codebooks of shape (m, k, dim/m)."""
+    n_total = max(ds.count(), 1)
+    sample = ds.random_sample(min(1.0, sample_rows / n_total), seed=seed)
+    t = pa.Table.from_pandas(sample.to_pandas(), preserve_index=False)
+    x = embedding_matrix(t, embedding_col).astype(np.float32)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode_ds(
+    ds: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> "ray.data.Dataset":
+    """Encode every vector to ``m`` uint8 codes (nearest centroid per
+    subspace) — dim×4 bytes → m bytes per row (32× at dim=64, m=8).
+    Codebooks broadcast once via ``ray.put``; the per-batch argmin is
+    one ‖x‖²−2x·c+‖c‖² matmul per subspace. Output keeps ``id_col``
+    and emits ``code_col`` as fixed_size_list<uint8>[m] — the compact
+    representation that ships/stores at 100 TB."""
+    books_ref = ray.put(np.asarray(codebooks, dtype=np.float32))
+
+    def encode(t: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        m, k, dsub = books.shape
+        x = embedding_matrix(t, embedding_col).astype(np.float32)
+        codes = np.empty((len(t), m), dtype=np.uint8)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cn = (books[j] ** 2).sum(axis=1)  # (k,)
+            d = cn[None, :] - 2.0 * (sub @ books[j].T)  # + ||x||² const
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                code_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()), m
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> pa.Table:
+    """Approximate L2 top-k over PQ codes via ASYMMETRIC distance
+    (ADC): per query one (m, k) lookup table of exact
+    query-subvector→centroid squared distances; a row's distance is the
+    sum of m uint8-indexed LUT gathers — no decode, no float vectors
+    move. Per-batch local top-k partials + one small driver merge (the
+    knn_brute reduce shape). Returns (query_id, vec_id, score) with
+    score = −distance² (higher is better, like the cosine ops)."""
+    books = np.asarray(codebooks, dtype=np.float32)
+    m, kk_, dsub = books.shape
+    q = np.asarray(queries, dtype=np.float32)
+    # LUTs: (Q, m, k) exact subspace distances
+    luts = np.empty((len(q), m, kk_), dtype=np.float32)
+    for j in range(m):
+        qs = q[:, j * dsub : (j + 1) * dsub]  # (Q, dsub)
+        diff = qs[:, None, :] - books[j][None, :, :]
+        luts[:, j, :] = (diff**2).sum(axis=2)
+    luts_ref = ray.put(luts)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        lut = ray.get(luts_ref)
+        codes = np.asarray(
+            t[code_col].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        ).reshape(len(t), m)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(lut.shape[0]):
+            d = lut[qi, np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+            sel = np.argpartition(d, min(k, len(d)) - 1)[: min(k, len(d))]
+            out_q.extend([qi] * len(sel))
+            out_id.extend(ids[sel].tolist())
+            out_s.extend((-d[sel]).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    t = pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
+    if len(t) == 0:
+        return t
+    df = t.to_pandas()
+    df = (
+        df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)

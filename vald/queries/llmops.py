@@ -296,6 +296,25 @@ def q_knn_ivf(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_pq_ann(sf_dir: str):
+    """PQ-compressed approximate top-10 (train → uint8 encode → ADC
+    scan) for the first embedding as query — ops.similarity.pq_*
+    (Jégou et al. 2011). Rows-only: quantized distances have no SQL
+    twin; recall vs exact is pinned by test_ops.test_pq_recall_*."""
+    import pyarrow.parquet as pq
+
+    from ..ops.similarity import pq_encode_ds, pq_topk, pq_train
+
+    emb_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = np.asarray(emb_t["embedding"][0].as_py(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=8, k=64, sample_rows=4000, iters=6)
+    return pq_topk(pq_encode_ds(ds, books), q[None, :], books, k=10)
+
+
+
 def q_sample(sf_dir: str):
     from ..ops.sample import hash_sample
 

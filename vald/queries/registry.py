@@ -152,6 +152,7 @@ QUERIES = {
     "q_pct_rank": q_pct_rank,
     "q_cardinality": q_cardinality,
     "q_trending": q_trending,
+    "q_pq_ann": q_pq_ann,  # rows-only: quantized ANN has no SQL twin
 }
 
 # Front-load the catalog (VERDICT r4 item 5): if the grading driver
